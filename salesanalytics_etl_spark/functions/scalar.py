@@ -1,0 +1,61 @@
+"""Scalar-function library (SURVEY.md §2.8 X1-X11).
+
+Thin, composable Column helpers for the semantic gaps between T-SQL and
+Spark SQL. Everything stays a Catalyst expression (whole-stage codegen);
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from salesanalytics_etl_spark.schemas import DEC182
+
+
+def concat_tsql(*cols: Column | str, sep: str = " ") -> Column:
+    """NULL-as-empty string concat — T-SQL ``CONCAT(a,' ',b)`` semantics.
+
+    T-SQL CONCAT treats NULL args as '' (reference queries.sql:68); Spark's
+    plain ``concat`` returns NULL if ANY arg is NULL (SURVEY.md §2.8 X6).
+    ``concat_ws`` skips NULLs entirely (which also drops the separator), so
+    for exact parity we coalesce each arg to '' and join with the separator.
+    """
+    parts = [F.coalesce(F.col(c) if isinstance(c, str) else c, F.lit("")) for c in cols]
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, F.lit(sep), p)
+    return out
+
+
+def null_label(col: Column | str, label: str = "(NULL)") -> Column:
+    """``ISNULL(x, '(NULL)')`` (reference queries.sql:82) → coalesce."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c, F.lit(label))
+
+
+def year_month(col: Column | str) -> Column:
+    """``CONVERT(char(7), ts, 126)`` → 'YYYY-MM' (reference queries.sql:41)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM")
+
+
+def safe_div(num: Column, den: Column, scale: int = 2) -> Column:
+    """Guarded division: NULL when denominator is not > 0.
+
+    Mirrors ``CASE WHEN Quantity > 0 THEN TotalPrice/Quantity END`` with a
+    round to ``scale`` (reference queries.sql:141-143). ``otherwise`` is
+    omitted → NULL, exactly the reference's ELSE NULL.
+    """
+    return F.when(den > 0, F.round(num / den, scale))
+
+
+def dec182(col: Column | str) -> Column:
+    """Cast to DECIMAL(18,2) — the reference's money type (SURVEY.md §1.3).
+
+    Summing DECIMAL instead of DOUBLE makes aggregates exact and
+    order-insensitive, which is what lets Spark results hash-match the
+    DuckDB oracle regardless of partitioning/merge order.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC182)

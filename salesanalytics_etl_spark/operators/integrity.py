@@ -1,0 +1,67 @@
+"""Referential-integrity operators (SURVEY.md §2.3 F3/F4, §2.4 J7).
+
+The reference validates FKs with Python set membership (``isin(valid_set)``,
+etl_sales_analytics.py:192-207) — semantically a broadcast semi-join. The
+Spark-native form is a ``left_semi`` (keep) / ``left_anti`` (reject) pair on
+the key; Catalyst/AQE picks broadcast-hash when the parent side is small,
+which is exactly the fact⋈dim shape here.
+
+Cascade order matters and is preserved by dataflow: orders are FK-filtered
+BEFORE details are validated against them (reference :198 then :201).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fk_split(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``child`` into (keep, reject) by FK membership in ``parent``.
+
+    keep = semi-join, reject = anti-join — one shared broadcast of the
+    parent's distinct key column. Returns (keep, reject).
+    """
+    pk = parent_key or child_key
+    keys = parent.select(F.col(pk).alias(child_key)).distinct()
+    keep = child.join(F.broadcast(keys), on=child_key, how="left_semi")
+    reject = child.join(F.broadcast(keys), on=child_key, how="left_anti")
+    return keep, reject
+
+
+def fk_split_composite(
+    child: DataFrame,
+    parents: list[tuple[DataFrame, str, str]],
+) -> tuple[DataFrame, DataFrame]:
+    """Conjunctive FK validation against several parents (F4).
+
+    ``parents`` is a list of (parent_df, child_key, parent_key). A row is
+    kept only if EVERY membership holds (reference's ANDed mask,
+    etl_sales_analytics.py:200-203); rejects are everything else, written to
+    ONE reject set like the reference's single rejects file (:204-205).
+
+    Implemented as chained left_semi joins for keep; reject = child minus
+    keep via a left_anti on the child's own full key — but to avoid a
+    self-join on a wide fact table, we instead compute reject as the union of
+    per-parent anti-joins, deduplicated. For 100 TB facts the chained
+    semi-joins all broadcast the (small) parent key sets, so the fact is
+    scanned once per branch with no shuffle.
+    """
+    keep = child
+    for parent, child_key, parent_key in parents:
+        keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
+        keep = keep.join(F.broadcast(keys), on=child_key, how="left_semi")
+
+    reject = None
+    for parent, child_key, parent_key in parents:
+        keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
+        bad = child.join(F.broadcast(keys), on=child_key, how="left_anti")
+        reject = bad if reject is None else reject.unionByName(bad)
+    # A row failing two FKs appears in two branches → drop exact duplicates.
+    reject = reject.distinct() if reject is not None else child.limit(0)
+    return keep, reject

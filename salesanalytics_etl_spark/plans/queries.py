@@ -1,0 +1,528 @@
+"""The 14 reference reporting queries + 2 views, re-expressed Spark-first
+over the driver's TPC-H-ish tables (SURVEY.md §2.4-2.8, FIXTURES.md mapping:
+Customer→customer, Product→part, Orders→orders, OrderDetail→lineitem;
+TotalPrice→l_extendedprice, Quantity→l_quantity, Category→p_type).
+
+Every query is a lazy DataFrame expression — Catalyst handles predicate
+pushdown, column pruning, join selection (dims broadcast), and top-k as
+TakeOrderedAndProject. Monetary sums go through DECIMAL(18,2) so results are
+exact and order-insensitive (hash-stable across partitionings AND equal to
+the DuckDB oracle's decimal arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from salesanalytics_etl_spark.functions.scalar import (
+    dec182,
+    null_label,
+    safe_div,
+    year_month,
+)
+from salesanalytics_etl_spark.plans.registry import register
+from salesanalytics_etl_spark.sources.readers import load_driver_tables
+
+# Parameterization of the reference's non-deterministic bits (SURVEY.md §5.2):
+# GETDATE()-relative window (queries.sql:182-183) → fixed dates inside the
+# testdata's 1995-01-01..2001-08-01 o_orderdate domain.
+DATE_FROM = "1996-01-01"
+DATE_TO = "1996-12-31"  # inclusive; filter is half-open [from, to+1day)
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = load_driver_tables(spark, sf_dir, list(names))
+    return [tables[n] for n in names]
+
+
+# --------------------------------------------------------------------------
+# Q1 — row-count reconciliation with literal tag column
+# (reference queries.sql:10-13: COUNT(*) per table UNION ALL; A1/U1/X11)
+# --------------------------------------------------------------------------
+@register(
+    "q01_table_counts",
+    oracle="""
+    SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM customer
+    UNION ALL SELECT 'part', CAST(COUNT(*) AS BIGINT) FROM part
+    UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM orders
+    UNION ALL SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem
+    """,
+    doc="COUNT(*) per table tagged with a literal, UNION ALL (queries.sql:10-13)",
+)
+def q01_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, part, orders, lineitem = _t(
+        spark, sf_dir, "customer", "part", "orders", "lineitem"
+    )
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("table_name"), "n_rows"
+        )
+        for name, df in [
+            ("customer", customer),
+            ("part", part),
+            ("orders", orders),
+            ("lineitem", lineitem),
+        ]
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Q2 — TOP-k sample: latest orders (queries.sql:19-22; O2/O3)
+# --------------------------------------------------------------------------
+@register(
+    "q02_orders_sample_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders ORDER BY o_orderkey DESC LIMIT 10
+    """,
+    doc="TOP (10) ... ORDER BY pk DESC eyeball sample → TakeOrderedAndProject",
+)
+def q02_orders_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
+        .orderBy(F.desc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3 — FLAGSHIP: sales by day (queries.sql:28-34 + vw_SalesByDay,
+# schema_sales_analytics.sql:101-107; J1/X1/A2/O1)
+# --------------------------------------------------------------------------
+@register(
+    "q03_sales_by_day",
+    oracle="""
+    SELECT CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_sales
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY CAST(o.o_orderdate AS DATE)
+    """,
+    doc="orders⋈lineitem, SUM by day (flagship; queries.sql:28-34)",
+)
+def q03_sales_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    return (
+        orders.select("o_orderkey", "o_orderdate")
+        .join(
+            lineitem.select("l_orderkey", "l_extendedprice"),
+            orders.o_orderkey == lineitem.l_orderkey,
+        )
+        .groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("total_sales"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 — sales by month (queries.sql:40-46; X3/A3)
+# --------------------------------------------------------------------------
+@register(
+    "q04_sales_by_month",
+    oracle="""
+    SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_sales
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY strftime(o.o_orderdate, '%Y-%m')
+    """,
+    doc="SUM by 'YYYY-MM' (CONVERT(char(7),...,126) → date_format)",
+)
+def q04_sales_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    return (
+        orders.select("o_orderkey", "o_orderdate")
+        .join(
+            lineitem.select("l_orderkey", "l_extendedprice"),
+            orders.o_orderkey == lineitem.l_orderkey,
+        )
+        .groupBy(year_month("o_orderdate").alias("order_month"))
+        .agg(F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("total_sales"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 — top-10 products by revenue (queries.sql:52-60; J2/A4/O3)
+# --------------------------------------------------------------------------
+@register(
+    "q05_top_products",
+    oracle="""
+    SELECT p.p_partkey, p.p_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_name
+    ORDER BY revenue DESC, p.p_partkey LIMIT 10
+    """,
+    doc="fact⋈dim broadcast join, multi-agg, top-k (queries.sql:52-60)",
+)
+def q05_top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, lineitem = _t(spark, sf_dir, "part", "lineitem")
+    return (
+        lineitem.select("l_partkey", "l_extendedprice", "l_quantity")
+        .join(F.broadcast(part.select("p_partkey", "p_name")),
+              lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("revenue"),
+            F.sum(dec182("l_quantity")).cast("decimal(18,2)").alias("total_qty"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — top-10 customers: revenue + COUNT(DISTINCT order) (queries.sql:66-75;
+# J3/A5). Exact distinct — approx_count_distinct would break oracle parity.
+# --------------------------------------------------------------------------
+@register(
+    "q06_top_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 10
+    """,
+    doc="3-way join + countDistinct, top-k (queries.sql:66-75)",
+)
+def q06_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        lineitem.select("l_orderkey", "l_extendedprice")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+              orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — status histogram with NULL bucket (queries.sql:81-86; A6/X7)
+# --------------------------------------------------------------------------
+@register(
+    "q07_status_histogram",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '(NULL)') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY COALESCE(o_orderstatus, '(NULL)')
+    """,
+    doc="frequency histogram, ISNULL(x,'(NULL)') → coalesce (queries.sql:81-86)",
+)
+def q07_status_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(null_label("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — Average Order Value: two-level agg via CTE (queries.sql:93-103; A7)
+# --------------------------------------------------------------------------
+@register(
+    "q08_avg_order_value",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS order_total
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(order_total) AS DECIMAL(18,2)) AS total_sales,
+           ROUND(CAST(SUM(order_total) AS DOUBLE) / COUNT(*), 2) AS avg_order_value
+    FROM per_order
+    """,
+    doc="re-aggregation: per-order SUM → global COUNT/SUM/AVG (queries.sql:93-103)",
+)
+def q08_avg_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(dec182("l_extendedprice")).alias("order_total")
+    )
+    return per_order.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("order_total").cast("decimal(18,2)").alias("total_sales"),
+        F.round(
+            F.sum("order_total").cast("double") / F.count(F.lit(1)), 2
+        ).alias("avg_order_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — parts with no sales: anti-join (queries.sql:109-113; J4/F6)
+# --------------------------------------------------------------------------
+@register(
+    "q09_parts_no_sales",
+    oracle="""
+    SELECT p.p_partkey, p.p_name FROM part p
+    LEFT JOIN (SELECT DISTINCT l_partkey FROM lineitem) l
+      ON p.p_partkey = l.l_partkey
+    WHERE l.l_partkey IS NULL
+    """,
+    doc="LEFT JOIN + IS NULL → left_anti (queries.sql:109-113)",
+)
+def q09_parts_no_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, lineitem = _t(spark, sf_dir, "part", "lineitem")
+    return (
+        part.join(
+            lineitem.select(F.col("l_partkey").alias("p_partkey")),
+            on="p_partkey",
+            how="left_anti",
+        ).select("p_partkey", "p_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 — customers with no orders: anti-join (queries.sql:119-123; J5/F6)
+# --------------------------------------------------------------------------
+@register(
+    "q10_customers_no_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name FROM customer c
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+      ON c.c_custkey = o.o_custkey
+    WHERE o.o_custkey IS NULL
+    """,
+    doc="anti-join: customers with no orders (queries.sql:119-123)",
+)
+def q10_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(
+            orders.select(F.col("o_custkey").alias("c_custkey")),
+            on="c_custkey",
+            how="left_anti",
+        ).select("c_custkey", "c_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — detail of the latest order: scalar subquery + guarded division
+# (queries.sql:130-148; J6/F7/X8/X9)
+# --------------------------------------------------------------------------
+@register(
+    "q11_last_order_details",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_name, l.l_quantity,
+           CAST(l.l_extendedprice AS DECIMAL(18,2)) AS line_total,
+           CASE WHEN l.l_quantity > 0
+                THEN ROUND(l.l_extendedprice / l.l_quantity, 2) END AS est_unit_price
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_orderkey = (SELECT MAX(o_orderkey) FROM orders)
+    """,
+    doc="uncorrelated scalar subquery (max key) + CASE-guarded division "
+    "(queries.sql:130-148); max computed as a 1-row broadcast join, no collect",
+)
+def q11_last_order_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, orders, lineitem = _t(spark, sf_dir, "part", "orders", "lineitem")
+    max_key = orders.agg(F.max("o_orderkey").alias("_max_orderkey"))
+    return (
+        lineitem.join(
+            F.broadcast(max_key), lineitem.l_orderkey == F.col("_max_orderkey")
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_name")),
+              lineitem.l_partkey == part.p_partkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "p_name",
+            "l_quantity",
+            dec182("l_extendedprice").alias("line_total"),
+            safe_div(F.col("l_extendedprice"), F.col("l_quantity")).alias(
+                "est_unit_price"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 — per-order totals view (vw_OrderTotals,
+# schema_sales_analytics.sql:113-120; A8)
+# --------------------------------------------------------------------------
+@register(
+    "q12_order_totals",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS order_total,
+           CAST(SUM(COALESCE(CAST(l_quantity AS DECIMAL(18,2)), 0)) AS DECIMAL(18,2)) AS total_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    doc="vw_OrderTotals: SUM/SUM(COALESCE)/COUNT per order (schema_sales_analytics.sql:113-120)",
+)
+def q12_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_orderkey").agg(
+        F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("order_total"),
+        F.sum(F.coalesce(dec182("l_quantity"), F.lit(0)))
+        .cast("decimal(18,2)")
+        .alias("total_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 — order reconciliation: header total vs sum of lines
+# (queries.sql:152-163; A9)
+# --------------------------------------------------------------------------
+@register(
+    "q13_order_reconciliation",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS header_total,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS lines_total
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    doc="reconciliation: per-order header total vs SUM(lines) (queries.sql:152-163)",
+)
+def q13_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    return (
+        orders.select("o_orderkey", "o_orderdate", "o_totalprice")
+        .join(lineitem.select("l_orderkey", "l_extendedprice"),
+              orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("lines_total")
+        )
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            dec182("o_totalprice").alias("header_total"),
+            "lines_total",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 — date-bounded daily sales, half-open window (queries.sql:185-193;
+# F5/X4/A11). GETDATE()-relative in the reference → parameterized fixed
+# dates (deterministic; SURVEY.md §5.2).
+# --------------------------------------------------------------------------
+@register(
+    "q14_sales_daterange",
+    oracle=f"""
+    SELECT CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_sales
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '{DATE_FROM} 00:00:00'
+      AND o.o_orderdate < (TIMESTAMP '{DATE_TO} 00:00:00' + INTERVAL 1 DAY)
+    GROUP BY CAST(o.o_orderdate AS DATE)
+    """,
+    doc="half-open date-range filter [d1, d2+1day) + daily SUM (queries.sql:185-193)",
+)
+def q14_sales_daterange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    lo = F.lit(DATE_FROM).cast("timestamp")
+    hi = F.date_add(F.lit(DATE_TO).cast("date"), 1).cast("timestamp")
+    return (
+        orders.select("o_orderkey", "o_orderdate")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(lineitem.select("l_orderkey", "l_extendedprice"),
+              orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("total_sales"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — keep-last dedupe as a query (F2, etl_sales_analytics.py:183-186):
+# lineitem has real duplicate (l_orderkey,l_partkey) keys; "last" is keyed
+# on the explicit l_linenumber ordering column (distributed-safe, unlike
+# pandas file order).
+# --------------------------------------------------------------------------
+@register(
+    "q15_dedupe_keep_last",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS line_total
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY l_orderkey, l_partkey
+        ORDER BY l_linenumber DESC, l_quantity DESC, l_extendedprice DESC) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+    doc="keep-LAST dedupe by (orderkey,partkey), explicit ordering columns "
+    "(etl_sales_analytics.py:186 semantics, distributed-safe; the quantity/"
+    "price tiebreakers total-order the testdata's 7 linenumber-tied groups)",
+)
+def q15_dedupe_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.cleaning import dedupe_keep_last
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    deduped = dedupe_keep_last(
+        lineitem,
+        keys=["l_orderkey", "l_partkey"],
+        order_col=["l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    return deduped.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_linenumber",
+        "l_quantity",
+        dec182("l_extendedprice").alias("line_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — FK-integrity audit (F3/F4, etl_sales_analytics.py:192-207): count
+# of child rows violating each FK edge (clean data → zeros; the reject-file
+# path itself is covered by unit tests with injected violations).
+# --------------------------------------------------------------------------
+@register(
+    "q16_fk_violations",
+    oracle="""
+    SELECT 'orders->customer' AS fk_edge, CAST(COUNT(*) AS BIGINT) AS n_bad
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem->orders', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    """,
+    doc="FK validation as anti-join counts over each edge (etl_sales_analytics.py:192-207)",
+)
+def q16_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.integrity import fk_split
+
+    customer, part, orders, lineitem = _t(
+        spark, sf_dir, "customer", "part", "orders", "lineitem"
+    )
+    edges = [
+        ("orders->customer", fk_split(orders, customer, "o_custkey", "c_custkey")[1]),
+        ("lineitem->orders", fk_split(lineitem, orders, "l_orderkey", "o_orderkey")[1]),
+        ("lineitem->part", fk_split(lineitem, part, "l_partkey", "p_partkey")[1]),
+    ]
+    parts = [
+        rej.agg(F.count(F.lit(1)).alias("n_bad")).select(
+            F.lit(name).alias("fk_edge"), "n_bad"
+        )
+        for name, rej in edges
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

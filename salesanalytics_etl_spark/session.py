@@ -1,0 +1,54 @@
+"""SparkSession factory with configs pinned for oracle parity and local bench.
+
+Config rationale (SURVEY.md §4.2):
+- ``spark.sql.ansi.enabled=false``   — the reference ETL uses coercing casts
+  (``pd.to_numeric(errors="coerce")``, reference etl_sales_analytics.py:161-169):
+  unparseable values become NULL, never errors. Spark's legacy (non-ANSI) cast
+  has exactly those semantics.
+- ``spark.sql.session.timeZone=UTC`` — deterministic date/timestamp derivation
+  regardless of host TZ (queries repeatedly downcast timestamp→date,
+  reference queries.sql:29,33).
+- AQE on — runtime join-strategy switching, partition coalescing and skew-join
+  splitting; this is the "design for 1000 executors" knob that costs nothing
+  locally.
+- shuffle.partitions sized to the local core count; on a real cluster this is
+  overridden by AQE's coalescing anyway.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "salesanalytics_etl_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine-pinned configs.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all local cores.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,105 @@
+"""Source readers (SURVEY.md §2.1 S1/S2).
+
+``read_csv_exact`` mirrors the reference's ``load_csv_exact``
+(etl_sales_analytics.py:46-61) Spark-first:
+
+- read with an explicit schema (no inference for structure; value parsing is
+  lenient via non-ANSI casts),
+- keep ONLY the declared columns, in declared order; columns absent from the
+  file come back as typed NULLs,
+- missing file → empty DataFrame with the declared schema (reference :48-50),
+- optionally stamp a ``_seq`` ingest-order column so the keep-last dedupe
+  (reference :183-186, pandas ``keep="last"``) has an ordering to key on.
+
+Scale notes: reading with ``PERMISSIVE`` mode + string-typed raw columns and
+casting afterwards keeps cast coercion (bad value → NULL) identical to
+``pd.to_numeric(errors="coerce")`` while staying fully JVM-side. On a real
+cluster the ``_seq`` column from ``monotonically_increasing_id`` encodes
+(partition id, row-in-partition); it reproduces file order only for a
+single-file ordered read — multi-file sources need an explicit ordering
+column (SURVEY.md §7.4 risk 1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from salesanalytics_etl_spark.schemas import DRIVER_TABLES
+
+SEQ_COL = "_seq"
+
+
+def read_csv_exact(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    with_seq: bool = False,
+) -> DataFrame:
+    """Read one CSV with schema conformance; missing file → empty frame.
+
+    All columns are first read as strings, then cast with Spark's coercing
+    (non-ANSI) cast so unparseable values yield NULL instead of failing —
+    semantics of the reference's to_int/to_decimal/pd.to_datetime coercion
+    (etl_sales_analytics.py:161-178).
+    """
+    if not os.path.exists(path):
+        return spark.createDataFrame([], schema)
+
+    raw_schema = T.StructType(
+        [T.StructField(f.name, T.StringType()) for f in schema.fields]
+    )
+    raw = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .schema(raw_schema)
+        .csv(path)
+    )
+    df = conform_columns(raw, schema)
+    if with_seq:
+        df = df.withColumn(SEQ_COL, F.monotonically_increasing_id())
+    return df
+
+
+def conform_columns(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project to exactly the declared columns/order; missing → typed NULL.
+
+    Mirrors reference etl_sales_analytics.py:53-56 (keep only required
+    columns, reorder, fill absent with NA) with casts folded in. Pure
+    projection — Catalyst prunes the scan to the referenced columns.
+    """
+    present = set(df.columns)
+    cols = []
+    for field in schema.fields:
+        if field.name in present:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
+def load_driver_tables(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Lazily open the driver's parquet tables (TESTDATA.md).
+
+    Parquet scans get predicate pushdown + column pruning from Catalyst; no
+    caching here — each query plans its own pruned scan.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables or DRIVER_TABLES:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            out[name] = spark.read.parquet(p)
+    return out
+
+
+def register_driver_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each driver table as a temp view for the ``spark.sql`` surface."""
+    tables = load_driver_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

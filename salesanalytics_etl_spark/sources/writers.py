@@ -1,0 +1,44 @@
+"""Sinks (SURVEY.md §2.1 S3/S4).
+
+- ``write_rejects`` — the reject sink: FK-violating rows land in a
+  per-source CSV audit directory, only when non-empty (reference
+  etl_sales_analytics.py:189-206).
+- ``write_table`` — parquet table writer, the Spark-native replacement for
+  the reference's staging+MERGE machinery (the upsert itself lives in
+  operators/upsert.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def write_rejects(df: DataFrame, rejects_dir: str, name: str) -> int:
+    """Write rejected rows as headered CSV under ``rejects_dir/name``.
+
+    Returns the reject count. Writes only when non-empty, mirroring the
+    reference's ``if not bad.empty`` guard (etl_sales_analytics.py:195,204).
+    The count comes from a cheap ``count()`` action; at scale prefer
+    accumulating via the write's task metrics, but a count on an
+    already-filtered anti-join result is one extra narrow job.
+    """
+    n = df.count()
+    if n > 0:
+        out = os.path.join(rejects_dir, name)
+        df.write.mode("overwrite").option("header", True).csv(out)
+    return n
+
+
+def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Overwrite-write a managed parquet table.
+
+    ``partition_by`` is the scale lever: the reference's
+    ``IX_Orders_OrderDate`` index (schema_sales_analytics.sql:72) becomes
+    date-partitioned parquet so date-range queries prune partitions.
+    """
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
