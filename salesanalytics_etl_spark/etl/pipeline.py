@@ -1,0 +1,124 @@
+"""End-to-end ETL pipeline — the reference's dataflow (SURVEY.md §2.13),
+Spark-first.
+
+``main()`` in the reference (etl_sales_analytics.py:302-330) composes:
+CSV scan+conform+trim → coercing casts → drop-null-keys → keep-last dedupe
+→ FK validation with reject sinks (orders BEFORE details — cascade order,
+:198→:201) → stage → MERGE upsert → counts.
+
+Here the staging tables disappear (they exist only to feed SQL Server's
+MERGE); the upsert is the anti-join+union rewrite over the parquet target.
+Error stance preserved: coerce, don't crash — bad values → NULL, bad rows →
+reject files, missing files → empty frames.
+
+Scale: each per-table flow is one lazy DAG; Catalyst pushes the null-key
+filters into the scan, the dedupe is the only wide op per dim table, and
+FK validation broadcasts parent key sets (dims ≪ facts at 100 TB).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from salesanalytics_etl_spark.operators.cleaning import (
+    dedupe_keep_last,
+    drop_null_keys,
+    trim_strings,
+)
+from salesanalytics_etl_spark.operators.integrity import fk_split, fk_split_composite
+from salesanalytics_etl_spark.operators.upsert import merge_upsert
+from salesanalytics_etl_spark.schemas import (
+    DEDUPE_KEYS,
+    PRIMARY_KEYS,
+    REFERENCE_SCHEMAS,
+)
+from salesanalytics_etl_spark.sources.readers import read_csv_exact
+from salesanalytics_etl_spark.sources.writers import write_rejects
+
+
+@dataclass
+class PipelineResult:
+    tables: dict[str, DataFrame]
+    reject_counts: dict[str, int] = field(default_factory=dict)
+    counts: dict[str, int] = field(default_factory=dict)
+
+
+def clean_table(raw: DataFrame, name: str) -> DataFrame:
+    """trim → drop-null-keys → keep-last dedupe (reference :171-186)."""
+    df = trim_strings(raw)
+    df = drop_null_keys(df, PRIMARY_KEYS[name])
+    return dedupe_keep_last(df, DEDUPE_KEYS[name])
+
+
+def run_pipeline(
+    spark: SparkSession,
+    data_dir: str,
+    target_dir: str | None = None,
+    rejects_dir: str | None = None,
+    existing: dict[str, DataFrame] | None = None,
+) -> PipelineResult:
+    """Run the full ETL over ``data_dir/{customers,products,orders,
+    order_details}.csv``; upsert into ``existing`` state (or fresh).
+
+    Returns final table states + reject/row counts (the reference's
+    [COUNT]/[WARN] reporting, :295-299).
+    """
+    rejects_dir = rejects_dir or os.path.join(data_dir, "rejects")
+
+    raw = {
+        name: read_csv_exact(
+            spark,
+            os.path.join(data_dir, f"{name}.csv"),
+            schema,
+            with_seq=True,
+        )
+        for name, schema in REFERENCE_SCHEMAS.items()
+    }
+
+    customers = clean_table(raw["customers"], "customers")
+    products = clean_table(raw["products"], "products")
+    orders = clean_table(raw["orders"], "orders")
+    details = clean_table(raw["order_details"], "order_details")
+
+    reject_counts: dict[str, int] = {}
+
+    # FK: orders→customers first (cascade order, reference :198)
+    orders_ok, orders_bad = fk_split(orders, customers, "CustomerID")
+    reject_counts["orders"] = write_rejects(orders_bad, rejects_dir, "orders")
+
+    # FK: details→{post-filter orders, products}, conjunctive (reference :200-207)
+    details_ok, details_bad = fk_split_composite(
+        details,
+        [(orders_ok, "OrderID", "OrderID"), (products, "ProductID", "ProductID")],
+    )
+    reject_counts["order_details"] = write_rejects(
+        details_bad, rejects_dir, "order_details"
+    )
+
+    cleaned = {
+        "customers": customers,
+        "products": products,
+        "orders": orders_ok,
+        "order_details": details_ok,
+    }
+
+    # MERGE upsert into target state (M1); idempotent by construction.
+    final: dict[str, DataFrame] = {}
+    for name, incoming in cleaned.items():
+        target = (existing or {}).get(name)
+        final[name] = merge_upsert(target, incoming, DEDUPE_KEYS[name])
+
+    if target_dir:
+        for name, df in final.items():
+            df.write.mode("overwrite").parquet(os.path.join(target_dir, name))
+        final = {
+            name: spark.read.parquet(os.path.join(target_dir, name))
+            for name in final
+        }
+
+    counts = {name: df.count() for name, df in final.items()}
+    return PipelineResult(tables=final, reject_counts=reject_counts, counts=counts)

@@ -1,8 +1,292 @@
 """Large-scale-pipeline extension queries (BASELINE.json north star):
-dedup, similarity search, text analysis, multimodal, streaming analytics.
-
-Filled in module-by-module; each extension registers here so the driver's
-correctness gate sees it. (Real implementations live in operators/.)
+dedup, similarity search, text analysis, multimodal plumbing, event-stream
+analytics. Implementations live in operators/ and streaming/; this module
+registers them on the engine's query surface with DuckDB oracle twins where
+the semantics are SQL-expressible (the LSH/simhash/mapInPandas paths are
+not — the driver records rows-only checks for those, by design).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from salesanalytics_etl_spark.plans.registry import register
+from salesanalytics_etl_spark.sources.readers import load_driver_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = load_driver_tables(spark, sf_dir, list(names))
+    return [tables[n] for n in names]
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+@register(
+    "q20_docs_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    doc="document fingerprint: md5 of lowercased, whitespace-collapsed text",
+)
+def q20_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.text import fingerprint
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return fingerprint(documents)
+
+
+@register(
+    "q21_docs_exact_dedupe",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+    doc="exact dedupe: hash-groupBy on normalized-text fingerprint, keep min id",
+)
+def q21_docs_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import exact_dedupe
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return exact_dedupe(documents)
+
+
+@register(
+    "q22_docs_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_tokens
+    FROM documents
+    """,
+    doc="token counting: maximal [A-Za-z0-9]+ runs (BPE-ish pre-tokens)",
+)
+def q22_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.text import token_count
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return documents.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+    )
+
+
+@register(
+    "q23_docs_quality",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS INT) AS n_chars,
+           CAST(n_tokens AS INT) AS n_tokens,
+           ROUND(CASE WHEN n_chars > 0
+                      THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END, 4)
+             AS alpha_ratio,
+           ROUND(0.25 * (CASE WHEN n_chars BETWEEN 64 AND 8192 THEN 1.0 ELSE 0.0 END)
+               + 0.5 * (CASE WHEN n_chars > 0
+                             THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END)
+               + 0.25 * (CASE WHEN n_tokens > 0
+                              AND CAST(n_alpha AS DOUBLE) / n_tokens BETWEEN 2 AND 12
+                              THEN 1.0 ELSE 0.0 END), 4) AS quality
+    FROM m
+    """,
+    doc="quality scoring: length band + alpha ratio + mean-token-length band",
+)
+def q23_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.text import quality_score
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return quality_score(documents)
+
+
+@register(
+    "q24_docs_langid",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\b(el|la|los|las|de|que|y)\b')) AS s_es,
+             len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|est|une)\b')) AS s_fr,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS s_de
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN cjk > 0 THEN 'zh'
+                WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'und'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                WHEN s_fr >= s_de THEN 'fr'
+                ELSE 'de' END AS lang_pred
+    FROM s
+    """,
+    doc="language-ID heuristic: CJK charset check + stopword-regex argmax "
+    "(first-wins ties, 'und' on zero evidence)",
+)
+def q24_docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.text import lang_id
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return lang_id(documents)
+
+
+# --------------------------------------------------------------------------
+# Near-duplicate detection (LSH paths — not SQL-expressible → rows-only)
+# --------------------------------------------------------------------------
+@register(
+    "q25_minhash_neardup",
+    oracle=None,
+    doc="MinHash(32)+LSH(8 bands) candidate pairs, exact-Jaccard verified "
+    "≥0.5 — shingle/signature/banding all JVM array expressions",
+)
+def q25_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import minhash_near_dupes
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return minhash_near_dupes(documents, threshold=0.5)
+
+
+@register(
+    "q26_simhash_neardup",
+    oracle=None,
+    doc="SimHash(63-bit) near-dups, Hamming ≤ 3, 16-bit-chunk banding",
+)
+def q26_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import simhash_near_dupes
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return simhash_near_dupes(documents, max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+@register(
+    "q27_ann_cosine_topk",
+    oracle="""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 6)
+             AS cosine_sim
+    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 10
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])), 6) DESC,
+               c.vec_id) <= 5
+    """,
+    doc="exact brute-force cosine top-5 for query set vec_id<10: broadcast "
+    "queries × one corpus scan, zip_with/aggregate dot products",
+)
+def q27_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.similarity import cosine_topk_bruteforce
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    return cosine_topk_bruteforce(embeddings, queries, k=5)
+
+
+@register(
+    "q28_ann_cosine_lsh",
+    oracle=None,
+    doc="approximate top-5 via random-hyperplane LSH buckets (recall<1 → "
+    "rows-only check); the 100 TB path: equi-join on bucket, no cross product",
+)
+def q28_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.similarity import cosine_topk_lsh
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    return cosine_topk_lsh(embeddings, queries, k=5)
+
+
+# --------------------------------------------------------------------------
+# Event-stream analytics (batch twins of the streaming plans)
+# --------------------------------------------------------------------------
+@register(
+    "q29_events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+    doc="tumbling 1h window rollup (F.window == date_trunc for aligned "
+    "tumbles); same plan runs under Structured Streaming with a watermark",
+)
+def q29_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.streaming.events import hourly_event_rollup
+
+    (events,) = _t(spark, sf_dir, "events")
+    return hourly_event_rollup(events)
+
+
+@register(
+    "q30_events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM numbered GROUP BY user_id, sess_id
+    """,
+    doc="30-min-gap sessionization via F.session_window (native Catalyst "
+    "session operator); oracle is the classic gaps-and-islands SQL",
+)
+def q30_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.streaming.events import sessionize
+
+    (events,) = _t(spark, sf_dir, "events")
+    return sessionize(events)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (pandas-batched feature extraction → rows-only)
+# --------------------------------------------------------------------------
+@register(
+    "q31_media_features",
+    oracle=None,
+    doc="binary payload column + Arrow-batched mapInPandas feature "
+    "extraction (deterministic byte-histogram fake; real codecs stubbed)",
+)
+def q31_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.multimodal import (
+        attach_payload,
+        extract_features,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    media = attach_payload(documents)
+    feats = extract_features(media)
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 4).alias("f0"),
+        F.round(F.element_at("features", 2), 4).alias("f1"),
+    )

@@ -47,18 +47,18 @@ def read_csv_exact(
     (etl_sales_analytics.py:161-178).
     """
     if not os.path.exists(path):
-        return spark.createDataFrame([], schema)
-
-    raw_schema = T.StructType(
-        [T.StructField(f.name, T.StringType()) for f in schema.fields]
-    )
-    raw = (
-        spark.read.option("header", True)
-        .option("mode", "PERMISSIVE")
-        .schema(raw_schema)
-        .csv(path)
-    )
-    df = conform_columns(raw, schema)
+        df = spark.createDataFrame([], schema)
+    else:
+        raw_schema = T.StructType(
+            [T.StructField(f.name, T.StringType()) for f in schema.fields]
+        )
+        raw = (
+            spark.read.option("header", True)
+            .option("mode", "PERMISSIVE")
+            .schema(raw_schema)
+            .csv(path)
+        )
+        df = conform_columns(raw, schema)
     if with_seq:
         df = df.withColumn(SEQ_COL, F.monotonically_increasing_id())
     return df
@@ -93,8 +93,25 @@ def load_driver_tables(
     for name in tables or DRIVER_TABLES:
         p = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(p):
-            out[name] = spark.read.parquet(p)
+            if name == "events":
+                # runtime-settable; needed even when the caller's session
+                # wasn't built by session.get_spark (e.g. the driver's own)
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(p)
+            if name == "events":
+                df = nanos_to_timestamp(df, "ts")
+            out[name] = df
     return out
+
+
+def nanos_to_timestamp(df: DataFrame, col: str) -> DataFrame:
+    """Parquet TIMESTAMP(NANOS) read as long (legacy nanosAsLong): truncate
+    to micros with exact integer division (DIV, not ``/`` — double loses
+    precision above 2^53) — matches how micro-precision engines (DuckDB)
+    read the same file. No-op when the column is already a timestamp."""
+    if isinstance(df.schema[col].dataType, T.LongType):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    return df
 
 
 def register_driver_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

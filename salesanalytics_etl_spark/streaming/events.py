@@ -1,0 +1,113 @@
+"""Event-stream analytics (extension beyond the strictly-batch reference —
+SURVEY.md §2.10 notes the reference has no streaming; the driver's
+``events`` table is the extension surface).
+
+Two execution modes over the SAME logical transformations:
+- batch: DataFrame over the parquet `events` table (oracle-checkable),
+- streaming: Structured Streaming ``readStream`` + watermark; the hourly
+  rollup is exactly the batch expression applied to a streaming source,
+  which is the point of Spark's unified model.
+
+Scale: tumbling-window aggregation shuffles on (window, event_type) — a
+bounded-cardinality key → tiny state; sessionization shuffles on user_id
+with watermark-bounded state eviction in streaming mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SESSION_GAP = "30 minutes"
+
+
+def hourly_event_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window: event count + value sum per (hour, type).
+
+    Uses ``F.window`` (the streaming-compatible form); window.start for an
+    aligned 1h tumble equals date_trunc('hour', ts), which is the oracle
+    twin.
+    """
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap.
+
+    Batch mode uses ``F.session_window`` — Catalyst's native session
+    operator (merging overlapping [ts, ts+gap) intervals). Output reports
+    min/max event time + count per session, which is engine-agnostic (the
+    gaps-and-islands SQL oracle computes the identical grouping).
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "value_sum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# True streaming path
+# ---------------------------------------------------------------------------
+
+
+def read_events_stream(
+    spark: SparkSession, events_dir: str, schema=None
+) -> DataFrame:
+    """File-source stream over an events parquet directory.
+
+    ``maxFilesPerTrigger=1`` gives incremental micro-batches in tests; in
+    production this would be a Kafka source with the same downstream plan.
+    """
+    from salesanalytics_etl_spark.sources.readers import nanos_to_timestamp
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if schema is None:
+        schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return nanos_to_timestamp(stream, "ts")
+
+
+def streaming_hourly_rollup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """The batch rollup + a watermark for late-data/state eviction."""
+    return hourly_event_rollup(stream.withWatermark("ts", watermark))
+
+
+def run_stream_to_memory(
+    spark: SparkSession, events_dir: str, table_name: str = "events_rollup"
+):
+    """Drive the streaming rollup into an in-memory sink (availableNow:
+    process everything currently in the source, then stop). Returns the
+    StreamingQuery; caller awaits termination and reads the sink table."""
+    stream = read_events_stream(spark, events_dir)
+    rollup = streaming_hourly_rollup(stream)
+    return (
+        rollup.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,113 @@
+"""End-to-end ETL test (SURVEY.md §5.2): fixture CSVs exercising every
+FIXTURES.md edge case, full-pipeline assertions, double-run idempotency."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from salesanalytics_etl_spark.etl.pipeline import run_pipeline
+
+CUSTOMERS = """CustomerID,FirstName,LastName,Email,Phone,City,Country
+1,Ada,Lovelace,ada@x.io,555-1,London,UK
+2,  Alan ,Turing,alan@x.io,555-2,  Bletchley ,UK
+,Nobody,Null,n@x.io,555-3,Void,XX
+3,Grace,Hopper,grace@x.io,555-4,NYC,US
+"""
+
+# missing Stock column entirely → filled with NULLs (edge 8)
+PRODUCTS = """ProductID,ProductName,Category,Price
+7,Widget,Tools,9.99
+8,Gadget,Tools,abc
+9,Sprocket,Parts,19.50
+"""
+
+ORDERS = """OrderID,CustomerID,OrderDate,Status
+100,1,2024-01-02,Shipped
+101,2,not-a-date,Pending
+102,99,2024-01-03,Shipped
+103,3,2024-01-04,
+,1,2024-01-05,Pending
+"""
+
+# dup key (100,7) keep-last; (102,7) cascades off rejected order 102;
+# (100,77) bad product; (103,9) fine
+ORDER_DETAILS = """OrderID,ProductID,Quantity,TotalPrice
+100,7,1,421.83
+100,7,6,2530.98
+102,7,2,10.00
+100,77,1,5.00
+103,9,0,0.00
+"""
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("etl_data")
+    for name, content in [
+        ("customers", CUSTOMERS),
+        ("products", PRODUCTS),
+        ("orders", ORDERS),
+        ("order_details", ORDER_DETAILS),
+    ]:
+        (d / f"{name}.csv").write_text(content)
+    return str(d)
+
+
+def test_full_pipeline(spark, data_dir, tmp_path):
+    res = run_pipeline(spark, data_dir, rejects_dir=str(tmp_path / "rejects"))
+
+    # null-PK customer dropped silently (edge 5); trim applied (edge 7)
+    assert res.counts["customers"] == 3
+    cust = {r.CustomerID: r for r in res.tables["customers"].collect()}
+    assert cust[2].FirstName == "Alan" and cust[2].City == "Bletchley"
+
+    # missing Stock column → NULL (edge 8); bad Price "abc" → NULL (edge 6)
+    prods = {r.ProductID: r for r in res.tables["products"].collect()}
+    assert all(p.Stock is None for p in prods.values())
+    assert prods[8].Price is None
+
+    # order 102 rejected (unknown customer, edge 2); null-PK dropped;
+    # bad date coerced to NULL but row kept (edge 6); NULL status kept
+    assert res.counts["orders"] == 3
+    assert res.reject_counts["orders"] == 1
+    ords = {r.OrderID: r for r in res.tables["orders"].collect()}
+    assert set(ords) == {100, 101, 103}
+    assert ords[101].OrderDate is None
+
+    # details: dup key keep-last picked qty=6 (edge 1); cascade reject of
+    # (102,7) (edge 3); bad product reject (edge 4)
+    assert res.counts["order_details"] == 2
+    dets = {(r.OrderID, r.ProductID): r for r in res.tables["order_details"].collect()}
+    assert set(dets) == {(100, 7), (103, 9)}
+    assert dets[(100, 7)].Quantity == 6
+    assert res.reject_counts["order_details"] == 2
+
+    # reject files actually written (audit trail, reference :189-206)
+    assert os.path.exists(str(tmp_path / "rejects" / "orders"))
+
+    # edge 12: re-run on same input upserting into previous state → identical
+    res2 = run_pipeline(
+        spark,
+        data_dir,
+        rejects_dir=str(tmp_path / "rejects2"),
+        existing=res.tables,
+    )
+    assert res2.counts == res.counts
+    dets2 = {
+        (r.OrderID, r.ProductID): r.Quantity
+        for r in res2.tables["order_details"].collect()
+    }
+    assert dets2 == {(100, 7): 6, (103, 9): 0}
+
+
+def test_missing_file_yields_empty_table(spark, tmp_path):
+    # edge 8b: missing CSV → empty frame with declared schema, pipeline runs
+    res = run_pipeline(spark, str(tmp_path), rejects_dir=str(tmp_path / "rej"))
+    assert res.counts == {
+        "customers": 0,
+        "products": 0,
+        "orders": 0,
+        "order_details": 0,
+    }

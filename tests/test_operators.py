@@ -1,0 +1,125 @@
+"""Unit tests for the cleaning/integrity/upsert operators — the semantic
+details SURVEY.md §2 calls out (coercing casts→NULL, keep-last dedupe,
+cascading FK order, CONCAT-NULL, guarded division)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from salesanalytics_etl_spark.functions.scalar import concat_tsql, safe_div
+from salesanalytics_etl_spark.operators.cleaning import (
+    coerce_casts,
+    dedupe_keep_last,
+    drop_null_keys,
+    trim_strings,
+)
+from salesanalytics_etl_spark.operators.integrity import fk_split, fk_split_composite
+from salesanalytics_etl_spark.operators.upsert import merge_upsert
+
+
+def test_coercing_casts_bad_values_to_null(spark):
+    # reference etl_sales_analytics.py:161-178: "abc" in an int column and
+    # "not-a-date" in a timestamp column become NULL, rows survive
+    df = spark.createDataFrame(
+        [("1", "9.99", "2024-01-02"), ("abc", "oops", "not-a-date")],
+        ["i", "d", "ts"],
+    )
+    out = coerce_casts(
+        df,
+        {
+            "i": T.IntegerType(),
+            "d": T.DecimalType(18, 2),
+            "ts": T.TimestampType(),
+        },
+    ).collect()
+    assert out[0].i == 1 and out[0].d == Decimal("9.99")
+    assert out[0].ts is not None
+    assert out[1].i is None and out[1].d is None and out[1].ts is None
+
+
+def test_trim_strings_only_string_cols(spark):
+    df = spark.createDataFrame([(1, "  a  ", " b")], ["k", "s1", "s2"])
+    row = trim_strings(df).collect()[0]
+    assert (row.k, row.s1, row.s2) == (1, "a", "b")
+
+
+def test_drop_null_keys(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (None, "y")], schema="k int, v string"
+    )
+    assert drop_null_keys(df, ["k"]).count() == 1
+
+
+def test_dedupe_keep_last_picks_highest_order(spark):
+    # FIXTURES.md edge 1: duplicate key (265,1082) appears qty=1 then qty=6;
+    # keep-last (by _seq/file order) must pick the later row
+    df = spark.createDataFrame(
+        [(265, 1082, 1, 0), (265, 1082, 6, 1), (1, 1, 3, 2)],
+        ["OrderID", "ProductID", "Quantity", "_seq"],
+    )
+    out = {
+        (r.OrderID, r.ProductID): r.Quantity
+        for r in dedupe_keep_last(df, ["OrderID", "ProductID"]).collect()
+    }
+    assert out[(265, 1082)] == 6 and out[(1, 1)] == 3
+
+
+def test_fk_split_keep_and_reject(spark):
+    orders = spark.createDataFrame([(1, 10), (2, 99)], ["OrderID", "CustomerID"])
+    customers = spark.createDataFrame([(10,)], ["CustomerID"])
+    keep, reject = fk_split(orders, customers, "CustomerID")
+    assert [r.OrderID for r in keep.collect()] == [1]
+    assert [r.OrderID for r in reject.collect()] == [2]
+
+
+def test_fk_cascade_details_follow_postfilter_orders(spark):
+    # FIXTURES.md edge 3: a detail row whose OrderID exists in RAW orders
+    # but that order fails its own FK → the detail must be rejected too
+    customers = spark.createDataFrame([(10,)], ["CustomerID"])
+    orders = spark.createDataFrame(
+        [(1, 10), (2, 99)], ["OrderID", "CustomerID"]
+    )  # order 2 → bad customer
+    products = spark.createDataFrame([(7,)], ["ProductID"])
+    details = spark.createDataFrame(
+        [(1, 7), (2, 7), (1, 8)], ["OrderID", "ProductID"]
+    )  # (2,7): cascades; (1,8): bad product
+    orders_ok, _ = fk_split(orders, customers, "CustomerID")
+    keep, reject = fk_split_composite(
+        details,
+        [(orders_ok, "OrderID", "OrderID"), (products, "ProductID", "ProductID")],
+    )
+    assert [(r.OrderID, r.ProductID) for r in keep.collect()] == [(1, 7)]
+    assert sorted((r.OrderID, r.ProductID) for r in reject.collect()) == [
+        (1, 8),
+        (2, 7),
+    ]
+
+
+def test_merge_upsert_updates_and_inserts_and_is_idempotent(spark):
+    target = spark.createDataFrame([(1, "old"), (2, "keep")], ["k", "v"])
+    incoming = spark.createDataFrame([(1, "new"), (3, "ins")], ["k", "v"])
+    once = merge_upsert(target, incoming, ["k"])
+    state = {r.k: r.v for r in once.collect()}
+    assert state == {1: "new", 2: "keep", 3: "ins"}
+    twice = merge_upsert(once, incoming, ["k"])
+    assert {r.k: r.v for r in twice.collect()} == state  # idempotent
+
+
+def test_concat_tsql_null_as_empty(spark):
+    # T-SQL CONCAT(a,' ',b) with NULL FirstName → ' Last', not NULL
+    df = spark.createDataFrame(
+        [("Ada", "Lovelace"), (None, "Turing")], ["f", "l"]
+    )
+    out = [r.n for r in df.select(concat_tsql("f", "l").alias("n")).collect()]
+    assert out == ["Ada Lovelace", " Turing"]
+
+
+def test_safe_div_guards_zero_and_null(spark):
+    df = spark.createDataFrame(
+        [(10.0, 4.0), (10.0, 0.0), (10.0, None)], ["num", "den"]
+    )
+    out = [r.q for r in df.select(safe_div(F.col("num"), F.col("den")).alias("q")).collect()]
+    assert out == [2.5, None, None]
