@@ -213,6 +213,60 @@ def q28_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(embeddings, queries, k=5)
 
 
+@register(
+    "q32_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+    """,
+    doc="embedding-cosine near-dup pairs (exact, threshold 0.45). The "
+    "exact pairwise form is the correctness baseline; at corpus scale the "
+    "LSH bucket join (q28 infrastructure) replaces the O(n²) compare",
+)
+def q32_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.similarity import cosine
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    sim = F.round(cosine(F.col("e_a"), F.col("e_b")), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.45)
+    )
+
+
+@register(
+    "q33_token_frequencies",
+    oracle="""
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+          FROM documents)
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 100
+    """,
+    doc="corpus token frequencies (wordcount): explode regex tokens → "
+    "count → top-100; map-side combine makes the shuffle ~|vocabulary|",
+)
+def q33_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = F.explode(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    ).alias("tok")
+    return (
+        documents.select(toks)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(100)
+    )
+
+
 # --------------------------------------------------------------------------
 # Event-stream analytics (batch twins of the streaming plans)
 # --------------------------------------------------------------------------

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from salesanalytics_etl_spark.functions.scalar import (
+    concat_tsql,
     dec182,
     null_label,
     safe_div,
@@ -184,16 +185,19 @@ def q05_top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q06_top_customers",
     oracle="""
-    SELECT c.c_custkey, c.c_name,
+    SELECT c.c_custkey,
+           COALESCE(c.c_name, '') || ' ' || COALESCE(c.c_mktsegment, '')
+             AS customer_label,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
            CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    GROUP BY c.c_custkey, c.c_name
+    GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
     ORDER BY revenue DESC, c.c_custkey LIMIT 10
     """,
-    doc="3-way join + countDistinct, top-k (queries.sql:66-75)",
+    doc="3-way join + countDistinct, top-k (queries.sql:66-75); customer "
+    "label uses T-SQL CONCAT NULL-as-'' semantics (queries.sql:68, X6)",
 )
 def q06_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
@@ -201,12 +205,18 @@ def q06_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.select("l_orderkey", "l_extendedprice")
         .join(orders.select("o_orderkey", "o_custkey"),
               lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+        .join(F.broadcast(customer.select("c_custkey", "c_name", "c_mktsegment")),
               orders.o_custkey == customer.c_custkey)
-        .groupBy("c_custkey", "c_name")
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
             F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .select(
+            "c_custkey",
+            concat_tsql("c_name", "c_mktsegment").alias("customer_label"),
+            "revenue",
+            "n_orders",
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(10)
@@ -440,6 +450,108 @@ def q14_sales_daterange(spark: SparkSession, sf_dir: str) -> DataFrame:
               orders.o_orderkey == lineitem.l_orderkey)
         .groupBy(F.to_date("o_orderdate").alias("order_date"))
         .agg(F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("total_sales"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 — the SQL surface: flagship view consumed via spark.sql (EP3,
+# schema_sales_analytics.sql:101-107). Same semantics as Q3, but through
+# CREATE TEMP VIEW + SQL text → proves the engine's second query surface.
+# --------------------------------------------------------------------------
+@register(
+    "q17_view_sales_by_day_sql",
+    oracle="""
+    SELECT CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_sales
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY CAST(o.o_orderdate AS DATE)
+    """,
+    doc="vw_SalesByDay through the spark.sql surface (view inlined by "
+    "Catalyst exactly like SQL Server inlines vw definitions, EP3)",
+)
+def q17_view_sales_by_day_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.plans.views import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("SELECT order_date, total_sales FROM vw_sales_by_day")
+
+
+# --------------------------------------------------------------------------
+# Q18 — running (cumulative) daily sales: window-function extension.
+# Cumulative frames aren't in the reference (SURVEY.md §2.11) but fall out
+# of Catalyst's window operator; deterministic because order_date is unique
+# after the daily pre-aggregation.
+# --------------------------------------------------------------------------
+@register(
+    "q18_running_daily_sales",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS order_date,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS day_sales
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY CAST(o.o_orderdate AS DATE)
+    )
+    SELECT order_date, day_sales,
+           CAST(SUM(day_sales) OVER (
+             ORDER BY order_date ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2))
+             AS cumulative_sales
+    FROM daily
+    """,
+    doc="cumulative SUM window over the daily rollup (running total)",
+)
+def q18_running_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    daily = (
+        orders.select("o_orderkey", "o_orderdate")
+        .join(lineitem.select("l_orderkey", "l_extendedprice"),
+              orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("day_sales"))
+    )
+    w = Window.orderBy("order_date").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "order_date",
+        "day_sales",
+        F.sum("day_sales").over(w).cast("decimal(18,2)").alias("cumulative_sales"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 — top-3 parts per type: rank-within-group (window) extension.
+# --------------------------------------------------------------------------
+@register(
+    "q19_top_parts_per_type",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_type, p.p_partkey, p.p_name,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_type, p.p_partkey, p.p_name
+    )
+    SELECT p_type, p_partkey, p_name, revenue,
+           CAST(rk AS INT) AS rank_in_type
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY p_type ORDER BY revenue DESC, p_partkey) AS rk
+          FROM rev)
+    WHERE rk <= 3
+    """,
+    doc="top-N per group: row_number over (partition by type, order by "
+    "revenue) — the distributed form of the reference's TOP-k pattern",
+)
+def q19_top_parts_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, lineitem = _t(spark, sf_dir, "part", "lineitem")
+    rev = (
+        lineitem.select("l_partkey", "l_extendedprice")
+        .join(F.broadcast(part.select("p_partkey", "p_name", "p_type")),
+              lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_partkey", "p_name")
+        .agg(F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("revenue"))
+    )
+    w = Window.partitionBy("p_type").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        rev.withColumn("rank_in_type", F.row_number().over(w))
+        .filter(F.col("rank_in_type") <= 3)
+        .select("p_type", "p_partkey", "p_name", "revenue", "rank_in_type")
     )
 
 
