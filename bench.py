@@ -5,9 +5,11 @@ Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Timing is per-query wall clock around a full materialization
-(``collect()``), matching how the driver's oracle gate consumes results.
-JVM/session startup is excluded (it's a fixed cost, not a query cost).
+Timing is per-query wall clock around a full materialization via
+Arrow (``toPandas``) — full result transfer to the client, minus the
+Py4J row-deserialization artifact that plain ``collect()`` adds (which
+would dominate the 100k+-row queries and measure the wrong thing).
+JVM/session startup is excluded (fixed cost, not a query cost).
 """
 
 from __future__ import annotations
@@ -36,12 +38,12 @@ def main() -> None:
     queries = all_queries()
 
     # Warm the JVM + parquet footer caches with the flagship once.
-    queries["q03_sales_by_day"](spark, sf_dir).collect()
+    queries["q03_sales_by_day"](spark, sf_dir).toPandas()
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
         t0 = time.perf_counter()
-        queries[name](spark, sf_dir).collect()
+        queries[name](spark, sf_dir).toPandas()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     print(

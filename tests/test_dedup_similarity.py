@@ -1,0 +1,121 @@
+"""Semantic tests for dedup/similarity/text operators on PLANTED data —
+the rows-only queries aren't oracle-checked, so these pin their behavior:
+known near-duplicates must be found, known-distinct docs must not be."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from salesanalytics_etl_spark.operators.dedup import (
+    exact_dedupe,
+    minhash_near_dupes,
+    simhash_near_dupes,
+)
+from salesanalytics_etl_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from salesanalytics_etl_spark.operators.text import lang_id, quality_score
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+    "behind distant mountains and rivers flow quietly through green valleys "
+    "carrying stories of ancient forests toward the open sea"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE.replace("quick", "swift").replace("lazy", "sleepy")),  # near-dup
+        (4, "completely different text about database engines and query "
+            "optimization with columnar storage vectorized execution and "
+            "adaptive partitioning strategies for distributed analytics"),
+        (5, "el rapido zorro marron salta sobre el perro perezoso mientras "
+            "la luna brilla y los rios fluyen hacia el mar"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedupe_groups_identical_texts(docs):
+    groups = {r.keep_id: r.dup_count for r in exact_dedupe(docs).collect()}
+    assert groups[1] == 2  # docs 1+2 collapse, keeper is min id
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_minhash_finds_planted_near_dups(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_near_dupes(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup: jaccard 1
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.6  # near-dup found
+    assert (1, 4) not in pairs and (3, 4) not in pairs  # distinct not paired
+
+
+def test_simhash_finds_exact_dup_and_separates_distinct(docs):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_dupes(docs).collect()}
+    assert pairs.get((1, 2)) == 0  # identical token sets → distance 0
+    assert (1, 4) not in pairs
+
+
+def test_langid_on_clear_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is in the garden"),
+            (2, "el gato y el perro de la casa que esta en el jardin"),
+            (3, "der hund und die katze das haus ist nicht hier"),
+            (4, "这是一个中文文档 关于数据处理"),
+            (5, "xyzzy plugh 12345"),
+        ],
+        ["doc_id", "text"],
+    )
+    preds = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+    assert preds == {1: "en", 2: "es", 3: "de", 4: "zh", 5: "und"}
+
+
+def test_quality_score_ranges(spark):
+    df = spark.createDataFrame(
+        [(1, BASE), (2, "x"), (3, "1234 5678 !!!! ####")], ["doc_id", "text"]
+    )
+    q = {r.doc_id: r for r in quality_score(df).collect()}
+    assert q[1].quality > 0.9  # long clean english text
+    assert q[2].quality < 0.8  # too short (fails length band)
+    assert q[3].alpha_ratio == 0.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    def vec(theta):  # unit vectors on a 2D circle embedded in 4 dims
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        (0, vec(0.00)),
+        (1, vec(0.01)),  # nearly parallel to 0
+        (2, vec(1.50)),  # far from 0
+        (3, vec(3.14)),  # opposite of 0
+        (4, vec(0.02)),  # close to 0 and 1
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact_ordering(vectors):
+    out = cosine_topk_bruteforce(vectors, vectors.filter(F.col("vec_id") == 0), k=2)
+    got = [(r.neighbor_id, r.cosine_sim) for r in out.collect()]
+    assert [n for n, _ in got] == [1, 4]  # nearest first, ties impossible
+    assert got[0][1] > 0.9999
+
+
+def test_cosine_lsh_is_subset_of_exact_and_finds_parallel(vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    exact = {(r.query_id, r.neighbor_id) for r in
+             cosine_topk_bruteforce(vectors, q, k=4).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in
+              cosine_topk_lsh(vectors, q, k=4, dim=4).collect()}
+    assert approx <= exact
+    assert (0, 1) in approx  # nearly-parallel vector always shares a bucket
