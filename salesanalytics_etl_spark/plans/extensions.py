@@ -214,6 +214,21 @@ def q28_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q34_ann_cosine_ivf",
+    oracle=None,
+    doc="approximate top-5 via IVF: KMeans(16) coarse quantizer, probe-4 "
+    "clusters, exact rescoring within probed clusters — candidate "
+    "fraction n_probe/k, monotone recall dial (rows-only by design)",
+)
+def q34_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.ivf import cosine_topk_ivf
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    return cosine_topk_ivf(spark, embeddings, queries, k=5)
+
+
+@register(
     "q32_embedding_neardup",
     oracle="""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

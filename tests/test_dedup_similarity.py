@@ -111,6 +111,22 @@ def test_cosine_topk_exact_ordering(vectors):
     assert got[0][1] > 0.9999
 
 
+def test_ivf_topk_is_subset_of_exact(spark):
+    import math
+
+    from salesanalytics_etl_spark.operators.ivf import cosine_topk_ivf
+
+    # two well-separated clusters on the circle; IVF must find same-cluster
+    # neighbors for a query even probing only half the clusters
+    rows = [(i, [math.cos(t), math.sin(t), 0.0, 0.0])
+            for i, t in enumerate([0.0, 0.05, 0.1, 3.0, 3.05, 3.1])]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = vecs.filter(F.col("vec_id") == 0)
+    out = cosine_topk_ivf(spark, vecs, q, k=2, n_clusters=2, n_probe=1)
+    got = {r.neighbor_id for r in out.collect()}
+    assert got == {1, 2}  # its own cluster's members, nearest first
+
+
 def test_cosine_lsh_is_subset_of_exact_and_finds_parallel(vectors):
     q = vectors.filter(F.col("vec_id") == 0)
     exact = {(r.query_id, r.neighbor_id) for r in
