@@ -1,0 +1,55 @@
+"""Skew-mitigation helpers.
+
+AQE's skew-join splitting handles most runtime skew automatically (enabled
+in session.py), but aggregations over a heavily-skewed key still funnel one
+key's rows into one reducer. ``salted_agg_sum`` is the classic two-phase
+rewrite: spray each key across ``n_salts`` partial groups, aggregate, then
+aggregate the partials — turning one hot reducer into n.
+
+Use when a groupBy key has pathological frequency skew (e.g. grouping
+events by a handful of mega-users at 100 TB). For uniform keys the plain
+groupBy is strictly better (one shuffle, not two) — this is a targeted
+tool, not a default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with a random salt on the group key.
+
+    ``aggs`` maps output column name → phase-1 aggregate expression.
+    Phase 2 re-aggregates with the matching combiner (sum→sum, count→sum,
+    min→min, max→max — pass the phase-1 expression; the combiner is chosen
+    by name: count(...) partials are summed).
+
+    Only sum/count/min/max (re-aggregable) functions are supported — avg
+    etc. must be decomposed by the caller (sum + count).
+    """
+    salted = df.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )
+
+    def combiner(name: str, expr: Column) -> Column:
+        # count partials combine by SUM; sum/min/max combine by themselves
+        fn_name = expr._jc.toString().split("(")[0].lower()  # noqa: SLF001
+        if fn_name.startswith("count"):
+            return F.sum(name).alias(name)
+        if fn_name.startswith("min"):
+            return F.min(name).alias(name)
+        if fn_name.startswith("max"):
+            return F.max(name).alias(name)
+        return F.sum(name).alias(name)
+
+    return phase1.groupBy(*keys).agg(
+        *[combiner(name, expr) for name, expr in aggs.items()]
+    )

@@ -1,0 +1,105 @@
+"""Plan-shape regression tests: the scale properties (.explain output) are
+part of the contract, not an accident — broadcast joins stay broadcast,
+filters stay pushed into the parquet scan, scans stay column-pruned, and
+sorted limits stay TakeOrderedAndProject (no global sort)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from salesanalytics_etl_spark.plans import all_queries
+
+QS = None
+
+
+def _plan(spark, sf_dir, name) -> str:
+    global QS
+    if QS is None:
+        QS = all_queries()
+    df = QS[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_flagship_broadcasts_and_prunes(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q03_sales_by_day")
+    assert "BroadcastHashJoin" in plan, "fact⋈dim must broadcast"
+    assert "PushedFilters: [IsNotNull" in plan, "join-key filter must reach scan"
+    assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>" in plan, (
+        "lineitem scan must be pruned to the 2 referenced columns"
+    )
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_shuffles == 1, f"exactly one shuffle (the aggregation), got {n_shuffles}"
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q05_top_products")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan, "top-k must not global-sort"
+
+
+def test_anti_join_is_broadcast_anti(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q09_parts_no_sales")
+    assert "LeftAnti" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q12_order_totals")
+    assert "partial_sum" in plan, "map-side combine must run before exchange"
+
+
+def test_date_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q14_sales_daterange")
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    from salesanalytics_etl_spark.sources.readers import load_driver_tables
+    from salesanalytics_etl_spark.sources.writers import write_table
+
+    orders = load_driver_tables(spark, sf_dir, ["orders"])["orders"]
+    path = str(tmp_path / "orders_by_date")
+    write_table(
+        orders.withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM")),
+        path,
+        partition_by=["order_month"],
+    )
+    df = spark.read.parquet(path).filter(F.col("order_month") == "1995-03")
+    jdf = df._jdf.queryExecution()  # noqa: SLF001
+    plan = df._sc._jvm.PythonSQLUtils.explainString(jdf, "formatted")  # noqa: SLF001
+    assert "PartitionFilters: [isnotnull(order_month" in plan, (
+        "month filter must prune partitions, not scan them"
+    )
+    assert df.count() > 0
+
+
+def test_salted_agg_equals_plain_agg(spark, sf_dir):
+    from salesanalytics_etl_spark.operators.skew import salted_agg
+    from salesanalytics_etl_spark.sources.readers import load_driver_tables
+
+    li = load_driver_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    plain = {
+        (r.l_returnflag,): (r.n, str(r.qty))
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag,): (r.n, str(r.qty))
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            {
+                "n": F.count(F.lit(1)),
+                "qty": F.sum(F.col("l_quantity").cast("decimal(18,2)")),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
