@@ -556,6 +556,118 @@ def q19_top_parts_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q35-Q38 — OLAP extensions beyond the reference surface (SURVEY.md §2.5
+# "not present: grouping sets/rollup, percentiles, pivot — all Catalyst
+# built-ins if we choose to extend"): we choose to extend.
+# --------------------------------------------------------------------------
+@register(
+    "q35_sales_rollup",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(month FROM o.o_orderdate) AS INT) AS order_month,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_sales
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY ROLLUP (CAST(EXTRACT(year FROM o.o_orderdate) AS INT),
+                     CAST(EXTRACT(month FROM o.o_orderdate) AS INT))
+    """,
+    doc="ROLLUP(year, month): subtotal + grand-total rows (grouping sets)",
+)
+def q35_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    return (
+        orders.select("o_orderkey", "o_orderdate")
+        .join(lineitem.select("l_orderkey", "l_extendedprice"),
+              orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            "l_extendedprice",
+        )
+        .rollup("order_year", "order_month")
+        .agg(F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("total_sales"))
+    )
+
+
+@register(
+    "q36_status_pivot",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f
+    FROM orders GROUP BY 1
+    """,
+    doc="pivot: order counts per status column by year (Spark pivot() ≡ "
+    "conditional aggregation)",
+)
+def q36_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(F.year("o_orderdate").alias("order_year"), "o_orderstatus")
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["P", "O", "F"])
+        .count()
+        .select(
+            "order_year",
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+        )
+    )
+
+
+@register(
+    "q37_order_value_percentiles",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS order_total
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT ROUND(quantile_cont(order_total, 0.5), 2) AS p50,
+           ROUND(quantile_cont(order_total, 0.9), 2) AS p90,
+           ROUND(quantile_cont(order_total, 0.99), 2) AS p99
+    FROM per_order
+    """,
+    doc="exact percentiles (linear interpolation) of per-order totals — "
+    "Spark percentile() ≡ DuckDB quantile_cont",
+)
+def q37_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(dec182("l_extendedprice")).cast("double").alias("order_total")
+    )
+    return per_order.agg(
+        F.round(F.percentile("order_total", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("order_total", F.lit(0.9)), 2).alias("p90"),
+        F.round(F.percentile("order_total", F.lit(0.99)), 2).alias("p99"),
+    )
+
+
+@register(
+    "q38_repeat_customers_intersect",
+    oracle="""
+    SELECT o_custkey AS c_custkey FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1996
+    """,
+    doc="INTERSECT set op: customers ordering in both 1995 and 1996 "
+    "(SURVEY §2.7: not in reference — Catalyst built-in extension)",
+)
+def q38_repeat_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    y1995 = orders.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    y1996 = orders.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return y1995.intersect(y1996)
+
+
+# --------------------------------------------------------------------------
 # Q15 — keep-last dedupe as a query (F2, etl_sales_analytics.py:183-186):
 # lineitem has real duplicate (l_orderkey,l_partkey) keys; "last" is keyed
 # on the explicit l_linenumber ordering column (distributed-safe, unlike
