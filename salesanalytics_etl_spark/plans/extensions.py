@@ -329,6 +329,25 @@ def q30_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(events)
 
 
+@register(
+    "q39_events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS k_count
+    FROM events GROUP BY event_type
+    """,
+    doc="semi-structured extraction: JSON props column → typed field → "
+    "aggregate (get_json_object stays in codegen; no Python)",
+)
+def q39_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"), F.count(k).alias("k_count")
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (pandas-batched feature extraction → rows-only)
 # --------------------------------------------------------------------------

@@ -104,6 +104,22 @@ def load_driver_tables(
     return out
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """JSON-lines source with declared schema — the standard container for
+    text/training-data corpora. PERMISSIVE mode + explicit schema keeps the
+    reference's coerce-don't-crash stance: malformed lines yield NULL
+    columns (collected in _corrupt_record when declared) instead of
+    failing the scan; no schema inference pass over 100 TB.
+    """
+    if not os.path.exists(path):
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+    )
+
+
 def nanos_to_timestamp(df: DataFrame, col: str) -> DataFrame:
     """Parquet TIMESTAMP(NANOS) read as long (legacy nanosAsLong): truncate
     to micros with exact integer division (DIV, not ``/`` — double loses

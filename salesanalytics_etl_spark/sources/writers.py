@@ -42,3 +42,16 @@ def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def compact_parquet(spark, src: str, dst: str, n_files: int) -> int:
+    """Rewrite a parquet directory into ``n_files`` files (small-files
+    compaction — streaming sinks and fine-grained ingests accumulate
+    per-batch files that degrade scan planning at scale).
+
+    Reads from ``src``, writes to ``dst`` (never in place: Spark cannot
+    safely overwrite its own input). Returns the row count.
+    """
+    df = spark.read.parquet(src)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst)
+    return spark.read.parquet(dst).count()

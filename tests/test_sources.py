@@ -1,0 +1,54 @@
+"""Source/sink layer: JSONL ingest (coerce-don't-crash) and compaction."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from salesanalytics_etl_spark.sources.readers import load_driver_tables, read_jsonl
+from salesanalytics_etl_spark.sources.writers import compact_parquet
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def test_read_jsonl_with_malformed_line(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "hola", "lang": "es"}\n'
+    )
+    df = read_jsonl(spark, str(p), DOC_SCHEMA)
+    rows = {r.doc_id: r.text for r in df.collect()}
+    # malformed line → all-NULL row (coerce, don't crash), good rows survive
+    assert rows[1] == "hello world" and rows[2] == "hola"
+    assert df.count() == 3 and rows.get(None) is None
+
+
+def test_read_jsonl_missing_file(spark, tmp_path):
+    df = read_jsonl(spark, str(tmp_path / "absent.jsonl"), DOC_SCHEMA)
+    assert df.count() == 0 and df.schema == DOC_SCHEMA
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    events = load_driver_tables(spark, sf_dir, ["events"])["events"]
+    src = str(tmp_path / "fragmented")
+    events.repartition(32).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 32
+
+    dst = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, dst, n_files=4)
+    assert len(glob.glob(f"{dst}/part-*.parquet")) == 4
+    assert n == events.count()
+    # content identical
+    a = {tuple(r) for r in spark.read.parquet(dst).drop("props").collect()}
+    b = {tuple(r) for r in events.drop("props").collect()}
+    assert a == b
