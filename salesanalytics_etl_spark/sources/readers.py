@@ -81,16 +81,28 @@ def conform_columns(df: DataFrame, schema: T.StructType) -> DataFrame:
     return df.select(*cols)
 
 
+# DataFrame handles are immutable lazy plans — reusing one per
+# (session, dir, table) lets Spark reuse the resolved file index instead of
+# re-listing/re-footering parquet on every query of a 39-query sweep.
+# Testdata is immutable, so staleness is not a concern.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_driver_tables(
     spark: SparkSession, sf_dir: str, tables: list[str] | None = None
 ) -> dict[str, DataFrame]:
     """Lazily open the driver's parquet tables (TESTDATA.md).
 
-    Parquet scans get predicate pushdown + column pruning from Catalyst; no
-    caching here — each query plans its own pruned scan.
+    Parquet scans get predicate pushdown + column pruning from Catalyst;
+    no data caching — each query still plans its own pruned scan off the
+    shared handle.
     """
     out: dict[str, DataFrame] = {}
     for name in tables or DRIVER_TABLES:
+        key = (id(spark), sf_dir, name)
+        if key in _TABLE_CACHE:
+            out[name] = _TABLE_CACHE[key]
+            continue
         p = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(p):
             if name == "events":
@@ -100,6 +112,7 @@ def load_driver_tables(
             df = spark.read.parquet(p)
             if name == "events":
                 df = nanos_to_timestamp(df, "ts")
+            _TABLE_CACHE[key] = df
             out[name] = df
     return out
 

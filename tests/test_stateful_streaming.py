@@ -15,11 +15,21 @@ from salesanalytics_etl_spark.streaming.stateful import (
 
 
 def test_stateful_sessions_match_batch(spark, sf_dir, tmp_path):
+    import glob
+    import os
+    import time
+
     d = str(tmp_path / "events_stream")
     events = load_driver_tables(spark, sf_dir, ["events"])["events"]
     # time-ordered files → watermark advances across micro-batches and
-    # actually closes sessions mid-stream
+    # actually closes sessions mid-stream. repartitionByRange gives
+    # part-00000..part-00003 ascending time ranges; FileStreamSource takes
+    # oldest-mtime-first, so stamp ascending mtimes to pin that order
+    # (identical mtimes made the order — and the watermark — arbitrary).
     events.repartitionByRange(4, "ts").write.mode("overwrite").parquet(d)
+    now = time.time()
+    for i, f in enumerate(sorted(glob.glob(f"{d}/part-*.parquet"))):
+        os.utime(f, (now + i * 10, now + i * 10))
 
     q = run_stateful_sessions_to_memory(spark, d, "t_sessions")
     q.awaitTermination(180)
