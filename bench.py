@@ -41,22 +41,25 @@ def main() -> None:
     queries["q03_sales_by_day"](spark, sf_dir).toPandas()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(queries):
         t0 = time.perf_counter()
-        queries[name](spark, sf_dir).toPandas()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            queries[name](spark, sf_dir).toPandas()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:  # one broken query must not zero the round
+            errors[name] = f"{type(ex).__name__}: {ex}"[:200]
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -46,7 +46,7 @@ def _fit_centroids(corpus: DataFrame, vec_col: str, k: int) -> np.ndarray:
     feats = corpus.select(
         array_to_vector(_unit(vec_col)).alias("features")
     )
-    model = KMeans(k=k, seed=SEED, maxIter=20).fit(feats)
+    model = KMeans(k=k, seed=SEED, maxIter=8).fit(feats)
     return np.array([np.asarray(c) for c in model.clusterCenters()])
 
 

@@ -645,6 +645,50 @@ def q37_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q40_churned_customers_except",
+    oracle="""
+    SELECT o_custkey AS c_custkey FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1996
+    """,
+    doc="EXCEPT set op: customers ordering in 1995 but not 1996",
+)
+def q40_churned_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    y1995 = orders.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    y1996 = orders.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    # subtract == EXCEPT (set semantics): any 1996 appearance excludes the
+    # key entirely (exceptAll would only cancel per-occurrence)
+    return y1995.subtract(y1996)
+
+
+@register(
+    "q41_part_name_search",
+    oracle="""
+    SELECT p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN lower(p_name) LIKE '%green%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_green
+    FROM part GROUP BY p_type
+    """,
+    doc="string search: LIKE pattern predicate + conditional count by type",
+)
+def q41_part_name_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    is_green = F.lower(F.col("p_name")).like("%green%")
+    return part.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.when(is_green, 1).otherwise(0)).alias("n_green"),
+    )
+
+
+@register(
     "q38_repeat_customers_intersect",
     oracle="""
     SELECT o_custkey AS c_custkey FROM orders
