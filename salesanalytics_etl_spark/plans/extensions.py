@@ -285,7 +285,7 @@ def q33_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) AS hour_start, event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS value_sum
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS value_sum
     FROM events GROUP BY 1, 2
     """,
     doc="tumbling 1h window rollup (F.window == date_trunc for aligned "
@@ -316,7 +316,7 @@ def q29_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS value_sum
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS value_sum
     FROM numbered GROUP BY user_id, sess_id
     """,
     doc="30-min-gap sessionization via F.session_window (native Catalyst "

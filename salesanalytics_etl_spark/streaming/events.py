@@ -34,7 +34,12 @@ def hourly_event_rollup(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("value_sum"),
+            # decimal, not double: double partial sums combine in partition
+            # order, which is nondeterministic — decimal sums are exact and
+            # therefore order-insensitive (hash-stable vs any oracle)
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("value_sum"),
         )
         .select(
             F.col("w.start").alias("hour_start"),
@@ -59,7 +64,9 @@ def sessionize(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("value_sum"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("value_sum"),
         )
         .select("user_id", "session_start", "session_end", "n_events", "value_sum")
     )
