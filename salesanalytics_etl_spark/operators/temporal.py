@@ -1,0 +1,95 @@
+"""Temporal join operators: range join and as-of join.
+
+Spark has no native ASOF/RANGE join operator (SURVEY.md §2.4: absent from
+the reference too — these are engine extensions the brief calls for). Both
+are expressed as compositions of existing DataFrame ops, which Catalyst
+executes well BECAUSE each carries an equi key:
+
+- **range_join**: equi-join on a partition key (user, instrument, …) plus a
+  time-interval residual condition. Catalyst plans a hash join on the equi
+  key with the range as a post-join filter — the join never goes
+  cross-product as long as the equi key is present. At extreme per-key
+  cardinality, pre-bucketing both sides by coarse time buckets bounds the
+  per-key blowup (the classic interval-bucket trick).
+- **asof_join**: "latest right row at or before each left row". Expressed
+  as range_join (bounded lookback) + row_number pick of the newest match.
+  The lookback horizon doubles as the skew guard: a key's candidate set is
+  |right rows within horizon|, not |right rows ever|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str | Column,
+    upper: str | Column,
+) -> DataFrame:
+    """Join rows of ``right`` whose timestamp falls in
+    ``[left_ts - lower, left_ts + upper]`` for the same ``on`` key.
+
+    ``lower``/``upper`` are interval strings (e.g. "10 minutes") or Columns.
+    """
+    lo = F.expr(f"INTERVAL {lower}") if isinstance(lower, str) else lower
+    hi = F.expr(f"INTERVAL {upper}") if isinstance(upper, str) else upper
+    lcol, rcol = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    return left.alias("l").join(
+        right.alias("r"),
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (rcol >= lcol - lo)
+        & (rcol <= lcol + hi),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    horizon: str = "30 days",
+    right_cols: list[str] | None = None,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """For each left row, attach the newest right row with
+    ``right_ts <= left_ts`` within ``horizon`` (backward as-of join).
+
+    Left rows with no match in the horizon are kept with NULLs (left join
+    semantics, like pandas merge_asof). ``tiebreakers`` (right columns,
+    descending) total-order right rows sharing a timestamp — REQUIRED for
+    deterministic results when right_ts isn't unique per key.
+    """
+    left_keyed = left.withColumn("_lid", F.monotonically_increasing_id())
+    rcols = right_cols or [c for c in right.columns if c != on]
+    matched = (
+        range_join(
+            left_keyed, right, on, left_ts, right_ts, horizon, "0 seconds"
+        )
+        .filter(F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+        .select(
+            "l.*",
+            *[F.col(f"r.{c}").alias(f"asof_{c}") for c in rcols],
+        )
+    )
+    order = [F.desc(f"asof_{right_ts}")] + [
+        F.desc(f"asof_{c}") for c in (tiebreakers or [])
+    ]
+    w = Window.partitionBy("_lid").orderBy(*order)
+    best = (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    unmatched = left_keyed.join(best.select("_lid"), "_lid", "left_anti")
+    for c in rcols:
+        unmatched = unmatched.withColumn(
+            f"asof_{c}", F.lit(None).cast(best.schema[f"asof_{c}"].dataType)
+        )
+    return best.unionByName(unmatched).drop("_lid")

@@ -348,6 +348,72 @@ def q39_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q42_purchases_with_prior_views",
+    oracle="""
+    SELECT p.event_id, CAST(COUNT(*) AS BIGINT) AS n_prior_views
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 10 MINUTE
+     AND v.ts <= p.ts
+     AND v.event_type = 'view'
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+    doc="RANGE JOIN (operators/temporal.py): views within 10 minutes "
+    "before each purchase, same user — equi key + interval residual, so "
+    "Catalyst hash-joins on user_id and never goes cross-product",
+)
+def q42_purchases_with_prior_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.temporal import range_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    views = events.filter(F.col("event_type") == "view")
+    joined = range_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        lower="10 minutes", upper="0 seconds",
+    )
+    return joined.groupBy(F.col("l.event_id").alias("event_id")).agg(
+        F.count(F.lit(1)).alias("n_prior_views")
+    )
+
+
+@register(
+    "q43_purchase_asof_signup",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           s.event_id AS asof_event_id, s.ts AS asof_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON s.user_id = p.user_id
+     AND s.ts >= p.ts - INTERVAL 30 DAY
+     AND s.ts <= p.ts
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY p.event_id ORDER BY s.ts DESC, s.event_id DESC) = 1
+    """,
+    doc="AS-OF JOIN (operators/temporal.py): latest signup at or before "
+    "each purchase (30-day horizon, event_id tiebreak, unmatched → NULL) "
+    "— pandas merge_asof semantics, distributed",
+)
+def q43_purchase_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.temporal import asof_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="ts",
+        horizon="30 days", right_cols=["event_id", "ts"],
+        tiebreakers=["event_id"],
+    )
+    return out.select("event_id", "user_id", "asof_event_id", "asof_ts")
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (pandas-batched feature extraction → rows-only)
 # --------------------------------------------------------------------------
