@@ -103,6 +103,42 @@ def streaming_hourly_rollup(stream: DataFrame, watermark: str = "2 hours") -> Da
     return hourly_event_rollup(stream.withWatermark("ts", watermark))
 
 
+def stream_stream_prior_views(
+    events_stream: DataFrame,
+    lookback: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream join: each purchase joined to the same
+    user's views in the preceding ``lookback``.
+
+    Both sides carry a watermark and the join condition bounds view time
+    to [purchase − lookback, purchase], so Spark can size and EVICT the
+    view-side state buffer — the required shape for unbounded stream-stream
+    joins. Semantically identical to the batch range_join (q42); the
+    streaming test asserts that.
+    """
+    purchases = (
+        events_stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    views = (
+        events_stream.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    ).select("p_event_id", "p_user", "p_ts", "v_ts")
+
+
 def run_stream_to_memory(
     spark: SparkSession, events_dir: str, table_name: str = "events_rollup"
 ):

@@ -23,6 +23,48 @@ def events_stream_dir(spark, sf_dir, tmp_path_factory):
     return d
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_stream_dir):
+    from salesanalytics_etl_spark.operators.temporal import range_join
+    from salesanalytics_etl_spark.streaming.events import (
+        read_events_stream,
+        stream_stream_prior_views,
+    )
+
+    stream = read_events_stream(spark, events_stream_dir)
+    q = (
+        stream_stream_prior_views(stream)
+        .writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {tuple(r) for r in spark.table("t_ssjoin").collect()}
+
+    events = load_driver_tables(spark, sf_dir, ["events"])["events"]
+    purchases = events.filter("event_type = 'purchase'")
+    views = events.filter("event_type = 'view'")
+    from pyspark.sql import functions as F
+
+    batch = {
+        tuple(r)
+        for r in range_join(
+            purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+            lower="10 minutes", upper="0 seconds",
+        )
+        .select(
+            F.col("l.event_id").alias("p_event_id"),
+            F.col("l.user_id").alias("p_user"),
+            F.col("l.ts").alias("p_ts"),
+            F.col("r.ts").alias("v_ts"),
+        )
+        .collect()
+    }
+    # inner stream-stream join loses nothing once the stream drains
+    assert streamed == batch and len(batch) > 0
+
+
 def test_streaming_rollup_matches_batch(spark, sf_dir, events_stream_dir):
     q = run_stream_to_memory(spark, events_stream_dir, "t_rollup")
     q.awaitTermination(120)
