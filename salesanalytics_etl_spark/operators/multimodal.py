@@ -78,6 +78,83 @@ def _byte_histogram(payload: bytes, bins: int = 16) -> list[float]:
     return [c / n for c in counts]
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize step (stubbed decode): a real implementation decodes with
+    PIL/libjpeg and re-encodes; this deterministic fake downsamples the
+    byte stream to width*height bytes so the batch shape, schema and
+    size-reduction contract are real and testable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            def fake_resize(p: bytes) -> bytes:
+                b = bytes(p)
+                if len(b) <= target:
+                    return b.ljust(target, b"\0")
+                step = len(b) / target
+                return bytes(b[int(i * step)] for i in range(target))
+
+            out = pdf["payload"].map(lambda p: fake_resize(bytes(p)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "payload": out,
+                    "n_bytes": out.map(len),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 256, every_k: int = 4
+) -> DataFrame:
+    """Frame-sampling step for video-like payloads: split the byte stream
+    into fixed-size 'frames' and keep every k-th — a fan-OUT mapInPandas
+    (one input row → many frame rows), the shape a real ffmpeg-backed
+    sampler would have. Decoding is stubbed (no codecs in this env)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for _, row in pdf.iterrows():
+                b = bytes(row["payload"])
+                n_frames = max(len(b) // frame_bytes, 1)
+                for f in range(0, n_frames, every_k):
+                    ids.append(row["doc_id"])
+                    idxs.append(f)
+                    frames.append(b[f * frame_bytes : (f + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame, bins: int = 16) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 

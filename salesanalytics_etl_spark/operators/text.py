@@ -60,8 +60,12 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(t)
     n_alpha = F.regexp_count(t, F.lit("[A-Za-z]"))
     n_tokens = token_count(t)
+    n_stop = F.regexp_count(
+        F.lower(t), F.lit(r"\b(the|and|of|to|is|in|a|that|it|for)\b")
+    )
     len_ok = F.when((n_chars >= 64) & (n_chars <= 8192), 1.0).otherwise(0.0)
     alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(0.0)
     mean_tok = F.when(n_tokens > 0, n_alpha.cast("double") / n_tokens)
     tok_ok = F.when((mean_tok >= 2) & (mean_tok <= 12), 1.0).otherwise(0.0)
     score = F.round(0.25 * len_ok + 0.5 * alpha_ratio + 0.25 * tok_ok, 4)
@@ -70,6 +74,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
         score.alias("quality"),
     )
 

@@ -85,7 +85,9 @@ def q22_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              length(text) AS n_chars,
              len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
-             len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+             len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+             len(regexp_extract_all(lower(text),
+                 '\b(the|and|of|to|is|in|a|that|it|for)\b')) AS n_stop
       FROM documents
     )
     SELECT doc_id,
@@ -94,6 +96,9 @@ def q22_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CASE WHEN n_chars > 0
                       THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END, 4)
              AS alpha_ratio,
+           ROUND(CASE WHEN n_tokens > 0
+                      THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 4)
+             AS stopword_ratio,
            ROUND(0.25 * (CASE WHEN n_chars BETWEEN 64 AND 8192 THEN 1.0 ELSE 0.0 END)
                + 0.5 * (CASE WHEN n_chars > 0
                              THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END)
@@ -145,6 +150,67 @@ def q24_docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Near-duplicate detection (LSH paths — not SQL-expressible → rows-only)
 # --------------------------------------------------------------------------
+@register(
+    "q44_docs_rolling_fingerprint",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id, MIN(md5(substr(norm, CAST(i AS INT), 8))) AS rolling_fp
+    FROM n, UNNEST(range(1, GREATEST(length(norm) - 6, 2))) AS t(i)
+    GROUP BY doc_id
+    """,
+    doc="rolling-hash document fingerprint (winnowing-style): minimum "
+    "hash over all 8-char windows of the normalized text — robust to "
+    "local edits, unlike the whole-document md5 (q20)",
+)
+def q44_docs_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import shingle_rows
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    rows = shingle_rows(documents, k=8)
+    return rows.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("sh"))).alias("rolling_fp")
+    )
+
+
+@register(
+    "q45_media_resize",
+    oracle=None,
+    doc="multimodal resize step: mapInPandas payload downsample to a "
+    "fixed width*height byte budget (decode stubbed; schema/batch "
+    "contract real)",
+)
+def q45_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.multimodal import (
+        attach_payload,
+        resize_images,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    resized = resize_images(attach_payload(documents), width=32, height=32)
+    return resized.select("doc_id", "n_bytes", "width", "height")
+
+
+@register(
+    "q46_media_frame_sample",
+    oracle=None,
+    doc="multimodal frame sampling: fan-out mapInPandas splitting each "
+    "payload into fixed-size frames, keeping every 4th (ffmpeg stubbed)",
+)
+def q46_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.multimodal import (
+        attach_payload,
+        sample_frames,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    frames = sample_frames(attach_payload(documents), frame_bytes=64, every_k=4)
+    return frames.select("doc_id", "frame_idx", F.length("frame").alias("frame_bytes"))
+
+
 @register(
     "q25_minhash_neardup",
     oracle=None,
