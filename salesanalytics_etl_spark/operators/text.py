@@ -106,6 +106,44 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", pred.alias("lang_pred"))
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token chunks — the standard
+    context-window preparation for training pipelines.
+
+    Pure array expressions: tokenize once, explode chunk start offsets
+    (stride apart), slice the token array per chunk, re-join. One row in →
+    ceil(n_tokens/stride) rows out, all inside codegen+generate operators;
+    no Python.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), r"\s+")
+    base = df.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("toks") - 1, F.lit(0)),
+                F.lit(stride),
+            )
+        ).alias("start"),
+    )
+    return base.select(
+        "doc_id",
+        (F.col("start") / stride).cast("int").alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start") + 1, chunk_tokens), " "
+        ).alias("chunk_text"),
+        F.least(F.size("toks") - F.col("start"), F.lit(chunk_tokens)).alias(
+            "chunk_len"
+        ),
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))

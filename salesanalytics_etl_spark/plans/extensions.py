@@ -151,6 +151,67 @@ def q24_docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-duplicate detection (LSH paths — not SQL-expressible → rows-only)
 # --------------------------------------------------------------------------
 @register(
+    "q47_docs_chunking",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                                '\s+') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(s // 24 AS INT) AS chunk_id,
+           array_to_string(t[s+1 : s+32], ' ') AS chunk_text,
+           CAST(LEAST(len(t) - s, 32) AS INT) AS chunk_len
+    FROM toks, UNNEST(range(0, GREATEST(len(t), 1), 24)) AS u(s)
+    """,
+    doc="context-window chunking: overlapping 32-token chunks, stride 24 "
+    "— tokenize once, explode offsets, slice per chunk; one generate op, "
+    "no Python (training-data prep at corpus scale)",
+)
+def q47_docs_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.text import chunk_documents
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return chunk_documents(documents, chunk_tokens=32, stride=24)
+
+
+@register(
+    "q48_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary: the canonical scan→filter→"
+    "wide-agg shape (decimal arithmetic, date-bounded scan)",
+)
+def q48_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    disc_price = dec182("l_extendedprice") * (F.lit(1) - dec182("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec182("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(dec182("l_extendedprice"))
+            .cast("decimal(18,2)")
+            .alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
     "q44_docs_rolling_fingerprint",
     oracle=r"""
     WITH n AS (
@@ -239,6 +300,23 @@ def q26_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------
+@register(
+    "q49_dedup_clusters",
+    oracle=None,
+    doc="near-dup pairs → transitive-closure clusters via iterative "
+    "min-label propagation (driver-controlled loop, O(diameter) rounds; "
+    "iterative algorithm → rows-only by design). Output: (cluster_id, "
+    "doc_id) for every doc in a near-dup relationship",
+)
+def q49_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import minhash_near_dupes
+    from salesanalytics_etl_spark.operators.graph import dedup_clusters
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dupes(documents, threshold=0.5).persist()
+    return dedup_clusters(pairs)
+
+
 @register(
     "q27_ann_cosine_topk",
     oracle="""

@@ -62,6 +62,19 @@ def test_simhash_finds_exact_dup_and_separates_distinct(docs):
     assert (1, 4) not in pairs
 
 
+def test_connected_components_transitive_chain(spark):
+    from salesanalytics_etl_spark.operators.graph import dedup_clusters
+
+    # chain 1-2, 2-3 plus isolated pair 7-9: closure must merge the chain
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], ["doc_a", "doc_b"]
+    )
+    out = {}
+    for r in dedup_clusters(pairs).collect():
+        out.setdefault(r.cluster_id, set()).add(r.doc_id)
+    assert out == {1: {1, 2, 3}, 7: {7, 9}}
+
+
 def test_langid_on_clear_text(spark):
     df = spark.createDataFrame(
         [
