@@ -301,6 +301,65 @@ def q26_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search over embeddings
 # --------------------------------------------------------------------------
 @register(
+    "q50_curation_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INT)
+          % 100 < (CASE WHEN lang = 'en' THEN 20 ELSE 50 END)
+    """,
+    doc="deterministic curation sampling: content-hash bucket < per-class "
+    "rate (en 20%, others 50%) — reproducible across runs/engines, unlike "
+    "rand(); the standard down/up-weighting move in corpus curation",
+)
+def q50_curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 20).otherwise(50)
+    return documents.filter(bucket < rate).select("doc_id", "lang")
+
+
+@register(
+    "q51_train_val_test_split",
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+    doc="deterministic 80/10/10 train/val/test split by content-hash "
+    "bucket — stable under reprocessing and engine changes (no rand())",
+)
+def q51_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        documents.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
     "q49_dedup_clusters",
     oracle=None,
     doc="near-dup pairs → transitive-closure clusters via iterative "

@@ -16,10 +16,25 @@ from salesanalytics_etl_spark.streaming.events import (
 @pytest.fixture(scope="module")
 def events_stream_dir(spark, sf_dir, tmp_path_factory):
     """File-stream sources need a DIRECTORY; re-write the events table as 4
-    parquet files so maxFilesPerTrigger=1 actually yields 4 micro-batches."""
+    parquet files so maxFilesPerTrigger=1 actually yields 4 micro-batches.
+
+    Files are RANGE-partitioned by ts with ascending mtimes so the source
+    processes them in event-time order: with randomly-split files, the
+    watermark jumps to (global max − delay) after the first batch and the
+    stateful operators legitimately DROP later files' rows as late data —
+    an arrival-order property, not an engine bug, but it makes equality-
+    with-batch assertions flaky.
+    """
+    import glob
+    import os
+    import time
+
     d = str(tmp_path_factory.mktemp("events_stream"))
     events = load_driver_tables(spark, sf_dir, ["events"])["events"]
-    events.repartition(4).write.mode("overwrite").parquet(d)
+    events.repartitionByRange(4, "ts").write.mode("overwrite").parquet(d)
+    now = time.time()
+    for i, f in enumerate(sorted(glob.glob(f"{d}/part-*.parquet"))):
+        os.utime(f, (now + i * 10, now + i * 10))
     return d
 
 
