@@ -50,6 +50,23 @@ def safe_div(num: Column, den: Column, scale: int = 2) -> Column:
     return F.when(den > 0, F.round(num / den, scale))
 
 
+def money_out(col: Column | str, scale: int = 2) -> Column:
+    """Terminal money cast for the gate surface: ROUND(CAST(x AS DOUBLE), s).
+
+    Accumulate in DECIMAL (exact, order-insensitive — see :func:`dec182`),
+    but EMIT double: the driver's hasher formats a Spark DECIMAL as
+    ``1234.40`` while the DuckDB side renders the same value ``1234.4``,
+    so any decimal column in a multi-row result hash-mismatches even when
+    value-equal (round-1 verdict: 16/16 red rows were exactly this).
+    Both engines cast the identical exact decimal to the same nearest
+    double, and ROUND(x, s) of a value already on the s-decimal grid can't
+    land near a tie — so the doubles match bit-for-bit. Apply to every
+    money column in a final select, never to intermediate aggregates.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c.cast("double"), scale)
+
+
 def dec182(col: Column | str) -> Column:
     """Cast to DECIMAL(18,2) — the reference's money type (SURVEY.md §1.3).
 

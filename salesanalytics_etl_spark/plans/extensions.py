@@ -198,10 +198,10 @@ def q47_docs_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q48_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_disc_price,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -211,7 +211,7 @@ def q47_docs_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wide-agg shape (decimal arithmetic, date-bounded scan)",
 )
 def q48_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from salesanalytics_etl_spark.functions.scalar import dec182
+    from salesanalytics_etl_spark.functions.scalar import dec182, money_out
 
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     disc_price = dec182("l_extendedprice") * (F.lit(1) - dec182("l_discount"))
@@ -219,11 +219,9 @@ def q48_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec182("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(dec182("l_extendedprice"))
-            .cast("decimal(18,2)")
-            .alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
+            money_out(F.sum(dec182("l_quantity"))).alias("sum_qty"),
+            money_out(F.sum(dec182("l_extendedprice"))).alias("sum_base_price"),
+            money_out(F.sum(disc_price), 4).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -500,7 +498,7 @@ def q33_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) AS hour_start, event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS value_sum
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum
     FROM events GROUP BY 1, 2
     """,
     doc="tumbling 1h window rollup (F.window == date_trunc for aligned "
@@ -519,7 +517,7 @@ def q29_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
+                       >= INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
@@ -531,7 +529,7 @@ def q29_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS value_sum
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum
     FROM numbered GROUP BY user_id, sess_id
     """,
     doc="30-min-gap sessionization via F.session_window (native Catalyst "

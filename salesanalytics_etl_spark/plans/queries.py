@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from salesanalytics_etl_spark.functions.scalar import (
     concat_tsql,
     dec182,
+    money_out,
     null_label,
     safe_div,
     year_month,
@@ -102,7 +103,7 @@ def q02_orders_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_sales_by_day",
     oracle="""
     SELECT CAST(o.o_orderdate AS DATE) AS order_date,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_sales
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_sales
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY CAST(o.o_orderdate AS DATE)
     """,
@@ -117,7 +118,7 @@ def q03_sales_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.o_orderkey == lineitem.l_orderkey,
         )
         .groupBy(F.to_date("o_orderdate").alias("order_date"))
-        .agg(F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("total_sales"))
+        .agg(money_out(F.sum(dec182("l_extendedprice"))).alias("total_sales"))
     )
 
 
@@ -128,7 +129,7 @@ def q03_sales_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q04_sales_by_month",
     oracle="""
     SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_sales
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_sales
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY strftime(o.o_orderdate, '%Y-%m')
     """,
@@ -143,7 +144,7 @@ def q04_sales_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.o_orderkey == lineitem.l_orderkey,
         )
         .groupBy(year_month("o_orderdate").alias("order_month"))
-        .agg(F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("total_sales"))
+        .agg(money_out(F.sum(dec182("l_extendedprice"))).alias("total_sales"))
     )
 
 
@@ -154,8 +155,8 @@ def q04_sales_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q05_top_products",
     oracle="""
     SELECT p.p_partkey, p.p_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_qty
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+           ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_qty
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_partkey, p.p_name
     ORDER BY revenue DESC, p.p_partkey LIMIT 10
@@ -170,8 +171,8 @@ def q05_top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
               lineitem.l_partkey == part.p_partkey)
         .groupBy("p_partkey", "p_name")
         .agg(
-            F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("revenue"),
-            F.sum(dec182("l_quantity")).cast("decimal(18,2)").alias("total_qty"),
+            money_out(F.sum(dec182("l_extendedprice"))).alias("revenue"),
+            money_out(F.sum(dec182("l_quantity"))).alias("total_qty"),
         )
         .orderBy(F.desc("revenue"), F.asc("p_partkey"))
         .limit(10)
@@ -188,7 +189,7 @@ def q05_top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_custkey,
            COALESCE(c.c_name, '') || ' ' || COALESCE(c.c_mktsegment, '')
              AS customer_label,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
            CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
@@ -209,7 +210,7 @@ def q06_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
               orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
-            F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("revenue"),
+            money_out(F.sum(dec182("l_extendedprice"))).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
         .select(
@@ -255,7 +256,7 @@ def q07_status_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_orderkey
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(order_total) AS DECIMAL(18,2)) AS total_sales,
+           ROUND(CAST(SUM(order_total) AS DOUBLE), 2) AS total_sales,
            ROUND(CAST(SUM(order_total) AS DOUBLE) / COUNT(*), 2) AS avg_order_value
     FROM per_order
     """,
@@ -268,7 +269,7 @@ def q08_avg_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_order.agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum("order_total").cast("decimal(18,2)").alias("total_sales"),
+        money_out(F.sum("order_total")).alias("total_sales"),
         F.round(
             F.sum("order_total").cast("double") / F.count(F.lit(1)), 2
         ).alias("avg_order_value"),
@@ -331,7 +332,7 @@ def q10_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_last_order_details",
     oracle="""
     SELECT l.l_orderkey, l.l_linenumber, p.p_name, l.l_quantity,
-           CAST(l.l_extendedprice AS DECIMAL(18,2)) AS line_total,
+           ROUND(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS line_total,
            CASE WHEN l.l_quantity > 0
                 THEN ROUND(l.l_extendedprice / l.l_quantity, 2) END AS est_unit_price
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -354,7 +355,7 @@ def q11_last_order_details(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
             "p_name",
             "l_quantity",
-            dec182("l_extendedprice").alias("line_total"),
+            money_out(dec182("l_extendedprice")).alias("line_total"),
             safe_div(F.col("l_extendedprice"), F.col("l_quantity")).alias(
                 "est_unit_price"
             ),
@@ -370,21 +371,22 @@ def q11_last_order_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_order_totals",
     oracle="""
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS order_total,
-           CAST(SUM(COALESCE(CAST(l_quantity AS DECIMAL(18,2)), 0)) AS DECIMAL(18,2)) AS total_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS order_total,
+           ROUND(CAST(SUM(COALESCE(CAST(l_quantity AS DECIMAL(18,2)), 0)) AS DOUBLE), 2) AS total_qty,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem GROUP BY l_orderkey
     """,
-    doc="vw_OrderTotals: SUM/SUM(COALESCE)/COUNT per order (schema_sales_analytics.sql:113-120)",
+    doc="vw_OrderTotals consumed through the spark.sql view surface "
+    "(schema_sales_analytics.sql:113-120) — like q17 for vw_SalesByDay, "
+    "this proves the second reference view end-to-end; Catalyst inlines "
+    "the view plan into the consuming query",
 )
 def q12_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (lineitem,) = _t(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_orderkey").agg(
-        F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("order_total"),
-        F.sum(F.coalesce(dec182("l_quantity"), F.lit(0)))
-        .cast("decimal(18,2)")
-        .alias("total_qty"),
-        F.count(F.lit(1)).alias("n_lines"),
+    from salesanalytics_etl_spark.plans.views import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT l_orderkey, order_total, total_qty, n_lines FROM vw_order_totals"
     )
 
 
@@ -396,8 +398,8 @@ def q12_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q13_order_reconciliation",
     oracle="""
     SELECT o.o_orderkey, o.o_orderdate,
-           CAST(o.o_totalprice AS DECIMAL(18,2)) AS header_total,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS lines_total
+           ROUND(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS header_total,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS lines_total
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
     """,
@@ -411,12 +413,12 @@ def q13_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
               orders.o_orderkey == lineitem.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
         .agg(
-            F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("lines_total")
+            money_out(F.sum(dec182("l_extendedprice"))).alias("lines_total")
         )
         .select(
             "o_orderkey",
             "o_orderdate",
-            dec182("o_totalprice").alias("header_total"),
+            money_out(dec182("o_totalprice")).alias("header_total"),
             "lines_total",
         )
     )
@@ -431,7 +433,7 @@ def q13_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_sales_daterange",
     oracle=f"""
     SELECT CAST(o.o_orderdate AS DATE) AS order_date,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_sales
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_sales
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderdate >= TIMESTAMP '{DATE_FROM} 00:00:00'
       AND o.o_orderdate < (TIMESTAMP '{DATE_TO} 00:00:00' + INTERVAL 1 DAY)
@@ -449,7 +451,7 @@ def q14_sales_daterange(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lineitem.select("l_orderkey", "l_extendedprice"),
               orders.o_orderkey == lineitem.l_orderkey)
         .groupBy(F.to_date("o_orderdate").alias("order_date"))
-        .agg(F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("total_sales"))
+        .agg(money_out(F.sum(dec182("l_extendedprice"))).alias("total_sales"))
     )
 
 
@@ -462,7 +464,7 @@ def q14_sales_daterange(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_view_sales_by_day_sql",
     oracle="""
     SELECT CAST(o.o_orderdate AS DATE) AS order_date,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_sales
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_sales
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY CAST(o.o_orderdate AS DATE)
     """,
@@ -487,13 +489,14 @@ def q17_view_sales_by_day_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(o.o_orderdate AS DATE) AS order_date,
-             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS day_sales
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS day_sales_dec
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       GROUP BY CAST(o.o_orderdate AS DATE)
     )
-    SELECT order_date, day_sales,
-           CAST(SUM(day_sales) OVER (
-             ORDER BY order_date ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2))
+    SELECT order_date,
+           ROUND(CAST(day_sales_dec AS DOUBLE), 2) AS day_sales,
+           ROUND(CAST(SUM(day_sales_dec) OVER (
+             ORDER BY order_date ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2)
              AS cumulative_sales
     FROM daily
     """,
@@ -506,13 +509,15 @@ def q18_running_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lineitem.select("l_orderkey", "l_extendedprice"),
               orders.o_orderkey == lineitem.l_orderkey)
         .groupBy(F.to_date("o_orderdate").alias("order_date"))
-        .agg(F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("day_sales"))
+        .agg(F.sum(dec182("l_extendedprice")).alias("day_sales_dec"))
     )
+    # the running total accumulates in DECIMAL (exact — safe to window-sum
+    # in any engine); only the emitted columns are double
     w = Window.orderBy("order_date").rowsBetween(Window.unboundedPreceding, 0)
     return daily.select(
         "order_date",
-        "day_sales",
-        F.sum("day_sales").over(w).cast("decimal(18,2)").alias("cumulative_sales"),
+        money_out(F.col("day_sales_dec")).alias("day_sales"),
+        money_out(F.sum("day_sales_dec").over(w)).alias("cumulative_sales"),
     )
 
 
@@ -524,7 +529,7 @@ def q18_running_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT p.p_type, p.p_partkey, p.p_name,
-             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+             ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       GROUP BY p.p_type, p.p_partkey, p.p_name
     )
@@ -545,7 +550,7 @@ def q19_top_parts_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part.select("p_partkey", "p_name", "p_type")),
               lineitem.l_partkey == part.p_partkey)
         .groupBy("p_type", "p_partkey", "p_name")
-        .agg(F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("revenue"))
+        .agg(money_out(F.sum(dec182("l_extendedprice"))).alias("revenue"))
     )
     w = Window.partitionBy("p_type").orderBy(F.desc("revenue"), F.asc("p_partkey"))
     return (
@@ -565,7 +570,7 @@ def q19_top_parts_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
            CAST(EXTRACT(month FROM o.o_orderdate) AS INT) AS order_month,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_sales
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_sales
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY ROLLUP (CAST(EXTRACT(year FROM o.o_orderdate) AS INT),
                      CAST(EXTRACT(month FROM o.o_orderdate) AS INT))
@@ -584,7 +589,7 @@ def q35_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice",
         )
         .rollup("order_year", "order_month")
-        .agg(F.sum(dec182("l_extendedprice")).cast("decimal(18,2)").alias("total_sales"))
+        .agg(money_out(F.sum(dec182("l_extendedprice"))).alias("total_sales"))
     )
 
 
@@ -721,7 +726,7 @@ def q38_repeat_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFram
     "q15_dedupe_keep_last",
     oracle="""
     SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
-           CAST(l_extendedprice AS DECIMAL(18,2)) AS line_total
+           ROUND(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS line_total
     FROM (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY l_orderkey, l_partkey
@@ -747,7 +752,7 @@ def q15_dedupe_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "l_linenumber",
         "l_quantity",
-        dec182("l_extendedprice").alias("line_total"),
+        money_out(dec182("l_extendedprice")).alias("line_total"),
     )
 
 

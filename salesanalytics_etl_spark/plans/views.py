@@ -11,10 +11,13 @@ from pyspark.sql import SparkSession
 
 from salesanalytics_etl_spark.sources.readers import register_driver_views
 
+# Money columns accumulate in DECIMAL (exact, order-insensitive) but the
+# view SURFACE emits ROUND(CAST(.. AS DOUBLE), 2) — the gate-safe terminal
+# type (see functions.scalar.money_out).
 VW_SALES_BY_DAY = """
 CREATE OR REPLACE TEMP VIEW vw_sales_by_day AS
 SELECT CAST(o.o_orderdate AS DATE) AS order_date,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
          AS total_sales
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY CAST(o.o_orderdate AS DATE)
@@ -23,9 +26,9 @@ GROUP BY CAST(o.o_orderdate AS DATE)
 VW_ORDER_TOTALS = """
 CREATE OR REPLACE TEMP VIEW vw_order_totals AS
 SELECT l_orderkey,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
          AS order_total,
-       CAST(SUM(COALESCE(CAST(l_quantity AS DECIMAL(18,2)), 0)) AS DECIMAL(18,2))
+       ROUND(CAST(SUM(COALESCE(CAST(l_quantity AS DECIMAL(18,2)), 0)) AS DOUBLE), 2)
          AS total_qty,
        COUNT(*) AS n_lines
 FROM lineitem GROUP BY l_orderkey

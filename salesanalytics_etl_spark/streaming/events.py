@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from salesanalytics_etl_spark.functions.scalar import money_out
+
 SESSION_GAP = "30 minutes"
 
 
@@ -34,12 +36,10 @@ def hourly_event_rollup(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            # decimal, not double: double partial sums combine in partition
-            # order, which is nondeterministic — decimal sums are exact and
-            # therefore order-insensitive (hash-stable vs any oracle)
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("value_sum"),
+            # accumulate in decimal (exact, order-insensitive across any
+            # partitioning) but EMIT rounded double — decimal output columns
+            # hash-mismatch the driver gate (functions.scalar.money_out)
+            money_out(F.sum(F.col("value").cast("decimal(18,2)"))).alias("value_sum"),
         )
         .select(
             F.col("w.start").alias("hour_start"),
@@ -64,9 +64,7 @@ def sessionize(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("value_sum"),
+            money_out(F.sum(F.col("value").cast("decimal(18,2)"))).alias("value_sum"),
         )
         .select("user_id", "session_start", "session_end", "n_events", "value_sum")
     )

@@ -83,7 +83,11 @@ def _sessionize_fn(gap_min: int):
             # end < first ts so the first event "extends" the empty session
 
         for t_us, v in zip(ts_us, vals):
-            if n > 0 and t_us - end_us > gap_us:
+            # >= gap starts a NEW session — matches F.session_window's
+            # half-open [ts, ts+gap) merge rule and the q30 oracle's
+            # `diff >= INTERVAL gap` convention (kept aligned across all
+            # three sessionization paths)
+            if n > 0 and t_us - end_us >= gap_us:
                 yield emit(start_us, end_us, n, vsum)
                 start_us, end_us, n, vsum = t_us, t_us, 1, float(v)
             else:

@@ -9,7 +9,7 @@ from __future__ import annotations
 import pytest
 
 from salesanalytics_etl_spark.plans import all_oracles, all_queries
-from tests.oracle_diff import compare
+from tests.strict_gate import strict_compare
 
 QUERIES = all_queries()
 ORACLES = all_oracles()
@@ -18,7 +18,21 @@ ORACLES = all_oracles()
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
-    compare(df, ORACLES[name], sf_dir)
+    problems = strict_compare(df, ORACLES[name], sf_dir)
+    assert not problems, problems
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_decimal_on_gate_surface(spark, sf_dir, name):
+    """The driver's hasher renders Spark DECIMALs '1234.40' vs the double
+    path's '1234.4' (round-1 verdict: all 16 red rows were exactly this),
+    so the gate surface must never emit DecimalType — accumulate decimal,
+    emit money_out (rounded double)."""
+    from pyspark.sql.types import DecimalType
+
+    schema = QUERIES[name](spark, sf_dir).schema
+    bad = [f.name for f in schema.fields if isinstance(f.dataType, DecimalType)]
+    assert not bad, f"{name} emits decimal columns: {bad}"
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
