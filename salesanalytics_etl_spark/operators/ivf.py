@@ -1,13 +1,16 @@
-"""IVF (inverted-file) approximate nearest neighbor: KMeans coarse
-quantizer + probe-N clusters + exact rescoring.
+"""IVF (inverted-file) approximate nearest neighbor: a coarse quantizer
+(spherical k-means) + probe-N clusters + exact rescoring.
 
 The second ANN scale path beside hyperplane LSH (similarity.py):
 
-1. Fit KMeans (fixed seed) on (a sample of) the corpus — driver holds only
-   the k×dim centroid matrix.
-2. Assign every corpus vector to its nearest centroid — one model.transform
-   pass, partition-parallel; the cluster id becomes the join key
-   ("inverted list").
+1. Fit the quantizer on a BOUNDED deterministic sample of the corpus (the
+   standard IVF practice — a quantizer does not need every vector), cached
+   per (applicationId, cache_key) so repeated calls never re-fit. The
+   driver holds only sample_cap×dim floats during the fit and the k×dim
+   centroid matrix after.
+2. Assign every corpus vector to its nearest centroid — one vectorized
+   Arrow-batched matmul pass, partition-parallel; the cluster id becomes
+   the join key ("inverted list").
 3. Each query probes its ``n_probe`` nearest centroids and is compared
    ONLY against those clusters' members — an equi-join on cluster id, with
    candidate fraction ≈ n_probe/k instead of 1.
@@ -17,8 +20,6 @@ probing more clusters monotonically approaches exact search.
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -32,48 +33,78 @@ from salesanalytics_etl_spark.operators.similarity import cosine
 N_CLUSTERS = 16
 N_PROBE = 4
 SEED = 42
+SAMPLE_CAP = 4096
+
+# (applicationId, cache_key) -> centroid matrix. Keyed on applicationId —
+# not id(spark), which CPython can reuse after a session is GC'd.
+_CENTROID_CACHE: dict[tuple[str, str], np.ndarray] = {}
 
 
-def _fit_centroids(corpus: DataFrame, vec_col: str, k: int) -> np.ndarray:
-    """KMeans on unit-normalized vectors (cosine ≈ euclidean on the sphere).
+def _spherical_kmeans(sample: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
+    """Deterministic Lloyd's on the unit sphere (assign by max dot,
+    recenter = normalized mean). Runs on the driver over the bounded
+    sample in milliseconds — a distributed fit at quantizer scale is all
+    scheduling overhead."""
+    norms = np.sqrt((sample * sample).sum(axis=1, keepdims=True))
+    pts = sample / np.where(norms == 0, 1.0, norms)
+    rng = np.random.RandomState(SEED)
+    centroids = pts[rng.choice(len(pts), size=min(k, len(pts)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(pts @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = pts[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.sqrt((m * m).sum())
+                if n > 0:
+                    centroids[c] = m / n
+    return centroids
 
-    Uses pyspark.ml's distributed KMeans — the corpus never leaves the
-    executors; only the k×dim centroid matrix comes back to the driver.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    feats = corpus.select(
-        array_to_vector(_unit(vec_col)).alias("features")
+def _fit_centroids(
+    spark,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    cache_key: str | None,
+) -> np.ndarray:
+    if cache_key is not None:
+        key = (spark.sparkContext.applicationId, f"{cache_key}:{vec_col}:{k}")
+        hit = _CENTROID_CACHE.get(key)
+        if hit is not None:
+            return hit
+    n = corpus.count()
+    step = max(1, n // SAMPLE_CAP)
+    # id-stride sample: deterministic across partitionings/sessions,
+    # unlike df.sample whose draw depends on partition layout
+    pdf = (
+        corpus.filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
+        .select(vec_col)
+        .limit(SAMPLE_CAP)
+        .toPandas()
     )
-    model = KMeans(k=k, seed=SEED, maxIter=8).fit(feats)
-    return np.array([np.asarray(c) for c in model.clusterCenters()])
-
-
-def _unit(vec_col: str):
-    """Unit-normalize an array<float> column (JVM expression)."""
-    v = F.col(vec_col)
-    sq = F.aggregate(
-        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda a, b: a + b,
-    )
-    return F.transform(v, lambda x: x.cast("double") / F.sqrt(sq))
+    sample = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    centroids = _spherical_kmeans(sample, k)
+    if cache_key is not None:
+        _CENTROID_CACHE[key] = centroids
+    return centroids
 
 
 def _assign_udf(centroids: np.ndarray, n_nearest: int):
-    """pandas_udf: array<float> → n_nearest nearest centroid ids (by cosine
-    on normalized inputs = argmax dot)."""
+    """pandas_udf: array<float> → n_nearest nearest centroid ids, one
+    matmul per Arrow batch (cosine on normalized inputs = argmax dot)."""
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def assign(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
-            a = np.asarray(v, dtype=np.float64)
-            a = a / np.sqrt((a * a).sum())
-            sims = centroids @ a
-            out.append(np.argsort(-sims)[:n_nearest].astype(np.int32).tolist())
-        return pd.Series(out)
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        mat = mat / np.where(norms == 0, 1.0, norms)
+        sims = mat @ centroids.T  # (n, k)
+        nearest = np.argsort(-sims, axis=1)[:, :n_nearest].astype(np.int32)
+        return pd.Series(list(nearest))
 
     return assign
 
@@ -87,10 +118,14 @@ def cosine_topk_ivf(
     n_probe: int = N_PROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF probing. Output matches
-    cosine_topk_bruteforce's schema; ties broken by neighbor_id."""
-    centroids = _fit_centroids(corpus, vec_col, n_clusters)
+    cosine_topk_bruteforce's schema; ties broken by neighbor_id.
+
+    ``cache_key`` (e.g. the source directory) memoizes the fitted
+    quantizer for the life of the Spark application."""
+    centroids = _fit_centroids(spark, corpus, id_col, vec_col, n_clusters, cache_key)
 
     c_assign = _assign_udf(centroids, 1)
     q_assign = _assign_udf(centroids, n_probe)

@@ -83,27 +83,44 @@ def _seq_sqnorms(A: np.ndarray) -> np.ndarray:
     return acc
 
 
+def _round_half_up(x: np.ndarray, decimals: int = 6) -> np.ndarray:
+    """ROUND half-away-from-zero — matches Spark F.round and DuckDB ROUND.
+    (np.round is banker's half-to-even: a sim landing exactly on a .5 at
+    the 6th decimal would be kept by one engine and dropped by the other.)
+    """
+    scale = 10.0 ** decimals
+    return np.copysign(np.floor(np.abs(x) * scale + 0.5) / scale, x)
+
+
 def embedding_neardup_exact(
     spark,
     corpus: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int = 8192,
+    chunk_entries: int = 2_000_000,
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold, exact.
 
-    Each partition of the corpus is compared against a broadcast copy of
-    the whole (small) corpus with a float64 numpy kernel; only surviving
-    pairs are emitted, so the output is ~|near-dup tail|, never O(n²).
-    At 100 TB the broadcast side becomes B column-blocks processed in B
-    passes (or a block-matrix join); the per-block kernel is identical.
-    """
-    pdf = corpus.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    norms = np.sqrt(_seq_sqnorms(mat))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    Block-matrix plan with bounded driver memory: the corpus is split into
+    ``ceil(n/block_rows)`` id-hash blocks; each pass collects ONE block
+    (≈block_rows vectors — never the whole corpus), broadcasts it, and
+    scans the full corpus with an Arrow-batched numpy kernel that compares
+    each corpus chunk against the block in one outer-accumulation — no
+    per-row Python loop. A pair {x, y} (y the larger id) is emitted exactly
+    once: in the pass whose block contains y, from the corpus batch holding
+    x, under the strict ``block_id > corpus_id`` mask. Driver memory is
+    O(block_rows·dim) per pass; task memory is O(chunk·|block|) with chunk
+    sized so the sim matrix stays ~16 MB.
 
+    Accumulation is strictly left-to-right over the dimension (vectorized
+    across PAIRS, never np.dot/BLAS which reorder), and rounding is
+    half-away-from-zero — both identical to DuckDB's
+    list_cosine_similarity + ROUND, so results are bit-stable across
+    engines and partitionings.
+    """
+    src = corpus.select(id_col, vec_col)
     out_schema = T.StructType(
         [
             T.StructField("vec_a", T.LongType()),
@@ -112,30 +129,65 @@ def embedding_neardup_exact(
         ]
     )
 
-    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat, all_norms = bc.value
-        for b in batches:
-            for _, row in b.iterrows():
-                a_id = row[id_col]
-                a_vec = np.asarray(row[vec_col], dtype=np.float64)
-                mask = all_ids > a_id  # upper triangle only
-                if not mask.any():
-                    continue
-                B, Bn, Bi = all_mat[mask], all_norms[mask], all_ids[mask]
-                A = np.broadcast_to(a_vec, B.shape)
-                a_norm = float(np.sqrt(_seq_sqnorms(a_vec[None, :]))[0])
-                sims = np.round(_seq_dots(A, B) / (a_norm * Bn), 6)
-                keep = sims >= threshold
-                if keep.any():
-                    yield pd.DataFrame(
-                        {
-                            "vec_a": np.full(int(keep.sum()), a_id, dtype=np.int64),
-                            "vec_b": Bi[keep].astype(np.int64),
-                            "cosine_sim": sims[keep],
-                        }
-                    )
+    n = src.count()
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    n_blocks = max(1, -(-n // block_rows))
 
-    return corpus.select(id_col, vec_col).mapInPandas(block, schema=out_schema)
+    def make_kernel(bc):
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            blk_ids, blk_mat, blk_norms = bc.value
+            m = len(blk_ids)
+            chunk = max(1, chunk_entries // m)
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                a_ids = b[id_col].to_numpy(dtype=np.int64)
+                A = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in b[vec_col]]
+                )
+                a_norms = np.sqrt(_seq_sqnorms(A))
+                for s in range(0, len(a_ids), chunk):
+                    Ac = A[s : s + chunk]
+                    ai = a_ids[s : s + chunk]
+                    an = a_norms[s : s + chunk]
+                    # (nc, m) sims: accumulate over the dimension in strict
+                    # left-to-right order — per-pair math identical to the
+                    # scalar sequential loop
+                    acc = np.zeros((len(ai), m), dtype=np.float64)
+                    for d in range(A.shape[1]):
+                        acc += Ac[:, d, None] * blk_mat[None, :, d]
+                    sims = _round_half_up(acc / (an[:, None] * blk_norms[None, :]))
+                    keep = (sims >= threshold) & (blk_ids[None, :] > ai[:, None])
+                    ii, jj = np.nonzero(keep)
+                    if len(ii):
+                        yield pd.DataFrame(
+                            {
+                                "vec_a": ai[ii],
+                                "vec_b": blk_ids[jj],
+                                "cosine_sim": sims[ii, jj],
+                            }
+                        )
+
+        return kernel
+
+    out = None
+    for blk_no in range(n_blocks):
+        blk = (
+            src.filter(F.pmod(F.col(id_col), F.lit(n_blocks)) == blk_no)
+            .toPandas()  # bounded: ~block_rows rows, never the corpus
+        )
+        if len(blk) == 0:
+            continue
+        blk_ids = blk[id_col].to_numpy(dtype=np.int64)
+        blk_mat = np.array([np.asarray(v, dtype=np.float64) for v in blk[vec_col]])
+        blk_norms = np.sqrt(_seq_sqnorms(blk_mat))
+        bc = spark.sparkContext.broadcast((blk_ids, blk_mat, blk_norms))
+        part = src.mapInPandas(make_kernel(bc), schema=out_schema)
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        return spark.createDataFrame([], out_schema)
+    return out
 
 
 def cosine_topk_bruteforce(

@@ -438,7 +438,7 @@ def q34_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     queries = embeddings.filter(F.col("vec_id") < 10)
-    return cosine_topk_ivf(spark, embeddings, queries, k=5)
+    return cosine_topk_ivf(spark, embeddings, queries, k=5, cache_key=sf_dir)
 
 
 @register(
