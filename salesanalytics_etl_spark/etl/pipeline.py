@@ -86,15 +86,32 @@ def run_pipeline(
 
     reject_counts: dict[str, int] = {}
 
+    # Reference guard (etl_sales_analytics.py:196-199): FK validation is
+    # SKIPPED when the parent frame is empty/missing — children pass
+    # through, zero rejects. Without this, the anti-join against an empty
+    # key set would reject every child row (and cascade to an empty
+    # warehouse on a missing customers.csv).
+
     # FK: orders→customers first (cascade order, reference :198)
-    orders_ok, orders_bad = fk_split(orders, customers, "CustomerID")
+    if customers.isEmpty():
+        orders_ok, orders_bad = orders, orders.limit(0)
+    else:
+        orders_ok, orders_bad = fk_split(orders, customers, "CustomerID")
     reject_counts["orders"] = write_rejects(orders_bad, rejects_dir, "orders")
 
     # FK: details→{post-filter orders, products}, conjunctive (reference :200-207)
-    details_ok, details_bad = fk_split_composite(
-        details,
-        [(orders_ok, "OrderID", "OrderID"), (products, "ProductID", "ProductID")],
-    )
+    detail_edges = [
+        (parent, child_col, parent_col)
+        for parent, child_col, parent_col in [
+            (orders_ok, "OrderID", "OrderID"),
+            (products, "ProductID", "ProductID"),
+        ]
+        if not parent.isEmpty()
+    ]
+    if detail_edges:
+        details_ok, details_bad = fk_split_composite(details, detail_edges)
+    else:
+        details_ok, details_bad = details, details.limit(0)
     reject_counts["order_details"] = write_rejects(
         details_bad, rejects_dir, "order_details"
     )

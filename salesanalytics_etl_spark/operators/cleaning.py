@@ -29,14 +29,15 @@ def trim_strings(df: DataFrame) -> DataFrame:
 def coerce_casts(df: DataFrame, casts: dict[str, T.DataType]) -> DataFrame:
     """Lenient value casts: unparseable → NULL (C2-C4).
 
-    With ``spark.sql.ansi.enabled=false`` (pinned in session.py) Spark's cast
-    already coerces failures to NULL, matching ``pd.to_numeric(errors=
-    "coerce")`` / ``pd.to_datetime(errors="coerce")`` (reference
-    etl_sales_analytics.py:161-178).
+    Uses ``try_cast`` so failures coerce to NULL in ANY session mode —
+    including Spark 4's ANSI default, where a plain cast would throw on the
+    first bad value. Matches ``pd.to_numeric(errors="coerce")`` /
+    ``pd.to_datetime(errors="coerce")`` (reference
+    etl_sales_analytics.py:161-178) and DuckDB's TRY_CAST.
     """
     return df.select(
         *[
-            F.col(f.name).cast(casts[f.name]).alias(f.name)
+            F.col(f.name).try_cast(casts[f.name]).alias(f.name)
             if f.name in casts
             else F.col(f.name)
             for f in df.schema.fields

@@ -141,11 +141,13 @@ def sample_frames(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
-            for _, row in pdf.iterrows():
-                b = bytes(row["payload"])
+            # column-wise zip, not iterrows — iterrows builds a pandas
+            # Series per row and dominates the batch at ~50× the cost
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
                 n_frames = max(len(b) // frame_bytes, 1)
                 for f in range(0, n_frames, every_k):
-                    ids.append(row["doc_id"])
+                    ids.append(doc_id)
                     idxs.append(f)
                     frames.append(b[f * frame_bytes : (f + 1) * frame_bytes])
             yield pd.DataFrame(

@@ -66,30 +66,37 @@ def asof_join(
     descending) total-order right rows sharing a timestamp — REQUIRED for
     deterministic results when right_ts isn't unique per key.
     """
+    # Single-branch plan: ONE left-outer range join + window pick. The row
+    # id exists only inside one linear execution, so a nondeterministic
+    # monotonically_increasing_id can't diverge between plan branches (the
+    # old matched/unmatched two-branch form re-executed the left subtree
+    # twice, silently dropping/duplicating rows if ids differed between the
+    # executions — e.g. under task retries or AQE replanning).
     left_keyed = left.withColumn("_lid", F.monotonically_increasing_id())
     rcols = right_cols or [c for c in right.columns if c != on]
-    matched = (
-        range_join(
-            left_keyed, right, on, left_ts, right_ts, horizon, "0 seconds"
+    lo = F.expr(f"INTERVAL {horizon}")
+    joined = (
+        left_keyed.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col(f"l.{on}") == F.col(f"r.{on}"))
+            & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+            & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - lo),
+            "left",
         )
-        .filter(F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
         .select(
             "l.*",
             *[F.col(f"r.{c}").alias(f"asof_{c}") for c in rcols],
         )
     )
-    order = [F.desc(f"asof_{right_ts}")] + [
-        F.desc(f"asof_{c}") for c in (tiebreakers or [])
+    # unmatched left rows surface as a single all-NULL right row, ranked
+    # below every real match by nulls_last
+    order = [F.col(f"asof_{right_ts}").desc_nulls_last()] + [
+        F.col(f"asof_{c}").desc_nulls_last() for c in (tiebreakers or [])
     ]
     w = Window.partitionBy("_lid").orderBy(*order)
-    best = (
-        matched.withColumn("_rn", F.row_number().over(w))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_lid")
     )
-    unmatched = left_keyed.join(best.select("_lid"), "_lid", "left_anti")
-    for c in rcols:
-        unmatched = unmatched.withColumn(
-            f"asof_{c}", F.lit(None).cast(best.schema[f"asof_{c}"].dataType)
-        )
-    return best.unionByName(unmatched).drop("_lid")

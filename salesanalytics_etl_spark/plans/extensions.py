@@ -21,15 +21,17 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 
 
 # q25 (pair listing) and q49 (transitive clustering) share the MinHash
-# pipeline; cache the verified-pairs DataFrame per (session, dir) so a
-# sweep over the whole surface computes signatures/banding once.
-_MINHASH_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+# pipeline; cache the verified-pairs DataFrame per (application, dir) so a
+# sweep over the whole surface computes signatures/banding once. Keyed on
+# applicationId, not id(spark) — CPython can reuse a GC'd session's id,
+# which would hand back persisted frames bound to a dead SparkContext.
+_MINHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from salesanalytics_etl_spark.operators.dedup import minhash_near_dupes
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _MINHASH_PAIRS_CACHE:
         (documents,) = _t(spark, sf_dir, "documents")
         _MINHASH_PAIRS_CACHE[key] = minhash_near_dupes(

@@ -799,3 +799,208 @@ def q16_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# Q52 — MERGE-upsert on the driver-checked surface (J8/M1,
+# etl_sales_analytics.py:223-283): upsert a derived batch (updates = 1997
+# orders restated, inserts = 1998 orders re-keyed) into the base orders
+# state. T-SQL MERGE with update-all-columns ≡ incoming ∪ (target rows
+# whose key is absent from incoming) — SQL-expressible, so a full oracle
+# twin exists. Derivations avoid ROUND on arbitrary doubles (Spark
+# BigDecimal-HALF_UP vs DuckDB scale-and-rint can differ at half
+# boundaries); +1000.0 is exact in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "q52_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+      FROM orders
+    ), incoming AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice + 1000.0 AS o_totalprice, o_orderdate
+      FROM base WHERE EXTRACT(year FROM o_orderdate) = 1997
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, 'N',
+             o_totalprice, o_orderdate
+      FROM base WHERE EXTRACT(year FROM o_orderdate) = 1998
+    )
+    SELECT * FROM incoming
+    UNION ALL
+    SELECT b.* FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM incoming i
+                      WHERE i.o_orderkey = b.o_orderkey)
+    """,
+    doc="MERGE upsert end-state (anti-join + unionByName) — updates hit "
+    "every 1997 order, inserts add re-keyed 1998 orders "
+    "(etl_sales_analytics.py:223-283 semantics)",
+)
+def q52_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.upsert import merge_upsert
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    base = orders.select(*cols)
+    updates = (
+        base.filter(F.year("o_orderdate") == 1997)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+    )
+    inserts = base.filter(F.year("o_orderdate") == 1998).select(
+        (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+    )
+    incoming = updates.unionByName(inserts)
+    return merge_upsert(base, incoming, keys=["o_orderkey"])
+
+
+# --------------------------------------------------------------------------
+# Q53-Q55 — the remaining S7 TOP-k eyeball samples (reference samples all
+# four loaded tables: Result Set del select de cada tabla cargada..sql:5-26,
+# queries.sql:19-22; q02 covers orders). lineitem needs a TOTAL order over
+# every output column: the testdata has duplicate (l_orderkey, l_partkey)
+# keys and l_linenumber ties (SURVEY.md §5.2), and Spark/DuckDB tie-break
+# differently on partial orders.
+# --------------------------------------------------------------------------
+@register(
+    "q53_customer_sample_topk",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer ORDER BY c_custkey DESC LIMIT 10
+    """,
+    doc="TOP (10) customer sample by pk (queries.sql:19; S7)",
+)
+def q53_customer_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _t(spark, sf_dir, "customer")
+    return customer.orderBy(F.desc("c_custkey")).limit(10)
+
+
+@register(
+    "q54_part_sample_topk",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+    FROM part ORDER BY p_partkey DESC LIMIT 10
+    """,
+    doc="TOP (10) part sample by pk (queries.sql:20; S7)",
+)
+def q54_part_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    return part.orderBy(F.desc("p_partkey")).limit(10)
+
+
+@register(
+    "q55_lineitem_sample_topk",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    ORDER BY l_orderkey DESC, l_partkey DESC, l_linenumber DESC,
+             l_quantity DESC, l_extendedprice DESC
+    LIMIT 10
+    """,
+    doc="TOP (10) lineitem sample — total order over all output columns "
+    "(duplicate keys exist; S7/O2)",
+)
+def q55_lineitem_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+            "l_extendedprice",
+        )
+        .orderBy(
+            F.desc("l_orderkey"), F.desc("l_partkey"), F.desc("l_linenumber"),
+            F.desc("l_quantity"), F.desc("l_extendedprice"),
+        )
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q56 — conformance/coercion on the driver-checked surface (C1-C4/F1,
+# etl_sales_analytics.py:57-60,161-186): a deliberately ragged source is
+# derived from orders (NULL keys every 97th, garbage ints every 13th,
+# garbage timestamps every 11th, garbage decimals every 7th, whitespace
+# padding), then trimmed, try_cast-coerced, and key-filtered by the
+# cleaning operators; the oracle applies the identical trim/TRY_CAST
+# pipeline in SQL. Only parsed VALUES must agree, never string renderings,
+# so engine to-string formatting differences can't bite.
+# --------------------------------------------------------------------------
+@register(
+    "q56_conformance_coercion",
+    oracle="""
+    WITH ragged AS (
+      SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                  ELSE CAST(o_orderkey AS VARCHAR) END AS raw_key,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'N/A'
+                  ELSE '  ' || CAST(o_custkey AS VARCHAR) || ' ' END AS raw_cust,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'not-a-date'
+                  ELSE CAST(o_orderdate AS VARCHAR) END AS raw_ts,
+             CASE WHEN o_orderkey % 7 = 0 THEN '?'
+                  ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                  END AS raw_price
+      FROM orders
+    ), cleaned AS (
+      SELECT TRY_CAST(trim(raw_key) AS BIGINT) AS k,
+             TRY_CAST(trim(raw_cust) AS BIGINT) AS c,
+             TRY_CAST(trim(raw_ts) AS TIMESTAMP) AS t,
+             TRY_CAST(trim(raw_price) AS DECIMAL(18,2)) AS p
+      FROM ragged
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(c) AS BIGINT) AS n_cust_ok,
+           CAST(COUNT(t) AS BIGINT) AS n_ts_ok,
+           CAST(COUNT(p) AS BIGINT) AS n_price_ok,
+           ROUND(CAST(SUM(p) AS DOUBLE), 2) AS price_sum,
+           CAST(SUM(c) AS BIGINT) AS cust_sum
+    FROM cleaned WHERE k IS NOT NULL
+    """,
+    doc="trim → lenient casts (unparseable→NULL) → drop-null-keys, "
+    "aggregated so the driver checks the coerced VALUES (C1-C4/F1; "
+    "etl_sales_analytics.py:57-60,161-186)",
+)
+def q56_conformance_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from salesanalytics_etl_spark.operators.cleaning import (
+        coerce_casts,
+        drop_null_keys,
+        trim_strings,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ragged = orders.select(
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderkey").cast("string"))
+        .alias("raw_key"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("N/A"))
+        .otherwise(F.concat(F.lit("  "), F.col("o_custkey").cast("string"), F.lit(" ")))
+        .alias("raw_cust"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("not-a-date"))
+        .otherwise(F.col("o_orderdate").cast("string"))
+        .alias("raw_ts"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("?"))
+        .otherwise(dec182("o_totalprice").cast("string"))
+        .alias("raw_price"),
+    )
+    cleaned = coerce_casts(
+        trim_strings(ragged),
+        {
+            "raw_key": T.LongType(),
+            "raw_cust": T.LongType(),
+            "raw_ts": T.TimestampType(),
+            "raw_price": T.DecimalType(18, 2),
+        },
+    )
+    kept = drop_null_keys(cleaned, ["raw_key"])
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("raw_cust").alias("n_cust_ok"),
+        F.count("raw_ts").alias("n_ts_ok"),
+        F.count("raw_price").alias("n_price_ok"),
+        money_out(F.sum("raw_price")).alias("price_sum"),
+        F.sum("raw_cust").alias("cust_sum"),
+    )

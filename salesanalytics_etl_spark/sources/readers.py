@@ -82,10 +82,13 @@ def conform_columns(df: DataFrame, schema: T.StructType) -> DataFrame:
 
 
 # DataFrame handles are immutable lazy plans — reusing one per
-# (session, dir, table) lets Spark reuse the resolved file index instead of
-# re-listing/re-footering parquet on every query of a 39-query sweep.
-# Testdata is immutable, so staleness is not a concern.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# (application, dir, table) lets Spark reuse the resolved file index instead
+# of re-listing/re-footering parquet on every query of a 39-query sweep.
+# Testdata is immutable, so staleness is not a concern. Keyed on
+# applicationId, NOT id(spark): CPython reuses object ids after GC, so an
+# id-keyed cache could hand a new session DataFrames bound to a dead
+# SparkContext.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_driver_tables(
@@ -98,8 +101,9 @@ def load_driver_tables(
     shared handle.
     """
     out: dict[str, DataFrame] = {}
+    app_id = spark.sparkContext.applicationId
     for name in tables or DRIVER_TABLES:
-        key = (id(spark), sf_dir, name)
+        key = (app_id, sf_dir, name)
         if key in _TABLE_CACHE:
             out[name] = _TABLE_CACHE[key]
             continue

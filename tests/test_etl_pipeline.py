@@ -111,3 +111,26 @@ def test_missing_file_yields_empty_table(spark, tmp_path):
         "orders": 0,
         "order_details": 0,
     }
+
+
+def test_empty_parent_skips_fk_validation(spark, tmp_path):
+    """Reference guard (etl_sales_analytics.py:196-199): a missing/empty
+    parent table bypasses FK validation — children pass through with zero
+    rejects, instead of the anti-join rejecting every child row and
+    cascading to an empty warehouse."""
+    d = tmp_path / "no_customers"
+    d.mkdir()
+    (d / "products.csv").write_text(PRODUCTS)
+    (d / "orders.csv").write_text(ORDERS)
+    (d / "order_details.csv").write_text(ORDER_DETAILS)
+    # no customers.csv at all -> empty parent frame
+
+    res = run_pipeline(spark, str(d), rejects_dir=str(tmp_path / "rej"))
+    assert res.counts["customers"] == 0
+    # all 4 valid orders kept (null-key row still dropped by F1)
+    assert res.counts["orders"] == 4
+    assert res.reject_counts["orders"] == 0
+    # details still validate against orders/products (non-empty parents):
+    # (100,7) dedupe->1, (102,7) ok now (order 102 no longer rejected),
+    # (100,77) bad product, (103,9) ok
+    assert res.reject_counts["order_details"] == 1
