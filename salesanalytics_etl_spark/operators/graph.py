@@ -18,6 +18,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Edge lists at or below this size resolve on the driver (union-find in
+# Python, milliseconds); larger graphs take the distributed loop. This is
+# the broadcast-join pattern: a near-dup edge list is ~|near-dup tail|,
+# orders of magnitude smaller than the corpus, but the bound keeps the
+# driver safe when a pathological corpus (everything similar to
+# everything) explodes the pair count. 1M edges ≈ tens of MB collected.
+DRIVER_CC_MAX_EDGES = 1_000_000
 
 
 def connected_components(
@@ -27,7 +36,54 @@ def connected_components(
     max_iter: int = 20,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min node
-    id reachable. Undirected."""
+    id reachable. Undirected.
+
+    Size-gated execution: small edge sets (the normal case — candidate
+    pairs, not the corpus) are solved with driver-side union-find in one
+    collect; only a pathologically large pair graph pays for the iterative
+    distributed label propagation (each Spark round on a 256-edge graph
+    costs seconds of pure scheduling, ~100× the actual work).
+    """
+    if edges.count() <= DRIVER_CC_MAX_EDGES:
+        return _driver_union_find(edges, src, dst)
+    return _label_propagation(edges, src, dst, max_iter)
+
+
+def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Union-find with path compression; union-by-min keeps every root the
+    minimum member id, reproducing the distributed min-label semantics."""
+    spark = edges.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges.select(src, dst).collect():
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # smaller id stays root → root == min member
+    schema = T.StructType(
+        [
+            T.StructField("node", T.LongType()),
+            T.StructField("component", T.LongType()),
+        ]
+    )
+    rows = [(int(n), int(find(n))) for n in parent]
+    return spark.createDataFrame(rows, schema)
+
+
+def _label_propagation(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -38,7 +94,10 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .persist()
+        # localCheckpoint (not persist): truncates lineage so round N's
+        # plan doesn't re-analyze rounds 1..N-1 — the classic iterative-
+        # algorithm slowdown
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -54,7 +113,7 @@ def connected_components(
                     F.col("component"), F.coalesce("nbr_component", "component")
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -63,7 +122,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

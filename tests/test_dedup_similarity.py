@@ -148,3 +148,21 @@ def test_cosine_lsh_is_subset_of_exact_and_finds_parallel(vectors):
               cosine_topk_lsh(vectors, q, k=4, dim=4).collect()}
     assert approx <= exact
     assert (0, 1) in approx  # nearly-parallel vector always shares a bucket
+
+
+def test_connected_components_paths_agree(spark):
+    """Driver union-find (small-graph fast path) and distributed label
+    propagation must produce identical (node, component) labelings."""
+    from salesanalytics_etl_spark.operators.graph import (
+        _driver_union_find,
+        _label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20), (5, 4)],
+        "doc_a long, doc_b long",
+    )
+    a = sorted(map(tuple, _driver_union_find(edges, "doc_a", "doc_b").collect()))
+    b = sorted(map(tuple, _label_propagation(edges, "doc_a", "doc_b", 20).collect()))
+    assert a == b
+    assert (1, 1) in a and (3, 1) in a and (4, 4) in a and (5, 4) in a
