@@ -654,3 +654,92 @@ def q31_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1), 4).alias("f0"),
         F.round(F.element_at("features", 2), 4).alias("f1"),
     )
+
+
+@register(
+    "q57_ngram_jaccard_pairs",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents WHERE doc_id < 40
+    ), sh AS (
+      SELECT doc_id, list(DISTINCT substr(norm, CAST(i AS INT), 5)) AS shingles
+      FROM n, UNNEST(range(1, GREATEST(length(norm) - 3, 2))) AS t(i)
+      GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))),
+                 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    """,
+    doc="exact n-gram (5-char shingle) Jaccard similarity over a bounded "
+    "doc subset, all pairs — the verification kernel of the MinHash "
+    "pipeline surfaced as an oracle-checked query (array_intersect/union "
+    "on collected shingle sets; at scale it runs only on LSH candidates)",
+)
+def q57_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import (
+        jaccard_verify,
+        shingle_rows,
+        shingle_sets,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    subset = documents.filter(F.col("doc_id") < 40)
+    sets = shingle_sets(shingle_rows(subset))
+    ids = subset.select(F.col("doc_id"))
+    pairs = (
+        ids.select(F.col("doc_id").alias("doc_a"))
+        .join(ids.select(F.col("doc_id").alias("doc_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    # threshold 0.0 keeps every pair: this query IS the verifier, exact
+    return jaccard_verify(pairs, sets, threshold=0.0)
+
+
+@register(
+    "q58_mom_sales_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS m_dec
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1
+    )
+    SELECT order_month,
+           ROUND(CAST(m_dec AS DOUBLE), 2) AS total_sales,
+           ROUND(CAST(m_dec - LAG(m_dec) OVER (ORDER BY order_month)
+                      AS DOUBLE), 2) AS mom_delta
+    FROM monthly
+    """,
+    doc="month-over-month sales delta: LAG window over the monthly rollup "
+    "(delta computed in exact DECIMAL, emitted as rounded double; first "
+    "month NULL)",
+)
+def q58_mom_sales_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from salesanalytics_etl_spark.functions.scalar import (
+        dec182,
+        money_out,
+        year_month,
+    )
+
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    monthly = (
+        orders.select("o_orderkey", "o_orderdate")
+        .join(
+            lineitem.select("l_orderkey", "l_extendedprice"),
+            orders.o_orderkey == lineitem.l_orderkey,
+        )
+        .groupBy(year_month("o_orderdate").alias("order_month"))
+        .agg(F.sum(dec182("l_extendedprice")).alias("m_dec"))
+    )
+    w = Window.orderBy("order_month")
+    return monthly.select(
+        "order_month",
+        money_out(F.col("m_dec")).alias("total_sales"),
+        money_out(F.col("m_dec") - F.lag("m_dec").over(w)).alias("mom_delta"),
+    )
