@@ -743,3 +743,38 @@ def q58_mom_sales_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_out(F.col("m_dec")).alias("total_sales"),
         money_out(F.col("m_dec") - F.lag("m_dec").over(w)).alias("mom_delta"),
     )
+
+
+@register(
+    "q59_salted_event_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum
+    FROM events GROUP BY event_type
+    """,
+    doc="skew-mitigated two-phase aggregation (operators/skew.py): spray "
+    "each hot key across 16 salted partial groups, combine partials — "
+    "must be value-identical to the plain GROUP BY (the oracle), which "
+    "is exactly what the gate proves; decimal partials keep the combine "
+    "order-insensitive",
+)
+def q59_salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import money_out
+    from salesanalytics_etl_spark.operators.skew import salted_agg
+
+    (events,) = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        events,
+        keys=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "value_dec": F.sum(F.col("value").cast("decimal(18,2)")),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").alias("n_events"),
+        money_out(F.col("value_dec")).alias("value_sum"),
+    )
