@@ -25,7 +25,10 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 # sweep over the whole surface computes signatures/banding once. Keyed on
 # applicationId, not id(spark) — CPython can reuse a GC'd session's id,
 # which would hand back persisted frames bound to a dead SparkContext.
+# Bounded FIFO: in a long-lived service, unbounded entries would pin
+# persisted frames in executor memory forever; evicted entries unpersist.
 _MINHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_MINHASH_CACHE_MAX = 8
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,6 +36,12 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _MINHASH_PAIRS_CACHE:
+        while len(_MINHASH_PAIRS_CACHE) >= _MINHASH_CACHE_MAX:
+            _, evicted = _MINHASH_PAIRS_CACHE.popitem()
+            try:
+                evicted.unpersist()
+            except Exception:  # session may already be gone
+                pass
         (documents,) = _t(spark, sf_dir, "documents")
         _MINHASH_PAIRS_CACHE[key] = minhash_near_dupes(
             documents, threshold=0.5
@@ -777,4 +786,46 @@ def q59_salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n_events").alias("n_events"),
         money_out(F.col("value_dec")).alias("value_sum"),
+    )
+
+
+@register(
+    "q60_winnowing_fingerprints",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), h AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             md5(substr(norm, CAST(i AS INT), 8)) AS kh
+      FROM n, UNNEST(range(1, GREATEST(length(norm) - 6, 2))) AS t(i)
+    ), w AS (
+      SELECT doc_id,
+             MIN(kh) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      FROM h
+    )
+    SELECT DISTINCT doc_id, fp FROM w
+    """,
+    doc="winnowing document fingerprints (Schleimer et al. sliding-window "
+    "min-hash sampling): min k-gram hash per window of 4, deduplicated — "
+    "guarantees a shared fingerprint for any common run >= w+k-1 chars "
+    "while storing ~2/(w+1) of the hashes (vs q44's single global min, "
+    "which is fragile to any edit of the minimal window). Windowed min + "
+    "distinct, all codegen, shuffle only on doc_id",
+)
+def q60_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from salesanalytics_etl_spark.operators.dedup import shingle_rows
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    rows = shingle_rows(documents, k=8, with_pos=True).withColumn(
+        "kh", F.md5(F.col("sh"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
+    return (
+        rows.select("doc_id", F.min("kh").over(w).alias("fp"))
+        .distinct()
     )

@@ -1004,3 +1004,45 @@ def q56_conformance_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_out(F.sum("raw_price")).alias("price_sum"),
         F.sum("raw_cust").alias("cust_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q61 — correlated-scalar-subquery pattern (TPC-H Q17 shape): lineitems
+# whose quantity is below 20% of their part's average. The T-SQL form is a
+# correlated subquery per row; the distributed idiom decorrelates it into
+# a per-part aggregate joined back (Catalyst does this rewrite for SQL
+# text too — this query pins the DataFrame form). Revenue accumulates in
+# decimal, emitted as rounded double (gate type contract).
+# --------------------------------------------------------------------------
+@register(
+    "q61_small_quantity_revenue",
+    oracle="""
+    WITH part_avg AS (
+      SELECT l_partkey,
+             AVG(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS small_qty_revenue
+    FROM lineitem l JOIN part_avg p ON l.l_partkey = p.l_partkey
+    WHERE l.l_quantity < 0.2 * p.avg_qty
+    """,
+    doc="TPC-H Q17 shape: correlated scalar subquery decorrelated into "
+    "per-part AVG + join-back; the 0.2*avg comparison stays in double on "
+    "both sides (no rounding of the predicate input)",
+)
+def q61_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    part_avg = lineitem.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            money_out(F.sum(dec182("l_extendedprice"))).alias("small_qty_revenue"),
+        )
+    )
