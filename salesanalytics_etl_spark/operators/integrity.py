@@ -65,3 +65,26 @@ def fk_split_composite(
     # A row failing two FKs appears in two branches → drop exact duplicates.
     reject = reject.distinct() if reject is not None else child.limit(0)
     return keep, reject
+
+
+def check_split(
+    df: DataFrame, checks: dict[str, F.Column]
+) -> tuple[DataFrame, DataFrame]:
+    """CHECK-constraint validation (reference schema_sales_analytics.sql:
+    52-53, 87-88 — `Price >= 0`, `Quantity >= 0` etc., enforced only
+    DB-side there; here a first-class split like fk_split).
+
+    ``checks`` maps constraint name → boolean Column that must hold.
+    Returns (keep, reject): keep = rows satisfying EVERY check; reject =
+    the rest. NULLs fail a check (SQL CHECK would pass them — but the
+    pipeline's coerce-to-NULL step means NULL is 'was unparseable', which
+    the reference drops; a nullable-pass check is just coalesce(c, True)).
+    Pure predicate filters — no shuffle, pushed into the scan.
+    """
+    ok = None
+    for c in checks.values():
+        cond = c.isNotNull() & c
+        ok = cond if ok is None else (ok & cond)
+    if ok is None:
+        return df, df.limit(0)
+    return df.filter(ok), df.filter(~F.coalesce(ok, F.lit(False)))

@@ -1046,3 +1046,92 @@ def q61_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_out(F.sum(dec182("l_extendedprice"))).alias("small_qty_revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q62 — CHECK-constraint audit (reference schema_sales_analytics.sql:52-53,
+# 87-88: CHECK (Price >= 0) etc., enforced only inside SQL Server there).
+# check_split surfaces them as an engine operator; this query audits each
+# constraint over the driver tables (clean data → zero violations, like
+# the FK audit q16 — the reject path itself is unit-tested with injected
+# violations).
+# --------------------------------------------------------------------------
+@register(
+    "q62_check_violations",
+    oracle="""
+    SELECT 'part.p_retailprice>=0' AS check_name,
+           CAST(COUNT(*) FILTER (WHERE NOT (p_retailprice >= 0)
+                                 OR p_retailprice IS NULL) AS BIGINT) AS n_bad
+    FROM part
+    UNION ALL
+    SELECT 'lineitem.l_quantity>=0',
+           CAST(COUNT(*) FILTER (WHERE NOT (l_quantity >= 0)
+                                 OR l_quantity IS NULL) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_extendedprice>=0',
+           CAST(COUNT(*) FILTER (WHERE NOT (l_extendedprice >= 0)
+                                 OR l_extendedprice IS NULL) AS BIGINT)
+    FROM lineitem
+    """,
+    doc="CHECK-constraint violation counts per declared check "
+    "(schema_sales_analytics.sql:52-53,87-88) via check_split's reject "
+    "side — predicate-only, no shuffle",
+)
+def q62_check_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.integrity import check_split
+
+    part, lineitem = _t(spark, sf_dir, "part", "lineitem")
+    audits = [
+        ("part.p_retailprice>=0",
+         check_split(part, {"price": F.col("p_retailprice") >= 0})[1]),
+        ("lineitem.l_quantity>=0",
+         check_split(lineitem, {"qty": F.col("l_quantity") >= 0})[1]),
+        ("lineitem.l_extendedprice>=0",
+         check_split(lineitem, {"price": F.col("l_extendedprice") >= 0})[1]),
+    ]
+    parts = [
+        rej.agg(F.count(F.lit(1)).alias("n_bad")).select(
+            F.lit(name).alias("check_name"), "n_bad"
+        )
+        for name, rej in audits
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Q63 — CUBE grouping sets (completes §2.5's grouping-set family beside
+# q35's ROLLUP and q36's pivot): sales by (year × status) with all four
+# subtotal combinations.
+# --------------------------------------------------------------------------
+@register(
+    "q63_sales_cube",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value
+    FROM orders
+    GROUP BY CUBE (CAST(EXTRACT(year FROM o_orderdate) AS INT), o_orderstatus)
+    """,
+    doc="CUBE(year, status): every subtotal combination incl. grand total "
+    "— Catalyst expands grouping sets into one Expand + single shuffle",
+)
+def q63_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("order_year"),
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        .cube("order_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_out(F.sum(dec182("o_totalprice"))).alias("total_value"),
+        )
+    )

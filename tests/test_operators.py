@@ -123,3 +123,18 @@ def test_safe_div_guards_zero_and_null(spark):
     )
     out = [r.q for r in df.select(safe_div(F.col("num"), F.col("den")).alias("q")).collect()]
     assert out == [2.5, None, None]
+
+
+def test_check_split_injected_violations(spark):
+    from pyspark.sql import functions as F
+
+    from salesanalytics_etl_spark.operators.integrity import check_split
+
+    df = spark.createDataFrame(
+        [(1, 9.99), (2, -1.0), (3, None), (4, 0.0)],
+        "id long, price double",
+    )
+    keep, reject = check_split(df, {"price_nonneg": F.col("price") >= 0})
+    assert sorted(r.id for r in keep.collect()) == [1, 4]
+    # both the negative value AND the coerced-NULL fail the check
+    assert sorted(r.id for r in reject.collect()) == [2, 3]

@@ -52,3 +52,25 @@ def test_compact_parquet(spark, sf_dir, tmp_path):
     a = {tuple(r) for r in spark.read.parquet(dst).drop("props").collect()}
     b = {tuple(r) for r in events.drop("props").collect()}
     assert a == b
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """The reference's IX_Orders_OrderDate index becomes date-partitioned
+    parquet: a date-equality query must read ONLY matching partition
+    directories (partition pruning visible in the physical plan)."""
+    from pyspark.sql import functions as F
+
+    from salesanalytics_etl_spark.sources.writers import write_table
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    dated = orders.withColumn("order_dt", F.to_date("o_orderdate"))
+    path = str(tmp_path / "orders_by_date")
+    write_table(dated, path, partition_by=["order_dt"])
+
+    some_day = dated.select("order_dt").first()[0]
+    q = spark.read.parquet(path).filter(F.col("order_dt") == F.lit(some_day))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "order_dt" in plan
+    # correctness of the pruned read
+    expect = dated.filter(F.col("order_dt") == F.lit(some_day)).count()
+    assert q.count() == expect
