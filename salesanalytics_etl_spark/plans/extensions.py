@@ -829,3 +829,20 @@ def q60_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.select("doc_id", F.min("kh").over(w).alias("fp"))
         .distinct()
     )
+
+
+@register(
+    "q64_approx_distinct_sketch",
+    oracle=None,
+    doc="HyperLogLog++ approximate COUNT(DISTINCT) per event_type at 2% "
+    "target error — the sketch path for 100 TB cardinality estimation "
+    "(mergeable partials, no exact-distinct shuffle of the key universe); "
+    "approximate by nature → rows-only for the gate, with the error bound "
+    "asserted against the exact count in unit tests",
+)
+def q64_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

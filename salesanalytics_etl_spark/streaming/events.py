@@ -152,3 +152,25 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once event dedup for streaming ingest: keep the first
+    arrival per key, dropping any duplicate that arrives within the
+    watermark horizon.
+
+    ``dropDuplicates`` on a watermarked stream is Spark's native stateful
+    dedup — state holds one entry per key and is EVICTED once the
+    watermark passes the key's event time, so memory is bounded by the
+    duplicate-arrival horizon, not the stream's lifetime. This is the
+    streaming counterpart of the batch exact_dedupe: at-least-once
+    sources (Kafka redeliveries, file re-drops) become effectively-once
+    downstream.
+    """
+    keys = keys or ["event_id"]
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(keys)

@@ -103,3 +103,24 @@ def test_salted_agg_equals_plain_agg(spark, sf_dir):
         ).collect()
     }
     assert salted == plain
+
+
+def test_approx_distinct_within_error_bound(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from salesanalytics_etl_spark.plans import all_queries
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in all_queries()["q64_approx_distinct_sketch"](spark, sf_dir).collect()
+    }
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r.event_type: r.exact
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for et, ex in exact.items():
+        # rsd=0.02 → allow 5x slack for small-cardinality bias
+        assert abs(approx[et] - ex) <= max(0.1 * ex, 5), (et, approx[et], ex)

@@ -88,3 +88,46 @@ def test_streaming_rollup_matches_batch(spark, sf_dir, events_stream_dir):
     batch = {tuple(r) for r in hourly_event_rollup(events).collect()}
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """Duplicate event_ids delivered in LATER micro-batches (at-least-once
+    redelivery) must be dropped by the watermarked stateful dedup."""
+    import pandas as pd
+
+    from salesanalytics_etl_spark.streaming.events import (
+        read_events_stream,
+        streaming_dedup,
+    )
+
+    src = str(tmp_path / "dup_events")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    b1 = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [10, 10, 11],
+            "event_type": ["view"] * 3,
+            "ts": [base, base + pd.Timedelta(minutes=1), base + pd.Timedelta(minutes=2)],
+            "value": [1.0, 2.0, 3.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    # batch 2 redelivers ids 2 and 3 (same payload) + one new event
+    b2 = pd.concat([b1.iloc[1:3], b1.iloc[0:1].assign(event_id=4)])
+    import os
+    os.makedirs(src, exist_ok=True)
+    b1.to_parquet(f"{src}/b1.parquet", index=False)
+    b2.to_parquet(f"{src}/b2.parquet", index=False)
+
+    stream = read_events_stream(spark, src)
+    deduped = streaming_dedup(stream, keys=["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_sink").collect()
+    assert sorted(r.event_id for r in got) == [1, 2, 3, 4]
