@@ -46,8 +46,18 @@ def safe_div(num: Column, den: Column, scale: int = 2) -> Column:
     Mirrors ``CASE WHEN Quantity > 0 THEN TotalPrice/Quantity END`` with a
     round to ``scale`` (reference queries.sql:141-143). ``otherwise`` is
     omitted → NULL, exactly the reference's ELSE NULL.
+
+    Rounding is ``floor(x*10^s + 0.5)/10^s`` — NOT engine-native ROUND:
+    the quotient is an arbitrary double, and on values like 21.40/8 =
+    2.675 (stored 2.67499…) Spark's shortest-repr HALF_UP rounds UP while
+    a scale-and-rint path rounds DOWN. The floor formula runs the same
+    IEEE ops on the same input in any engine, so both sides agree by
+    construction; the oracle twin must spell the identical formula.
+    Positive-domain only (prices/quantities) — fine for the guarded
+    ``den > 0`` branch with non-negative numerators.
     """
-    return F.when(den > 0, F.round(num / den, scale))
+    mult = F.lit(float(10 ** scale))
+    return F.when(den > 0, F.floor(num / den * mult + F.lit(0.5)) / mult)
 
 
 def money_out(col: Column | str, scale: int = 2) -> Column:

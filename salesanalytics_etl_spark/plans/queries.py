@@ -334,7 +334,8 @@ def q10_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l.l_orderkey, l.l_linenumber, p.p_name, l.l_quantity,
            ROUND(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS line_total,
            CASE WHEN l.l_quantity > 0
-                THEN ROUND(l.l_extendedprice / l.l_quantity, 2) END AS est_unit_price
+                THEN FLOOR(l.l_extendedprice / l.l_quantity * 100.0 + 0.5) / 100.0
+           END AS est_unit_price
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_orderkey = (SELECT MAX(o_orderkey) FROM orders)
     """,

@@ -118,11 +118,14 @@ def test_concat_tsql_null_as_empty(spark):
 
 
 def test_safe_div_guards_zero_and_null(spark):
+    # 21.40/8 = 2.675 stored as 2.67499…: engine-native ROUNDs disagree on
+    # it (Spark shortest-repr HALF_UP → 2.68, scale-and-rint → 2.67); the
+    # floor-formula rounding must give 2.68 deterministically in any engine
     df = spark.createDataFrame(
-        [(10.0, 4.0), (10.0, 0.0), (10.0, None)], ["num", "den"]
+        [(10.0, 4.0), (10.0, 0.0), (10.0, None), (21.40, 8.0)], ["num", "den"]
     )
     out = [r.q for r in df.select(safe_div(F.col("num"), F.col("den")).alias("q")).collect()]
-    assert out == [2.5, None, None]
+    assert out == [2.5, None, None, 2.68]
 
 
 def test_check_split_injected_violations(spark):
