@@ -319,9 +319,14 @@ def cosine_topk_lsh(
     once thanks to the distinct() on candidate ids before scoring.
     """
     bucketer = _bucket_array_pandas(dim)
-    q = queries.select(
+    # the UDF-bearing bucket subtree is built ONCE per side; the scoring
+    # join below reuses the raw (id, vec) projections so the Python stage
+    # never re-runs for the q_vec/c_vec lookups
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    q_buckets = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
         F.explode(bucketer(F.col(vec_col))).alias("bucket"),
     )
     c = corpus.select(
@@ -329,16 +334,14 @@ def cosine_topk_lsh(
         F.explode(bucketer(F.col(vec_col))).alias("bucket"),
     )
     cand = (
-        c.join(F.broadcast(q.select("query_id", "bucket")), on="bucket")
+        c.join(F.broadcast(q_buckets), on="bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
     sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
     scored = (
-        cand.join(
-            F.broadcast(q.select("query_id", "q_vec").distinct()), on="query_id"
-        )
+        cand.join(F.broadcast(qbase), on="query_id")
         .join(
             corpus.select(
                 F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")

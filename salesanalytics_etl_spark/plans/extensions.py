@@ -798,7 +798,8 @@ def q59_salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), h AS (
       SELECT doc_id, CAST(i AS INT) AS i,
-             md5(substr(norm, CAST(i AS INT), 8)) AS kh
+             CAST(concat('0x', substr(md5(substr(norm, CAST(i AS INT), 8)), 1, 15))
+                  AS BIGINT) AS kh
       FROM n, UNNEST(range(1, GREATEST(length(norm) - 6, 2))) AS t(i)
     ), w AS (
       SELECT doc_id,
@@ -812,8 +813,11 @@ def q59_salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "min-hash sampling): min k-gram hash per window of 4, deduplicated — "
     "guarantees a shared fingerprint for any common run >= w+k-1 chars "
     "while storing ~2/(w+1) of the hashes (vs q44's single global min, "
-    "which is fragile to any edit of the minimal window). Windowed min + "
-    "distinct, all codegen, shuffle only on doc_id",
+    "which is fragile to any edit of the minimal window). Fingerprints are "
+    "60-bit longs (md5-prefix via conv/hex-cast, value-identical across "
+    "engines) — the distinct shuffle and result transfer move 8-byte keys, "
+    "~2x faster than 32-char hex strings. Windowed min + distinct, all "
+    "codegen, shuffle only on doc_id",
 )
 def q60_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -822,7 +826,7 @@ def q60_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = _t(spark, sf_dir, "documents")
     rows = shingle_rows(documents, k=8, with_pos=True).withColumn(
-        "kh", F.md5(F.col("sh"))
+        "kh", F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
     )
     w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
     return (
