@@ -149,6 +149,150 @@ def normalize_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+def _token_rows(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, term) rows: whitespace tokens of the normalized text —
+    the shared tokenization for TF-IDF / inverted index / repetition."""
+    return df.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+
+
+def tfidf_terms(
+    df: DataFrame, text_col: str = "text", top_n: int = 3
+) -> DataFrame:
+    """Top-N characteristic terms per document by TF-IDF.
+
+    Three shuffles, all on small keys: tf by (doc, term), df by term, and
+    the per-doc top-N window. idf = ln(N/df) with the doc count N computed
+    as a 1-row broadcast (no collect). Scores are rounded to 6 decimals;
+    rank order uses the ROUNDED score + term so the ordering is identical
+    in any engine (exact-equal scores happen — same tf, same df — and the
+    term tiebreak resolves them deterministically).
+
+    Scale: df/idf is |vocab|-sized, a candidate for broadcast once
+    aggregated; the tf table is the big one and shuffles once.
+    """
+    from pyspark.sql import Window
+
+    toks = _token_rows(df, text_col)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("_n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= top_n)
+        .select("doc_id", "term", "tf", "df", "tfidf", "term_rank")
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    min_df: int = 5,
+    max_postings: int = 20,
+) -> DataFrame:
+    """Term → postings index: per term, document frequency and the first
+    ``max_postings`` doc ids (sorted ascending).
+
+    One shuffle on term; postings are capped so a stopword's row stays
+    bounded (the full postings of 'the' at 100 TB would be the corpus).
+    Emitted postings are sorted arrays — deterministic, engine-comparable.
+    """
+    toks = _token_rows(df, text_col).distinct()
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(
+                F.sort_array(F.collect_set("doc_id")), 1, max_postings
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+# PII patterns — simple enough to behave identically under Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookarounds.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{2,4}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact email/phone patterns with typed placeholders; report per-doc
+    match counts and an md5 of the redacted text (byte-exact proof of the
+    rewrite without shipping the full text).
+
+    Map-only (regexp_count + regexp_replace inside codegen): no shuffle,
+    linear scan — the shape PII scrubbing must have at 100 TB.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return df.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+def repetition_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token-repetition quality signals: distinct/total token ratio and the
+    dominance of the single most frequent token.
+
+    High repetition (low distinct ratio, high top-token share) flags
+    boilerplate/spam for corpus filtering. Array expressions per row for
+    the distinct ratio; one (doc, term) shuffle for the top-token share.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), r"\s+")
+    base = df.select("doc_id", toks.alias("_toks")).select(
+        "doc_id",
+        F.size("_toks").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).alias("n_distinct"),
+    )
+    top_share = (
+        _token_rows(df, text_col)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_token_count"))
+    )
+    return (
+        base.join(top_share, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.col("n_distinct").cast("double") / F.col("n_tokens"), 4
+            ).alias("distinct_ratio"),
+            F.round(
+                F.coalesce(F.col("top_token_count"), F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                4,
+            ).alias("top_token_share"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the normalized text.
 

@@ -850,3 +850,219 @@ def q64_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q65-Q69 — corpus-curation analytics round 2: TF-IDF, inverted index,
+# PII redaction, per-segment percentiles, repetition filtering.
+# --------------------------------------------------------------------------
+@register(
+    "q65_tfidf_top_terms",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, t.term
+      FROM n, UNNEST(string_split(n.norm, ' ')) AS t(term)
+      WHERE length(t.term) > 0
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             ROUND(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rk AS INT) AS term_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+    doc="top-3 characteristic terms per doc by TF-IDF: tf shuffle on "
+    "(doc,term), df on term, idf via 1-row broadcast N; ranked on the "
+    "ROUNDED score + term so ordering is engine-identical "
+    "(operators/text.py:tfidf_terms)",
+)
+def q65_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.text import tfidf_terms
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return tfidf_terms(documents, top_n=3)
+
+
+@register(
+    "q66_inverted_index",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), toks AS (
+      SELECT DISTINCT doc_id, t.term
+      FROM n, UNNEST(string_split(n.norm, ' ')) AS t(term)
+      WHERE length(t.term) > 0
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           (array_agg(doc_id ORDER BY doc_id))[1:20] AS postings
+    FROM toks GROUP BY term HAVING COUNT(*) >= 5
+    """,
+    doc="inverted index (term -> sorted postings, capped at 20, df >= 5): "
+    "one shuffle on term; the cap bounds stopword rows, which would "
+    "otherwise be corpus-sized (operators/text.py:inverted_index)",
+)
+def q66_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.text import inverted_index
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return inverted_index(documents, min_df=5, max_postings=20)
+
+
+@register(
+    "q67_pii_redaction",
+    oracle=r"""
+    WITH injected AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' contact: user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                     ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+             AS n_emails,
+           CAST(length(regexp_extract_all(text,
+             '\b555-[0-9]{2,4}\b')) AS INT) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+                 '\b555-[0-9]{2,4}\b', '[PHONE]', 'g')) AS redacted_fp
+    FROM injected
+    """,
+    doc="PII redaction over a deterministically-injected corpus (synthetic "
+    "emails every 5th doc, phones every 7th): regexp_count + chained "
+    "regexp_replace, map-only codegen; md5 of the redacted text proves the "
+    "rewrite byte-exact without shipping it "
+    "(operators/text.py:redact_pii)",
+)
+def q67_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.text import redact_pii
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    injected = documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact: user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(injected)
+
+
+@register(
+    "q68_segment_percentiles",
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey, c.c_mktsegment,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS order_total
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(quantile_cont(order_total, 0.5), 2) AS p50,
+           ROUND(quantile_cont(order_total, 0.9), 2) AS p90,
+           ROUND(quantile_cont(order_total, 0.99), 2) AS p99
+    FROM per_order GROUP BY c_mktsegment
+    """,
+    doc="per-segment order-value percentiles (extends q37's global "
+    "percentiles to grouped): exact linear-interpolation quantiles, "
+    "per-order decimal accumulation cast to double before the quantile",
+)
+def q68_segment_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182
+
+    customer, orders, lineitem = _t(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    per_order = (
+        lineitem.select("l_orderkey", "l_extendedprice")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+              orders.o_custkey == customer.c_custkey)
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(F.sum(dec182("l_extendedprice")).cast("double").alias("order_total"))
+    )
+    return per_order.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.percentile("order_total", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("order_total", F.lit(0.9)), 2).alias("p90"),
+        F.round(F.percentile("order_total", F.lit(0.99)), 2).alias("p99"),
+    )
+
+
+@register(
+    "q69_repetition_filter",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), base AS (
+      SELECT doc_id,
+             CAST(length(string_split(norm, ' ')) AS INT) AS n_tokens,
+             CAST(length(list_distinct(string_split(norm, ' '))) AS INT)
+               AS n_distinct
+      FROM n
+    ), toks AS (
+      SELECT doc_id, t.term
+      FROM n, UNNEST(string_split(n.norm, ' ')) AS t(term)
+      WHERE length(t.term) > 0
+    ), tc AS (
+      SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ), top AS (
+      SELECT doc_id, MAX(c) AS top_c FROM tc GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_tokens, b.n_distinct,
+           ROUND(CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 4)
+             AS distinct_ratio,
+           ROUND(CAST(COALESCE(t.top_c, 0) AS DOUBLE) / b.n_tokens, 4)
+             AS top_token_share
+    FROM base b LEFT JOIN top t USING (doc_id)
+    """,
+    doc="token-repetition quality signals (distinct/total ratio, top-token "
+    "dominance) — the boilerplate/spam filter axis of corpus curation "
+    "(operators/text.py:repetition_ratio)",
+)
+def q69_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.text import repetition_ratio
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return repetition_ratio(documents)
