@@ -1,0 +1,210 @@
+"""Corpus-curation operators round 3: benchmark decontamination, sequence
+packing, language rebalancing, embedding quantization, cross-source overlap.
+
+These extend the training-data-pipeline surface (BASELINE.json north star;
+the reference — etl_sales_analytics.py — has no text ops, so everything
+here is extension surface, registered with DuckDB oracle twins).
+
+Scale design:
+- **Decontamination**: benchmark n-grams are a tiny distinct set (the
+  held-out eval suite), broadcast against the corpus n-gram stream — the
+  standard "13-gram overlap" check run before every training run. Never a
+  cross join; the corpus side shuffles once on the n-gram key.
+- **Sequence packing**: concat-and-split packing (docs concatenated in a
+  deterministic order, cut every `window` tokens) via a per-source
+  cumulative-sum window — each source partition is independent, so the
+  window never collapses to a single partition.
+- **Language rebalance**: per-language sampling rates derived from a token
+  budget (|languages|-row broadcast), applied as a deterministic
+  content-hash filter — reproducible across runs and engines, unlike
+  ``rand()``.
+- **Quantization**: per-vector int8 symmetric quantization — map-only
+  array expressions, no shuffle at all.
+- **Source overlap**: fingerprint self-join; group sizes are duplicate
+  multiplicities (small), so the join explodes nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from salesanalytics_etl_spark.operators.dedup import spread_partitions
+from salesanalytics_etl_spark.operators.text import normalize_text, token_count
+
+NGRAM_N = 13  # the community-standard contamination n-gram length
+
+
+def ngram_rows(df: DataFrame, n: int = NGRAM_N, text_col: str = "text") -> DataFrame:
+    """(doc_id, ngram) rows: token n-grams of the normalized text.
+
+    Docs shorter than n tokens emit nothing. explode(transform(sequence))
+    over the token array — all codegen'd, no Python.
+    """
+    toks = (
+        spread_partitions(df.select("doc_id", F.col(text_col)))
+        .select(
+            "doc_id",
+            F.split(normalize_text(F.col(text_col)), r"\s+").alias("toks"),
+        )
+        .filter(F.size("toks") >= n)
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {n - 1}), "
+                f"i -> array_join(slice(toks, i, {n}), ' '))"
+            )
+        ).alias("ngram"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame, benchmark: DataFrame, n: int = NGRAM_N
+) -> DataFrame:
+    """Flag corpus docs sharing any token n-gram with a benchmark doc.
+
+    Returns (doc_id, n_hit_ngrams, n_bench_docs) for contaminated docs
+    only. The benchmark n-gram set (distinct, tiny — it's the eval suite)
+    is broadcast; the corpus n-gram stream joins it without a shuffle of
+    the corpus side at all when the broadcast fits, else one shuffle on
+    the n-gram key.
+    """
+    bench = F.broadcast(
+        ngram_rows(benchmark, n)
+        .select(F.col("doc_id").alias("bench_id"), "ngram")
+        .distinct()
+    )
+    hits = (
+        ngram_rows(corpus, n)
+        .distinct()
+        .join(bench, "ngram")
+    )
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("ngram").alias("n_hit_ngrams"),
+        F.countDistinct("bench_id").alias("n_bench_docs"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame, window_tokens: int = 2048, text_col: str = "text"
+) -> DataFrame:
+    """Concat-and-split sequence packing: per source, docs are concatenated
+    in doc_id order and cut every ``window_tokens`` tokens; each doc is
+    assigned to the bin where it STARTS.
+
+    Returns (source, bin_id, n_docs, bin_tokens). The cumulative sum runs
+    per source partition (never a global single-partition window); bin
+    arithmetic is integer-exact (div, not double division).
+    """
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = df.select(
+        "doc_id",
+        "source",
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    binned = cum.withColumn(
+        "bin_id", F.expr(f"(cum - n_tokens) div {window_tokens}")
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+def language_rebalance(
+    df: DataFrame, budget_tokens: int, text_col: str = "text"
+) -> DataFrame:
+    """Downsample each language to ~``budget_tokens`` via a deterministic
+    content-hash filter: rate_l = min(1, budget / tokens_l); keep doc iff
+    hash-bucket(doc_id)/10000 < rate_l.
+
+    Returns (lang, rate, n_docs_kept, kept_tokens). The per-language
+    totals are a |languages|-row broadcast — the corpus is scanned twice
+    (once for totals, once for the filter) but shuffled only by lang for
+    the tiny aggregations, the standard two-pass shape for data-dependent
+    sampling rates.
+    """
+    toks = df.select(
+        "doc_id", "lang", token_count(F.col(text_col)).cast("long").alias("n_tokens")
+    )
+    totals = toks.groupBy("lang").agg(F.sum("n_tokens").alias("lang_tokens"))
+    rate = F.least(
+        F.lit(1.0), F.lit(float(budget_tokens)) / F.col("lang_tokens")
+    ).alias("rate")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    kept = (
+        toks.join(F.broadcast(totals.select("lang", rate)), "lang")
+        .filter(bucket / 10000.0 < F.col("rate"))
+    )
+    return kept.groupBy("lang").agg(
+        F.round(F.min("rate"), 6).alias("rate"),
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("kept_tokens"),
+    )
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization quality report.
+
+    scale = max|x| / 127; q_i = floor(x_i/scale + 0.5) (explicit half-up —
+    engine-portable, unlike banker's rounding); reports the quantized
+    checksum (integer-exact) and the reconstruction RMSE. Map-only array
+    expressions — zero shuffle, zero Python; 4x memory reduction is the
+    point at 100 TB of embeddings.
+    """
+    emb = f"transform({vec_col}, v -> CAST(v AS DOUBLE))"
+    maxabs = f"array_max(transform({emb}, v -> abs(v)))"
+    scale = f"({maxabs} / 127.0D)"
+    q = f"transform({emb}, v -> CAST(floor(v / {scale} + 0.5D) AS INT))"
+    sq_err = (
+        f"aggregate({emb}, 0.0D, (acc, v) -> "
+        f"acc + pow(v - floor(v / {scale} + 0.5D) * {scale}, 2))"
+    )
+    return df.filter(F.expr(f"{maxabs} > 0")).select(
+        "vec_id",
+        F.round(F.expr(scale), 9).alias("scale"),
+        F.expr(f"aggregate({q}, 0L, (acc, v) -> acc + v)").alias("q_sum"),
+        F.expr(f"array_max({q})").alias("q_max"),
+        F.round(F.expr(f"sqrt({sq_err} / size({vec_col}))"), 6).alias("rmse"),
+    )
+
+
+def source_overlap(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cross-source exact-duplicate matrix: for every (source_a, source_b)
+    pair (a <= b by doc order), how many duplicate doc pairs share a
+    normalized-text fingerprint.
+
+    Fingerprint self-join — group sizes are duplicate multiplicities, so
+    the join output is bounded by the duplicate tail, not |corpus|².
+    Returns (source_a, source_b, n_pairs, n_fingerprints).
+    """
+    fp = df.select(
+        "doc_id",
+        "source",
+        F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
+    )
+    a = fp.select(
+        F.col("fingerprint"),
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("source_a"),
+    )
+    b = fp.select(
+        F.col("fingerprint"),
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("source_b"),
+    )
+    pairs = a.join(b, "fingerprint").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("fingerprint").alias("n_fingerprints"),
+    )

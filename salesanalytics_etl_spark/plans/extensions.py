@@ -1066,3 +1066,171 @@ def q69_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = _t(spark, sf_dir, "documents")
     return repetition_ratio(documents)
+
+# --------------------------------------------------------------------------
+# Q70-Q74 — corpus-curation round 3: decontamination, sequence packing,
+# language rebalancing, embedding quantization, cross-source overlap.
+# --------------------------------------------------------------------------
+@register(
+    "q70_benchmark_decontamination",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, array_to_string(t[i:i+12], ' ') AS ngram
+      FROM toks, UNNEST(range(1, len(t) - 11)) AS r(i)
+      WHERE len(t) >= 13
+    ), bench AS (
+      SELECT DISTINCT doc_id AS bench_id, ngram FROM grams WHERE doc_id % 50 = 0
+    ), corpus AS (
+      SELECT DISTINCT doc_id, ngram FROM grams WHERE doc_id % 50 <> 0
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(DISTINCT c.ngram) AS BIGINT) AS n_hit_ngrams,
+           CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+    FROM corpus c JOIN bench b USING (ngram)
+    GROUP BY 1
+    """,
+    doc="benchmark decontamination: corpus docs sharing any 13-token-gram "
+    "with the held-out set (every 50th doc) — broadcast of the distinct "
+    "benchmark n-grams, no corpus self-join "
+    "(operators/curation.py:decontaminate)",
+)
+def q70_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.curation import decontaminate
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    bench = documents.filter(F.col("doc_id") % 50 == 0)
+    corpus = documents.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(corpus, bench)
+
+
+@register(
+    "q71_sequence_packing",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT source, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY 1, 2
+    """,
+    doc="concat-and-split sequence packing into 2048-token context "
+    "windows, per source in doc_id order (each doc binned by its start "
+    "offset) — per-source cumulative window, integer-exact bin arithmetic "
+    "(operators/curation.py:pack_sequences)",
+)
+def q71_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.curation import pack_sequences
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return pack_sequences(documents, window_tokens=2048)
+
+
+@register(
+    "q72_language_rebalance",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), totals AS (
+      SELECT lang, SUM(n_tokens) AS lang_tokens FROM toks GROUP BY 1
+    ), kept AS (
+      SELECT t.lang, t.n_tokens,
+             LEAST(1.0, 5000.0 / tot.lang_tokens) AS rate
+      FROM toks t JOIN totals tot USING (lang)
+      WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 6)) AS INT)
+            % 10000 / 10000.0
+            < LEAST(1.0, 5000.0 / tot.lang_tokens)
+    )
+    SELECT lang, ROUND(MIN(rate), 6) AS rate,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+    FROM kept GROUP BY 1
+    """,
+    doc="language rebalancing to a 5000-token budget per language: "
+    "data-dependent sampling rate from a |langs|-row broadcast, applied "
+    "as a deterministic content-hash filter (no rand()) "
+    "(operators/curation.py:language_rebalance)",
+)
+def q72_language_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.curation import language_rebalance
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return language_rebalance(documents, budget_tokens=5000)
+
+
+@register(
+    "q73_embedding_quantization",
+    oracle=r"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e
+      WHERE list_max(list_transform(v, x -> abs(x))) > 0
+    )
+    SELECT vec_id,
+           ROUND(scale, 9) AS scale,
+           CAST(list_sum(list_transform(v,
+                 x -> CAST(floor(x / scale + 0.5) AS INT))) AS BIGINT) AS q_sum,
+           CAST(list_max(list_transform(v,
+                 x -> CAST(floor(x / scale + 0.5) AS INT))) AS INT) AS q_max,
+           ROUND(sqrt(list_sum(list_transform(v,
+                 x -> pow(x - floor(x / scale + 0.5) * scale, 2)))
+                 / len(v)), 6) AS rmse
+    FROM s
+    """,
+    doc="per-vector symmetric int8 quantization report (scale, quantized "
+    "checksum, reconstruction RMSE): map-only array expressions, explicit "
+    "half-up rounding so both engines quantize identically "
+    "(operators/curation.py:quantize_embeddings)",
+)
+def q73_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.curation import quantize_embeddings
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return quantize_embeddings(embeddings)
+
+
+@register(
+    "q74_source_overlap",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS fingerprint
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT a.fingerprint) AS BIGINT) AS n_fingerprints
+    FROM fp a JOIN fp b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="cross-source exact-duplicate matrix: fingerprint self-join "
+    "bounded by duplicate multiplicities — which sources plagiarize "
+    "which, the first question of corpus provenance "
+    "(operators/curation.py:source_overlap)",
+)
+def q74_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.curation import source_overlap
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return source_overlap(documents)

@@ -1,0 +1,118 @@
+"""Planted-case tests for the round-3 curation operators (q70-q74):
+decontamination, sequence packing, language rebalance, quantization,
+source overlap."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from salesanalytics_etl_spark.operators.curation import (
+    decontaminate,
+    language_rebalance,
+    ngram_rows,
+    pack_sequences,
+    quantize_embeddings,
+    source_overlap,
+)
+
+THIRTEEN = "a b c d e f g h i j k l m"  # exactly 13 tokens -> one 13-gram
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # contains the benchmark 13-gram inside a longer doc
+        (1, "x y z " + THIRTEEN + " tail tokens here"),
+        # 12-token prefix only: must NOT be flagged
+        (2, "a b c d e f g h i j k l"),
+        (3, "entirely unrelated words with no shared thirteen gram at all "
+            "plus padding to pass any length cutoffs in the implementation"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def bench_docs(spark):
+    return spark.createDataFrame([(100, THIRTEEN)], ["doc_id", "text"])
+
+
+def test_ngram_rows_count_and_boundaries(spark):
+    df = spark.createDataFrame([(1, THIRTEEN + " n")], ["doc_id", "text"])
+    grams = [r.ngram for r in ngram_rows(df, n=13).collect()]
+    assert len(grams) == 2  # 14 tokens -> two 13-grams
+    assert grams[0].startswith("a b c") and grams[1].endswith("m n")
+    # short doc emits nothing
+    short = spark.createDataFrame([(2, "a b c")], ["doc_id", "text"])
+    assert ngram_rows(short, n=13).count() == 0
+
+
+def test_decontaminate_flags_only_real_overlap(corpus, bench_docs):
+    flagged = {r.doc_id: r for r in decontaminate(corpus, bench_docs).collect()}
+    assert set(flagged) == {1}
+    assert flagged[1].n_hit_ngrams == 1 and flagged[1].n_bench_docs == 1
+
+
+def test_pack_sequences_bins_by_start_offset(spark):
+    # three docs of 5 tokens each, window 8: doc1 starts at 0 (bin 0),
+    # doc2 starts at 5 (bin 0), doc3 starts at 10 (bin 1)
+    rows = [(i, "s", "t1 t2 t3 t4 t5") for i in (1, 2, 3)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.bin_id: r for r in pack_sequences(df, window_tokens=8).collect()}
+    assert out[0].n_docs == 2 and out[0].bin_tokens == 10
+    assert out[1].n_docs == 1 and out[1].bin_tokens == 5
+
+
+def test_pack_sequences_sources_are_independent(spark):
+    rows = [(1, "a", "t1 t2 t3"), (2, "b", "t1 t2 t3")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = pack_sequences(df, window_tokens=8).collect()
+    assert {(r.source, r.bin_id) for r in out} == {("a", 0), ("b", 0)}
+
+
+def test_language_rebalance_rates_and_budget(spark):
+    # 'big' has 40 tokens total -> rate 0.25 with budget 10;
+    # 'small' has 5 tokens -> rate 1.0, everything kept
+    rows = [(i, "big", "w1 w2 w3 w4") for i in range(10)] + [
+        (100, "small", "w1 w2 w3 w4 w5")
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {r.lang: r for r in language_rebalance(df, budget_tokens=10).collect()}
+    assert out["small"].rate == 1.0 and out["small"].n_docs_kept == 1
+    if "big" in out:  # hash filter may keep 0 of 10 docs at rate 0.25
+        assert out["big"].rate == 0.25
+        assert out["big"].n_docs_kept < 10
+
+
+def test_quantize_embeddings_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert set(out) == {1}  # all-zero vector dropped by the maxabs>0 guard
+    r = out[1]
+    scale = 1.0 / 127.0
+    assert r.scale == round(scale, 9)
+    # q = floor(x/scale + 0.5): 127, -63 (floor(-63.0)), 32, 0
+    assert r.q_max == 127
+    assert r.q_sum == 127 + math.floor(-0.5 / scale + 0.5) + 32 + 0
+
+
+def test_source_overlap_counts_cross_source_dups(spark):
+    rows = [
+        (1, "web", "same text"),
+        (2, "books", "same text"),
+        (3, "web", "same text"),
+        (4, "books", "unique text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {
+        (r.source_a, r.source_b): (r.n_pairs, r.n_fingerprints)
+        for r in source_overlap(df).collect()
+    }
+    # pairs by doc order: (1,2) web-books, (1,3) web-web, (2,3) books-web
+    assert out[("web", "books")] == (1, 1)
+    assert out[("web", "web")] == (1, 1)
+    assert out[("books", "web")] == (1, 1)
