@@ -208,3 +208,66 @@ def source_overlap(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("fingerprint").alias("n_fingerprints"),
     )
+
+
+def curation_pipeline(
+    df: DataFrame,
+    min_tokens: int = 10,
+    n: int = NGRAM_N,
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end corpus curation: quality gate → exact dedupe (keep min
+    id) → benchmark decontamination → deterministic split assignment →
+    per-(split, lang) summary.
+
+    The composition every training-data pipeline runs before tokenization,
+    as ONE lazy plan Catalyst optimizes whole (the fingerprint window and
+    the n-gram join see only quality-surviving rows; the summary sees only
+    clean rows). Benchmark = every 50th doc (the held-out eval suite);
+    those docs are excluded from the corpus and their n-grams poison any
+    doc sharing one.
+
+    Returns (split, lang, n_docs, n_tokens).
+    """
+    toks = df.select(
+        "doc_id",
+        "lang",
+        F.col(text_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
+    )
+    quality = toks.filter(F.col("n_tokens") >= min_tokens)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        quality.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    corpus = deduped.filter(F.col("doc_id") % 50 != 0)
+    bench = df.filter(F.col("doc_id") % 50 == 0)
+    flagged = (
+        ngram_rows(corpus.select("doc_id", text_col), n)
+        .join(
+            F.broadcast(ngram_rows(bench, n).select("ngram").distinct()),
+            "ngram",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    clean = corpus.join(flagged, "doc_id", "left_anti")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        clean.select("lang", "n_tokens", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )

@@ -1234,3 +1234,70 @@ def q74_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = _t(spark, sf_dir, "documents")
     return source_overlap(documents)
+
+
+@register(
+    "q75_curation_pipeline",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+               AS n_tokens,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS fingerprint
+      FROM documents
+    ), quality AS (
+      SELECT * FROM toks WHERE n_tokens >= 10
+    ), deduped AS (
+      SELECT * FROM quality
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+    ), corpus AS (
+      SELECT * FROM deduped WHERE doc_id % 50 <> 0
+    ), split_toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM corpus
+    ), corpus_grams AS (
+      SELECT doc_id, array_to_string(t[i:i+12], ' ') AS ngram
+      FROM split_toks, UNNEST(range(1, len(t) - 11)) AS r(i)
+      WHERE len(t) >= 13
+    ), bench_grams AS (
+      SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS ngram
+      FROM (
+        SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                            ' ') AS t
+        FROM documents WHERE doc_id % 50 = 0
+      ), UNNEST(range(1, len(t) - 11)) AS r(i)
+      WHERE len(t) >= 13
+    ), flagged AS (
+      SELECT DISTINCT c.doc_id
+      FROM corpus_grams c JOIN bench_grams b USING (ngram)
+    ), clean AS (
+      SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT lang, n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INT)
+               % 100 AS bucket
+      FROM clean
+    )
+    GROUP BY 1, 2
+    """,
+    doc="FLAGSHIP curation pipeline — quality gate (>=10 tokens) -> exact "
+    "dedupe (keep min id per fingerprint) -> benchmark decontamination "
+    "(13-gram overlap vs every-50th-doc held-out set) -> deterministic "
+    "80/10/10 split -> per-(split, lang) doc/token summary, composed as "
+    "ONE lazy plan (operators/curation.py:curation_pipeline)",
+)
+def q75_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.curation import curation_pipeline
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return curation_pipeline(documents)

@@ -116,3 +116,25 @@ def test_source_overlap_counts_cross_source_dups(spark):
     assert out[("web", "books")] == (1, 1)
     assert out[("web", "web")] == (1, 1)
     assert out[("books", "web")] == (1, 1)
+
+
+def test_curation_pipeline_each_stage_drops_the_right_docs(spark):
+    from salesanalytics_etl_spark.operators.curation import curation_pipeline
+
+    filler = " ".join(f"w{i}" for i in range(15))  # 15 unique tokens
+    bench_text = " ".join(f"b{i}" for i in range(13))  # benchmark 13-gram
+    rows = [
+        (1, "en", filler),                      # kept
+        (2, "en", filler),                      # exact dup of 1 -> dropped
+        (3, "en", "too short"),                 # quality-gated
+        (4, "en", "lead in " + bench_text),     # contaminated -> dropped
+        (50, "en", bench_text),                 # benchmark doc -> excluded
+        (6, "de", filler + " extra token"),     # kept
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = curation_pipeline(df, min_tokens=10)
+    kept = {(r.split, r.lang): (r.n_docs, r.n_tokens) for r in out.collect()}
+    # survivors: doc 1 (en, 15 tokens) and doc 6 (de, 17 tokens)
+    assert sum(n for n, _ in kept.values()) == 2
+    assert {lang for _, lang in kept} == {"en", "de"}
+    assert sum(t for _, t in kept.values()) == 15 + 17
