@@ -271,3 +271,57 @@ def curation_pipeline(
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+def incremental_dedupe(
+    corpus: DataFrame, batch: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Daily-ingest dedup: keep batch docs that are new BOTH within the
+    batch (min doc_id per fingerprint wins) and against the existing
+    corpus (anti-join on fingerprint).
+
+    Returns the kept (doc_id, fingerprint) rows. Two shuffles on the
+    16-byte fingerprint key — at 100 TB the corpus side is a pre-computed
+    fingerprint index (16 bytes/doc), not a rescan of the corpus text;
+    the anti-join is the standard "have we seen this document before"
+    membership check.
+    """
+    fp = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    batch_fp = batch.select("doc_id", fp)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    batch_unique = (
+        batch_fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    corpus_fp = corpus.select(fp)
+    return batch_unique.join(corpus_fp, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
+
+
+def label_centroids(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dim).
+
+    posexplode → groupBy(label, dim): the shuffle key count is
+    |labels|·dims, independent of corpus size, and partial sums combine
+    map-side. Each float is cast to DECIMAL(27,10) before summing so the
+    accumulation is EXACT and order-insensitive (double summation order
+    varies with partitioning and would flap the gate hash); the mean is
+    emitted as a rounded double.
+    """
+    exploded = spread_partitions(
+        df.select("label", vec_col), by="label"
+    ).select(
+        "label", F.posexplode(vec_col).alias("dim", "x")
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.round(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(27,10)"))
+                / F.count(F.lit(1))
+            ).cast("double"),
+            6,
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )

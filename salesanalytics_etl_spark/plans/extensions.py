@@ -1301,3 +1301,59 @@ def q75_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = _t(spark, sf_dir, "documents")
     return curation_pipeline(documents)
+
+
+@register(
+    "q76_incremental_dedupe",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS fingerprint,
+             doc_id % 10 = 7 AS is_batch
+      FROM documents
+    ), batch_unique AS (
+      SELECT doc_id, fingerprint FROM fp WHERE is_batch
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+    )
+    SELECT b.doc_id, b.fingerprint
+    FROM batch_unique b
+    LEFT JOIN (SELECT DISTINCT fingerprint FROM fp WHERE NOT is_batch) c
+      USING (fingerprint)
+    WHERE c.fingerprint IS NULL
+    """,
+    doc="incremental ingest dedup: batch docs (every doc_id%10=7) kept "
+    "only if unseen within the batch AND absent from the existing corpus "
+    "— window keep-min + fingerprint anti-join, the daily-ingest "
+    "membership check (operators/curation.py:incremental_dedupe)",
+)
+def q76_incremental_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.curation import incremental_dedupe
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    batch = documents.filter(F.col("doc_id") % 10 == 7)
+    corpus = documents.filter(F.col("doc_id") % 10 != 7)
+    return incremental_dedupe(corpus, batch)
+
+
+@register(
+    "q77_label_centroids",
+    oracle="""
+    SELECT label, CAST(r.i - 1 AS INT) AS dim,
+           ROUND(CAST(SUM(CAST(CAST(embedding[r.i] AS DOUBLE)
+                               AS DECIMAL(27,10)))
+                      AS DOUBLE) / COUNT(*), 6) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+    GROUP BY 1, 2
+    """,
+    doc="per-label embedding centroids as (label, dim) rows: posexplode + "
+    "groupBy — shuffle keyed on |labels|*dims regardless of corpus size; "
+    "decimal accumulation keeps the float sum exact and order-insensitive "
+    "(operators/curation.py:label_centroids)",
+)
+def q77_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.curation import label_centroids
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return label_centroids(embeddings)

@@ -138,3 +138,37 @@ def test_curation_pipeline_each_stage_drops_the_right_docs(spark):
     assert sum(n for n, _ in kept.values()) == 2
     assert {lang for _, lang in kept} == {"en", "de"}
     assert sum(t for _, t in kept.values()) == 15 + 17
+
+
+def test_incremental_dedupe_batch_and_corpus_rules(spark):
+    from salesanalytics_etl_spark.operators.curation import incremental_dedupe
+
+    corpus = spark.createDataFrame(
+        [(1, "existing document text")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "brand new text"),
+            (11, "brand new text"),         # within-batch dup of 10
+            (12, "existing document text"), # already in corpus
+            (13, "another new text"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r.doc_id for r in incremental_dedupe(corpus, batch).collect()}
+    assert kept == {10, 13}
+
+
+def test_label_centroids_exact_means(spark):
+    from salesanalytics_etl_spark.operators.curation import label_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 6.0]), (1, [10.0, -10.0])],
+        ["label", "embedding"],
+    )
+    out = {(r.label, r.dim): (r.centroid, r.n_vecs)
+           for r in label_centroids(df).collect()}
+    assert out[(0, 0)] == (2.0, 2)
+    assert out[(0, 1)] == (4.0, 2)
+    assert out[(1, 0)] == (10.0, 1)
+    assert out[(1, 1)] == (-10.0, 1)
