@@ -76,11 +76,11 @@ def decontaminate(
         .select(F.col("doc_id").alias("bench_id"), "ngram")
         .distinct()
     )
-    hits = (
-        ngram_rows(corpus, n)
-        .distinct()
-        .join(bench, "ngram")
-    )
+    # no distinct on the corpus stream: the broadcast join filters it down
+    # to contaminated hits FIRST (a distinct-before-join would shuffle the
+    # entire corpus n-gram stream — the largest dataset in the plan), and
+    # countDistinct dedups repeated (doc, ngram) hits in the aggregation
+    hits = ngram_rows(corpus, n).join(bench, "ngram")
     return hits.groupBy("doc_id").agg(
         F.countDistinct("ngram").alias("n_hit_ngrams"),
         F.countDistinct("bench_id").alias("n_bench_docs"),
