@@ -1357,3 +1357,66 @@ def q77_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     return label_centroids(embeddings)
+
+
+@register(
+    "q78_regional_supplier_revenue",
+    oracle="""
+    SELECT n_name,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+             AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-shaped local-supplier revenue: 6-table snowflake join "
+    "(region->nation->supplier + customer->orders->lineitem, co-nation "
+    "residual) — dims broadcast in a chain, facts shuffle once on the "
+    "join key; date filter pushed to the orders scan",
+)
+def q78_regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182, money_out
+
+    customer, orders, lineitem, supplier, nation, region = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+        "nation", "region",
+    )
+    asia_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    revenue = dec182("l_extendedprice") * (F.lit(1) - dec182("l_discount"))
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        # customer is NOT broadcast-hinted: at 100 TB it's ~1.5B rows — a
+        # shuffle join on c_custkey is the honest plan (AQE will still
+        # broadcast it at small SFs where it fits)
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(money_out(F.sum(revenue), 4).alias("revenue"))
+    )
