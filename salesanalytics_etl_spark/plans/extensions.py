@@ -1420,3 +1420,69 @@ def q78_regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("n_name")
         .agg(money_out(F.sum(revenue), 4).alias("revenue"))
     )
+
+
+@register(
+    "q79_rolling_7day_sales",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS order_date,
+             date_diff('day', DATE '1995-01-01', CAST(o.o_orderdate AS DATE))
+               AS day_no,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS day_sales_dec
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT order_date,
+           ROUND(CAST(day_sales_dec AS DOUBLE), 2) AS day_sales,
+           -- exact integer-cent average with explicit half-up rounding:
+           -- floor((sum/n)+0.5) in cents == (2*sum_cents + n) // (2*n);
+           -- double round(sum/n, 2) is NOT engine-portable near half-cent
+           -- boundaries
+           CAST((2 * CAST(SUM(day_sales_dec) OVER w * 100 AS BIGINT)
+                 + COUNT(*) OVER w)
+                // (2 * COUNT(*) OVER w) AS DOUBLE) / 100.0 AS avg_7day,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_days
+    FROM daily
+    WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    doc="7-day rolling average of daily sales via a RANGE window frame "
+    "over integer day offsets (gap-aware: missing days shrink the "
+    "window, unlike a ROWS frame) — runs on the ~2.4k-row daily rollup, "
+    "so the global order is bounded, not corpus-sized",
+)
+def q79_rolling_7day_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from salesanalytics_etl_spark.functions.scalar import dec182, money_out
+
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    daily = (
+        orders.select("o_orderkey", "o_orderdate")
+        .join(
+            lineitem.select("l_orderkey", "l_extendedprice"),
+            orders.o_orderkey == lineitem.l_orderkey,
+        )
+        .groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.sum(dec182("l_extendedprice")).alias("day_sales_dec"))
+        .withColumn(
+            "day_no", F.datediff(F.col("order_date"), F.lit("1995-01-01"))
+        )
+    )
+    w = Window.orderBy("day_no").rangeBetween(-6, 0)
+    stepped = daily.select(
+        "order_date",
+        "day_sales_dec",
+        (F.sum("day_sales_dec").over(w) * 100).cast("long").alias("sum_cents"),
+        F.count(F.lit(1)).over(w).alias("n_days"),
+    )
+    # exact integer-cent half-up average — see the oracle comment
+    return stepped.select(
+        "order_date",
+        money_out(F.col("day_sales_dec")).alias("day_sales"),
+        (
+            F.expr("(2 * sum_cents + n_days) div (2 * n_days)").cast("double")
+            / 100.0
+        ).alias("avg_7day"),
+        "n_days",
+    )
