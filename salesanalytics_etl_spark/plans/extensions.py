@@ -1486,3 +1486,64 @@ def q79_rolling_7day_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_7day"),
         "n_days",
     )
+
+
+@register(
+    "q80_event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+      WHERE e.event_type = 'click' GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT CASE WHEN p.user_id IS NOT NULL THEN 'purchase'
+                WHEN c.user_id IS NOT NULL THEN 'click'
+                ELSE 'view' END AS funnel_stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    GROUP BY 1
+    """,
+    doc="ordered conversion funnel (view -> click after view -> purchase "
+    "after click): every join and aggregate keys on user_id, so one "
+    "partitioning serves the whole chain — the canonical event-funnel "
+    "shape at billions of users",
+)
+def q80_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("p_ts"))
+    )
+    stage = (
+        F.when(F.col("p_ts").isNotNull(), "purchase")
+        .when(F.col("c_ts").isNotNull(), "click")
+        .otherwise("view")
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
