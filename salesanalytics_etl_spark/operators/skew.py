@@ -53,3 +53,34 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(
         *[combiner(name, expr) for name, expr in aggs.items()]
     )
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the fact side, replicate the (small) dim
+    side once per salt, join on (key, salt).
+
+    The classic rewrite for a hot key that AQE's skew splitting can't
+    save (e.g. one mega-key holding >1 executor's worth of rows joined to
+    a dim too big to broadcast outright): each hot key's rows spread over
+    ``n_salts`` reducers instead of one. The dim side is replicated
+    n_salts× — use only when |dim| * n_salts is shuffle-affordable; for
+    broadcastable dims, ``F.broadcast`` is strictly better.
+
+    Supports inner and left joins (the fact side keeps its rows).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins only")
+    salted = facts.withColumn(
+        "_salt", F.pmod(F.xxhash64(*facts.columns), F.lit(n_salts)).cast("int")
+    )
+    replicated = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted.join(replicated, [on, "_salt"], how)
+    return out.drop("_salt")

@@ -67,3 +67,25 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
         .collect()[0]
     )
     assert (plain.n, str(plain.s)) == (bucketed.n, str(bucketed.s))
+
+
+def test_salted_join_equals_plain_join(spark):
+    from salesanalytics_etl_spark.operators.skew import salted_join
+
+    # one pathologically hot key (90% of facts) + a cold tail
+    facts = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(k, k) for k in range(2, 102)],
+        ["key", "payload"],
+    )
+    dim = spark.createDataFrame(
+        [(k, f"name{k}") for k in range(1, 60)], ["key", "name"]
+    )
+    plain = facts.join(dim, "key").select("key", "payload", "name")
+    salted = salted_join(facts, dim, "key").select("key", "payload", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+    # left join keeps unmatched facts
+    plain_l = facts.join(dim, "key", "left")
+    salted_l = salted_join(facts, dim, "key", how="left")
+    assert plain_l.count() == salted_l.count() == 1000
