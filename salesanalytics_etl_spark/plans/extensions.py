@@ -1547,3 +1547,62 @@ def q80_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("funnel_stage")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "q81_bigram_merge_candidates",
+    oracle=r"""
+    WITH toks AS (
+      SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ), pairs AS (
+      SELECT t[r.i] || ' ' || t[r.i + 1] AS pair
+      FROM toks, UNNEST(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2
+    ), counted AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM pairs GROUP BY 1
+    )
+    SELECT pair, n_occurrences, CAST(rk AS INT) AS merge_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            ORDER BY n_occurrences DESC, pair) AS rk FROM counted)
+    WHERE rk <= 20
+    """,
+    doc="BPE-style vocabulary induction, first merge step: global "
+    "adjacent-token-pair frequencies, top-20 merge candidates — one "
+    "shuffle on the pair key with map-side partials, then a bounded "
+    "top-k (TakeOrderedAndProject, no global sort of the pair table)",
+)
+def q81_bigram_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from salesanalytics_etl_spark.operators.dedup import spread_partitions
+    from salesanalytics_etl_spark.operators.text import normalize_text
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = spread_partitions(documents.select("doc_id", "text")).select(
+        F.split(normalize_text(F.col("text")), r"\s+").alias("toks")
+    )
+    pairs = toks.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat_ws(' ', element_at(toks, i), "
+                "element_at(toks, i + 1)))"
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    # top-k FIRST via TakeOrderedAndProject (per-partition top-20 merged
+    # on the driver — no global sort/window over the |vocab|-sized pair
+    # table), THEN rank the bounded 20-row survivor set
+    top = counted.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(20)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return top.select(
+        "pair",
+        "n_occurrences",
+        F.row_number().over(w).alias("merge_rank"),
+    )
