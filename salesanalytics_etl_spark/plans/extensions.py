@@ -1606,3 +1606,37 @@ def q81_bigram_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_occurrences",
         F.row_number().over(w).alias("merge_rank"),
     )
+
+
+@register(
+    "q82_approx_percentile_sketch",
+    oracle=None,
+    doc="Greenwald-Khanna approximate percentiles of per-order totals per "
+    "market segment (accuracy 10000 ≈ 0.01 rank error) — the sketch path "
+    "for 100 TB quantiles: mergeable partials, no full sort; approximate "
+    "by nature → rows-only for the gate, with the rank-error bound "
+    "asserted against exact percentiles in unit tests (q68 is the exact "
+    "twin)",
+)
+def q82_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182
+
+    customer, orders, lineitem = _t(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    per_order = (
+        lineitem.select("l_orderkey", "l_extendedprice")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+              orders.o_custkey == customer.c_custkey)
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(F.sum(dec182("l_extendedprice")).cast("double").alias("order_total"))
+    )
+    pct = F.percentile_approx("order_total", [0.5, 0.9, 0.99], 10000)
+    return per_order.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(pct[0], 2).alias("p50_approx"),
+        F.round(pct[1], 2).alias("p90_approx"),
+        F.round(pct[2], 2).alias("p99_approx"),
+    )

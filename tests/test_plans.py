@@ -124,3 +124,29 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
     for et, ex in exact.items():
         # rsd=0.02 → allow 5x slack for small-cardinality bias
         assert abs(approx[et] - ex) <= max(0.1 * ex, 5), (et, approx[et], ex)
+
+
+def test_approx_percentiles_within_rank_error(spark):
+    """GK sketch at accuracy a guarantees rank error <= n/a: the approx
+    p50 must sit between the exact p49 and p51 of a 10k-value column."""
+    from salesanalytics_etl_spark.plans.registry import all_queries
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 5).alias("g"), F.col("id").cast("double").alias("x")
+    )
+    got = df.groupBy("g").agg(
+        F.round(F.percentile_approx("x", F.lit(0.5), 10000), 2).alias("p50a"),
+        F.percentile("x", F.lit(0.49)).alias("lo"),
+        F.percentile("x", F.lit(0.51)).alias("hi"),
+    )
+    for r in got.collect():
+        assert r.lo <= r.p50a <= r.hi
+    # and the registered query itself runs with a stable shape
+    out = all_queries()["q82_approx_percentile_sketch"](
+        spark, "/root/testdata/sf0.001"
+    )
+    assert out.columns == [
+        "c_mktsegment", "n_orders", "p50_approx", "p90_approx", "p99_approx"
+    ]
+    assert out.count() > 0
