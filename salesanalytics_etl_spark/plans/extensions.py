@@ -1640,3 +1640,133 @@ def q82_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pct[1], 2).alias("p90_approx"),
         F.round(pct[2], 2).alias("p99_approx"),
     )
+
+
+@register(
+    "q83_sentence_dedup_stats",
+    oracle=r"""
+    WITH sents AS (
+      SELECT doc_id, source,
+             trim(s.sent) AS sent
+      FROM documents,
+           UNNEST(string_split(lower(text), '.')) AS s(sent)
+      WHERE length(trim(s.sent)) >= 20
+    ), fp AS (
+      SELECT doc_id, source, md5(sent) AS sent_fp FROM sents
+    ), dup AS (
+      SELECT sent_fp, CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM fp GROUP BY 1 HAVING COUNT(*) > 1
+    )
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_sentences,
+           CAST(COUNT(DISTINCT f.sent_fp) AS BIGINT) AS n_dup_groups,
+           CAST(COUNT(DISTINCT f.doc_id) AS BIGINT) AS n_docs_affected
+    FROM fp f JOIN dup d USING (sent_fp)
+    GROUP BY 1
+    """,
+    doc="sentence-level duplication per source (boilerplate detector "
+    "finer than doc-level q21): explode sentences >= 20 chars, "
+    "fingerprint, count cross-corpus repeats — shuffle on the 16-byte "
+    "sentence fingerprint, HAVING prunes unique sentences before the "
+    "stats join",
+)
+def q83_sentence_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import spread_partitions
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sents = (
+        spread_partitions(documents.select("doc_id", "source", "text"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.lower("text"), r"\.")).alias("sent"),
+        )
+        .select("doc_id", "source", F.trim("sent").alias("sent"))
+        .filter(F.length("sent") >= 20)
+        .select("doc_id", "source", F.md5("sent").alias("sent_fp"))
+    )
+    dup = (
+        sents.groupBy("sent_fp")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+    return (
+        sents.join(dup.select("sent_fp"), "sent_fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_sentences"),
+            F.countDistinct("sent_fp").alias("n_dup_groups"),
+            F.countDistinct("doc_id").alias("n_docs_affected"),
+        )
+    )
+
+
+@register(
+    "q84_split_leakage_check",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS fingerprint
+      FROM documents
+    ), assigned AS (
+      SELECT fingerprint,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                       AS INT) % 100 < 90
+                  THEN 'train' ELSE 'test' END AS id_split,
+             CASE WHEN CAST(('0x' || substr(md5(fingerprint), 1, 6))
+                       AS INT) % 100 < 90
+                  THEN 'train' ELSE 'test' END AS content_split
+      FROM fp
+    )
+    SELECT 'by_doc_id' AS split_method,
+           CAST(COUNT(*) AS BIGINT) AS n_leaking_groups
+    FROM (SELECT fingerprint FROM assigned
+          GROUP BY 1 HAVING COUNT(DISTINCT id_split) > 1)
+    UNION ALL
+    SELECT 'by_content_hash',
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT fingerprint FROM assigned
+          GROUP BY 1 HAVING COUNT(DISTINCT content_split) > 1)
+    """,
+    doc="train/test leakage audit: duplicate-content groups spanning both "
+    "splits. Splitting by doc-id hash leaks every duplicated text whose "
+    "copies land in different splits; splitting by CONTENT hash leaks "
+    "zero by construction — the invariant this query proves (and the "
+    "reason q51-style splits should key on content for duplicated "
+    "corpora)",
+)
+def q84_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.text import normalize_text
+
+    (documents,) = _t(spark, sf_dir, "documents")
+
+    def bucket(col):
+        return (
+            F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long") % 100
+        )
+
+    assigned = documents.select(
+        F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
+        F.when(
+            bucket(F.col("doc_id").cast("string")) < 90, "train"
+        ).otherwise("test").alias("id_split"),
+    ).withColumn(
+        "content_split",
+        F.when(bucket(F.col("fingerprint")) < 90, "train").otherwise("test"),
+    )
+
+    def leaking(split_col: str, label: str) -> DataFrame:
+        return (
+            assigned.groupBy("fingerprint")
+            .agg(F.countDistinct(split_col).alias("n_splits"))
+            .filter(F.col("n_splits") > 1)
+            .agg(F.count(F.lit(1)).alias("n_leaking_groups"))
+            .select(
+                F.lit(label).alias("split_method"), "n_leaking_groups"
+            )
+        )
+
+    return leaking("id_split", "by_doc_id").unionByName(
+        leaking("content_split", "by_content_hash")
+    )

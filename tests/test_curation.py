@@ -172,3 +172,27 @@ def test_label_centroids_exact_means(spark):
     assert out[(0, 1)] == (4.0, 2)
     assert out[(1, 0)] == (10.0, 1)
     assert out[(1, 1)] == (-10.0, 1)
+
+
+def test_split_leakage_id_hash_leaks_content_hash_never(spark, tmp_path):
+    """Duplicate text on doc ids 1 (train bucket) and 2 (test bucket):
+    id-hash splitting leaks the pair across splits; content-hash
+    splitting cannot, by construction."""
+    from salesanalytics_etl_spark.plans.registry import all_queries
+
+    rows = [
+        (1, "en", "web", "identical duplicated document text", 34),
+        (2, "en", "web", "identical duplicated document text", 34),
+        (3, "en", "web", "some other unique document text", 31),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "lang", "source", "text", "n_chars"]
+    )
+    d = str(tmp_path / "docs")
+    df.write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = {
+        r.split_method: r.n_leaking_groups
+        for r in all_queries()["q84_split_leakage_check"](spark, d).collect()
+    }
+    assert out["by_doc_id"] == 1
+    assert out["by_content_hash"] == 0
