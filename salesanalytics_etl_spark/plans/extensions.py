@@ -1770,3 +1770,20 @@ def q84_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leaking("id_split", "by_doc_id").unionByName(
         leaking("content_split", "by_content_hash")
     )
+
+
+@register(
+    "q85_compression_quality",
+    oracle=None,
+    doc="deflate-compressibility quality signal (compressed/raw ratio of "
+    "normalized text): catches long-range repetition the regex heuristics "
+    "can't; Arrow-batched pandas UDF (the sanctioned Python boundary — "
+    "zlib has no SQL twin, hence rows-only), deterministic at pinned "
+    "level 6; value behavior pinned by unit tests on planted "
+    "repetitive/random docs (operators/text.py:compression_ratio)",
+)
+def q85_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.text import compression_ratio
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return compression_ratio(documents)

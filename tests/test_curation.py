@@ -196,3 +196,21 @@ def test_split_leakage_id_hash_leaks_content_hash_never(spark, tmp_path):
     }
     assert out["by_doc_id"] == 1
     assert out["by_content_hash"] == 0
+
+
+def test_compression_ratio_separates_boilerplate_from_entropy(spark):
+    import zlib
+
+    from salesanalytics_etl_spark.operators.text import compression_ratio
+
+    rep = "spam " * 400                      # long-range repetition
+    uniq = " ".join(f"tok{i}x{i*7%13}" for i in range(400))
+    rows = [(1, rep), (2, uniq)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in compression_ratio(df).collect()}
+    assert out[1].compress_ratio < 0.05      # boilerplate crushes
+    assert out[2].compress_ratio > out[1].compress_ratio * 5
+    # deterministic: matches a direct zlib call on the normalized text
+    norm = rep.strip()
+    want = round(len(zlib.compress(norm.encode(), 6)) / len(norm.encode()), 6)
+    assert out[1].compress_ratio == want
