@@ -1787,3 +1787,89 @@ def q85_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = _t(spark, sf_dir, "documents")
     return compression_ratio(documents)
+
+
+@register(
+    "q86_bm25_search",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, t.term
+      FROM n, UNNEST(string_split(n.norm, ' ')) AS t(term)
+      WHERE length(t.term) > 0
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), q AS (
+      SELECT UNNEST(['data', 'quality', 'pipeline']) AS term
+    ), scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+             ) AS score
+      FROM tf
+      JOIN q USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY 1
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25
+    FROM scored
+    ORDER BY ROUND(score, 6) DESC, doc_id
+    LIMIT 10
+    """,
+    doc="BM25 retrieval (k1=1.2, b=0.75) for the query "
+    "['data','quality','pipeline']: tf/df/doclen computed distributed, "
+    "query terms + corpus stats broadcast (3-row and 1-row builds), "
+    "bounded top-10 via TakeOrderedAndProject; ties broken on doc_id "
+    "over the ROUNDED score so ordering is engine-identical",
+)
+def q86_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.text import _token_rows
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = _token_rows(documents)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = spark.createDataFrame(
+        [("data",), ("quality",), ("pipeline",)], ["term"]
+    )
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    bm25_term = idf * (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    # df restricted to the query terms: a |query|-row broadcast that both
+    # filters the tf stream and carries the df needed for idf
+    query_df = F.broadcast(dfreq.join(F.broadcast(q), "term"))
+    scored = (
+        tf.join(query_df, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(bm25_term).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
