@@ -31,17 +31,26 @@ def write_rejects(df: DataFrame, rejects_dir: str, name: str) -> int:
     return n
 
 
-def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
-    """Overwrite-write a managed parquet table.
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Overwrite-write a managed columnar table (parquet or orc).
 
     ``partition_by`` is the scale lever: the reference's
     ``IX_Orders_OrderDate`` index (schema_sales_analytics.sql:72) becomes
-    date-partitioned parquet so date-range queries prune partitions.
+    date-partitioned files so date-range queries prune partitions. Both
+    formats get predicate pushdown + column pruning from Catalyst; orc is
+    offered for warehouses standardized on it (Hive heritage).
     """
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported table format: {fmt}")
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(path)
+    w.format(fmt).save(path)
 
 
 def compact_parquet(spark, src: str, dst: str, n_files: int) -> int:

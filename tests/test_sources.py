@@ -74,3 +74,37 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # correctness of the pruned read
     expect = dated.filter(F.col("order_dt") == F.lit(some_day)).count()
     assert q.count() == expect
+
+
+def test_orc_round_trip_preserves_rows_and_pushdown(spark, sf_dir, tmp_path):
+    from salesanalytics_etl_spark.sources.readers import load_driver_tables
+    from salesanalytics_etl_spark.sources.writers import write_table
+
+    orders = load_driver_tables(spark, sf_dir, ["orders"])["orders"]
+    path = str(tmp_path / "orders_orc")
+    write_table(orders, path, fmt="orc")
+    back = spark.read.orc(path)
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+    # predicate pushdown reaches the ORC scan
+    plan = (
+        back.filter("o_orderkey = 1")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)]" in plan
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Lakehouse schema evolution: adding a column to later files is
+    readable with mergeSchema; old rows surface NULL for the new column
+    (the coerce-don't-crash stance applied to layout drift)."""
+    base = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], ["id", "v"]).write.parquet(base + "/p1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "v", "score"]
+    ).write.parquet(base + "/p2")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        base + "/p1", base + "/p2"
+    )
+    rows = {r.id: (r.v, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
