@@ -81,7 +81,9 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_id(
+    df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """N-gram/stopword language-ID heuristic.
 
     CJK characters dominate → 'zh'; otherwise the language whose stopword
@@ -105,7 +107,9 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     pred = F.when(cjk > 0, F.lit("zh")).otherwise(
         F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
     )
-    return df.select("doc_id", pred.alias("lang_pred"))
+    # `keep` passes metadata columns through the same projection so
+    # consumers (e.g. the q88 confusion matrix) never need a self-join
+    return df.select("doc_id", *keep, pred.alias("lang_pred"))
 
 
 def chunk_documents(

@@ -1906,3 +1906,48 @@ def q87_stratified_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 25)
         .select("source", "doc_id")
     )
+
+
+@register(
+    "q88_lang_metadata_agreement",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id, lang, source,
+             len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\b(el|la|los|las|de|que|y)\b')) AS s_es,
+             len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|est|une)\b')) AS s_fr,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS s_de
+      FROM documents
+    ), pred AS (
+      SELECT lang AS lang_declared,
+             CASE WHEN cjk > 0 THEN 'zh'
+                  WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'und'
+                  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                  WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                  WHEN s_fr >= s_de THEN 'fr'
+                  ELSE 'de' END AS lang_detected
+      FROM s
+    )
+    SELECT lang_declared, lang_detected,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """,
+    doc="metadata-vs-content language confusion matrix: declared `lang` "
+    "column against the q24 detector — the DQ audit that catches "
+    "mislabeled-metadata corpora before they skew per-language budgets "
+    "(q72) and splits; |langs|^2-bounded output",
+)
+def q88_lang_metadata_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.text import lang_id
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pred = lang_id(documents, keep=("lang",))
+    return (
+        pred.select(
+            F.col("lang").alias("lang_declared"),
+            F.col("lang_pred").alias("lang_detected"),
+        )
+        .groupBy("lang_declared", "lang_detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
