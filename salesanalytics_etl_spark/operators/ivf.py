@@ -155,3 +155,44 @@ def cosine_topk_ivf(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def assign_clusters(
+    spark,
+    cache_key: str,
+    corpus: DataFrame,
+    n_clusters: int = N_CLUSTERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-assign every vector to its nearest quantizer centroid.
+
+    Returns the corpus columns + (cluster, centroid_sim). Reuses the
+    sample-fit, per-(application, cache_key) cached centroids — the same
+    quantizer the IVF search path probes, so cluster profiles and ANN
+    share one model. One Arrow-batched matmul per batch, no shuffle.
+    """
+
+    centroids = _fit_centroids(
+        spark, corpus, id_col, vec_col, n_clusters, cache_key
+    )
+
+    @F.pandas_udf("cluster int, centroid_sim double")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"cluster": [], "centroid_sim": []})
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        mat = mat / np.where(norms == 0, 1.0, norms)
+        sims = mat @ centroids.T
+        best = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": best.astype(np.int32),
+                "centroid_sim": sims[np.arange(len(best)), best],
+            }
+        )
+
+    return corpus.withColumn("_a", assign(F.col(vec_col))).select(
+        *corpus.columns, "_a.cluster", "_a.centroid_sim"
+    )

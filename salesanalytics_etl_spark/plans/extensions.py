@@ -1951,3 +1951,36 @@ def q88_lang_metadata_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_declared", "lang_detected")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "q89_embedding_cluster_stats",
+    oracle=None,
+    doc="KMeans(16) cluster profile of the embedding corpus: per-cluster "
+    "size, mean intra-cluster cosine to the centroid, and dominant label "
+    "— reuses the IVF coarse quantizer (sample-fit, cached per app/dir); "
+    "iterative fit -> rows-only for the gate, semantics pinned by the "
+    "IVF planted-cluster unit tests",
+)
+def q89_embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from salesanalytics_etl_spark.operators.ivf import assign_clusters
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    assigned = assign_clusters(spark, sf_dir, embeddings)
+    per_cluster_label = (
+        assigned.groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
+    dominant = (
+        per_cluster_label.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("label").alias("dominant_label"))
+    )
+    stats = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("centroid_sim"), 6).alias("mean_centroid_sim"),
+    )
+    return stats.join(F.broadcast(dominant), "cluster")

@@ -64,3 +64,24 @@ def compact_parquet(spark, src: str, dst: str, n_files: int) -> int:
     df = spark.read.parquet(src)
     df.repartition(n_files).write.mode("overwrite").parquet(dst)
     return spark.read.parquet(dst).count()
+
+
+def backfill_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Reprocess-and-replace ONLY the partitions present in ``df``
+    (dynamic partition overwrite) — the lakehouse backfill primitive.
+
+    Static overwrite would drop every other partition of the table; the
+    dynamic mode rewrites just the touched dates, so a late-data
+    reprocess of one day never disturbs the rest of a 100 TB table. The
+    session config is set per-write and restored (it's a global knob).
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(key, prev)

@@ -108,3 +108,35 @@ def test_schema_evolution_merge(spark, tmp_path):
     )
     rows = {r.id: (r.v, r.score) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_backfill_rewrites_only_touched_partitions(spark, tmp_path):
+    from salesanalytics_etl_spark.sources.writers import (
+        backfill_partitions,
+        write_table,
+    )
+
+    path = str(tmp_path / "daily")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-02", 2, 20.0),
+         ("2024-01-03", 3, 30.0)],
+        ["day", "k", "v"],
+    )
+    write_table(base, path, partition_by=["day"])
+
+    # backfill day 2 with corrected rows; days 1 and 3 must survive
+    fix = spark.createDataFrame(
+        [("2024-01-02", 2, 99.0), ("2024-01-02", 4, 44.0)],
+        ["day", "k", "v"],
+    )
+    backfill_partitions(fix, path, partition_by=["day"])
+    # partition values are type-inferred on read → day comes back DATE
+    got = {
+        (str(r.day), r.k): r.v for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("2024-01-01", 1): 10.0,
+        ("2024-01-02", 2): 99.0,
+        ("2024-01-02", 4): 44.0,
+        ("2024-01-03", 3): 30.0,
+    }
