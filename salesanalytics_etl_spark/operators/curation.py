@@ -294,7 +294,14 @@ def incremental_dedupe(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    corpus_fp = corpus.select(fp)
+    # a corpus that already carries a fingerprint column IS the index —
+    # never re-hash stored text (per-batch cost must be O(index), and a
+    # streaming caller's accumulated corpus would otherwise be re-read
+    # and re-hashed in full every micro-batch)
+    if "fingerprint" in corpus.columns:
+        corpus_fp = corpus.select("fingerprint")
+    else:
+        corpus_fp = corpus.select(fp)
     return batch_unique.join(corpus_fp, "fingerprint", "left_anti").select(
         "doc_id", "fingerprint"
     )
@@ -310,8 +317,12 @@ def label_centroids(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     varies with partitioning and would flap the gate hash); the mean is
     emitted as a rounded double.
     """
+    # round-robin spread (by=None): hash-partitioning by the
+    # low-cardinality label would CONCENTRATE the explode onto |labels|
+    # tasks; order-insensitive decimal accumulation downstream makes the
+    # nondeterministic row placement harmless
     exploded = spread_partitions(
-        df.select("label", vec_col), by="label"
+        df.select("label", vec_col), by=None
     ).select(
         "label", F.posexplode(vec_col).alias("dim", "x")
     )

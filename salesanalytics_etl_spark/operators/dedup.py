@@ -51,9 +51,9 @@ def exact_dedupe(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def spread_partitions(df: DataFrame, by: str = "doc_id") -> DataFrame:
-    """Hash-repartition up to the session's parallelism when the input has
-    fewer partitions than cores.
+def spread_partitions(df: DataFrame, by: str | None = "doc_id") -> DataFrame:
+    """Repartition up to the session's parallelism when the input scan
+    has fewer files than cores.
 
     Explode-heavy operators multiply row counts 100-1000×; if the corpus
     arrives as a handful of parquet splits (small files, coalesced scans),
@@ -61,12 +61,19 @@ def spread_partitions(df: DataFrame, by: str = "doc_id") -> DataFrame:
     cluster is. One cheap shuffle of the *compact* pre-explosion rows buys
     full parallelism downstream (measured 7.2s → 1.2s on the signature
     stage at sf0.1, whose single 15 MB file plans as one task). No-op when
-    the source is already wide (the 100 TB case)."""
+    the source is already wide (the 100 TB case).
+
+    The width probe is ``inputFiles()`` — pure plan metadata. (An earlier
+    version checked ``df.rdd.getNumPartitions()``, which under AQE
+    finalizes the adaptive plan and EXECUTES upstream shuffle stages at
+    DataFrame-construction time — a silent whole-stage recompute per
+    call.) ``by=None`` round-robins instead of hash-partitioning — use it
+    when no high-cardinality key survives the projection."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, by)
-    return df
+    if len(df.inputFiles()) >= target:
+        return df
+    return df.repartition(target, by) if by else df.repartition(target)
 
 
 def shingle_rows(

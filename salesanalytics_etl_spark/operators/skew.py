@@ -76,8 +76,14 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins only")
+    # per-ROW salt, not a hash of the row's columns: identical hot-key
+    # rows (duplicate impressions etc.) would all hash to one salt and
+    # defeat the spreading exactly when it matters. The salt value is
+    # allowed to differ across retries — every salt joins the same
+    # replicated dim rows, so the result is unaffected.
     salted = facts.withColumn(
-        "_salt", F.pmod(F.xxhash64(*facts.columns), F.lit(n_salts)).cast("int")
+        "_salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
     )
     replicated = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -328,7 +328,9 @@ def compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
     def _ratio(texts: pandas.Series) -> pandas.Series:  # noqa: UP037
         import zlib
 
-        def one(t: str) -> float:
+        def one(t: str | None) -> float | None:
+            if t is None:  # null-propagate like every built-in text op
+                return None
             raw = t.encode("utf-8")
             if not raw:
                 return 1.0

@@ -1401,13 +1401,15 @@ def q78_regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        # supplier and customer are NOT broadcast-hinted: both scale with
+        # SF (~100M / ~1.5B rows at the 100 TB point) — shuffle joins are
+        # the honest plan, and AQE still broadcasts them at small SFs
+        # where they fit. Only nation/region (25 / 5 rows, fixed) carry
+        # hard broadcast hints.
         .join(
-            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            supplier.select("s_suppkey", "s_nationkey"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
-        # customer is NOT broadcast-hinted: at 100 TB it's ~1.5B rows — a
-        # shuffle join on c_custkey is the honest plan (AQE will still
-        # broadcast it at small SFs where it fits)
         .join(
             customer.select("c_custkey", "c_nationkey"),
             (F.col("o_custkey") == F.col("c_custkey"))

@@ -49,10 +49,19 @@ class CurationIngestSink:
         quality = batch.filter(
             token_count(F.col("text")) >= self.min_tokens
         ).select("doc_id", "lang", "text")
-        kept = incremental_dedupe(self.current(), quality)
-        out = quality.join(kept.select("doc_id", "fingerprint"), "doc_id")
-        if out.take(1):
-            out.write.mode("append").parquet(self.table_dir)
+        # pass ONLY the stored fingerprint column as the corpus side:
+        # incremental_dedupe then anti-joins against the 16-byte index
+        # instead of re-reading + re-hashing all accepted text per batch
+        index = self.current().select("fingerprint")
+        kept = incremental_dedupe(index, quality)
+        out = quality.join(
+            kept.select("doc_id", "fingerprint"), "doc_id"
+        ).persist()  # consumed twice: emptiness probe + write
+        try:
+            if out.take(1):
+                out.write.mode("append").parquet(self.table_dir)
+        finally:
+            out.unpersist()
 
     def attach(self, stream: DataFrame, checkpoint: str):
         """Start the ingest; returns the StreamingQuery (caller awaits)."""

@@ -143,9 +143,9 @@ def test_approx_percentiles_within_rank_error(spark):
     for r in got.collect():
         assert r.lo <= r.p50a <= r.hi
     # and the registered query itself runs with a stable shape
-    out = all_queries()["q82_approx_percentile_sketch"](
-        spark, "/root/testdata/sf0.001"
-    )
+    from tests.conftest import SF_DIR
+
+    out = all_queries()["q82_approx_percentile_sketch"](spark, SF_DIR)
     assert out.columns == [
         "c_mktsegment", "n_orders", "p50_approx", "p90_approx", "p99_approx"
     ]
