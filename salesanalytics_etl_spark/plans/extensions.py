@@ -1986,3 +1986,56 @@ def q89_embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("centroid_sim"), 6).alias("mean_centroid_sim"),
     )
     return stats.join(F.broadcast(dominant), "cluster")
+
+
+@register(
+    "q90_weighted_priority_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+               AS n_tokens,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INT)
+              % 10000 + 1) / 10001.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           ROUND(-ln(u) / n_tokens, 6) AS priority
+    FROM w
+    WHERE n_tokens > 0
+    ORDER BY ROUND(-ln(u) / n_tokens, 6), doc_id
+    LIMIT 50
+    """,
+    doc="deterministic weighted sampling (Efraimidis-Spirakis priority "
+    "sampling, probability ~ token count): u drawn from a content hash "
+    "(never rand()), priority -ln(u)/w, bottom-50 via "
+    "TakeOrderedAndProject — weighted corpus subsampling that is "
+    "reproducible across runs, engines, and retries; ties broken on "
+    "doc_id over the ROUNDED priority",
+)
+def q90_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.text import token_count
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    u = (
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+            ).cast("long")
+            % 10000
+            + 1
+        )
+        / 10001.0
+    )
+    w = documents.select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        u.alias("u"),
+    ).filter(F.col("n_tokens") > 0)
+    pri = F.round(-F.log(F.col("u")) / F.col("n_tokens"), 6)
+    return (
+        w.select("doc_id", "lang", "n_tokens", pri.alias("priority"))
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .limit(50)
+    )

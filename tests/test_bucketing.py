@@ -72,9 +72,11 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
 def test_salted_join_equals_plain_join(spark):
     from salesanalytics_etl_spark.operators.skew import salted_join
 
-    # one pathologically hot key (90% of facts) + a cold tail
+    # one pathologically hot key (90% of facts) + a cold tail; the hot
+    # rows are IDENTICAL — the case a column-hash salt would collapse
+    # onto one reducer (regression for the per-row salt fix)
     facts = spark.createDataFrame(
-        [(1, i) for i in range(900)] + [(k, k) for k in range(2, 102)],
+        [(1, 7) for _ in range(900)] + [(k, k) for k in range(2, 102)],
         ["key", "payload"],
     )
     dim = spark.createDataFrame(

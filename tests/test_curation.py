@@ -214,3 +214,13 @@ def test_compression_ratio_separates_boilerplate_from_entropy(spark):
     norm = rep.strip()
     want = round(len(zlib.compress(norm.encode(), 6)) / len(norm.encode()), 6)
     assert out[1].compress_ratio == want
+
+
+def test_compression_ratio_null_text_propagates(spark):
+    from salesanalytics_etl_spark.operators.text import compression_ratio
+
+    df = spark.createDataFrame(
+        [(1, "some real text here"), (2, None)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.compress_ratio for r in compression_ratio(df).collect()}
+    assert out[2] is None and out[1] is not None
