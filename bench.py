@@ -50,16 +50,28 @@ def main() -> None:
         except Exception as ex:  # one broken query must not zero the round
             errors[name] = f"{type(ex).__name__}: {ex}"[:200]
 
+    # The driver parses this line from a bounded tail of stdout (~2000
+    # chars), so the line must stay short: keys are compacted to the qNN
+    # prefix, times to 2 decimals, separators minimal. (Rounds 2-3 emitted
+    # full names for 90 queries → >2000 chars → the driver recorded
+    # ``parsed: null``.)
+    short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
     out = {
         "metric": "total_query_wall_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": short,
         "sf": sf,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        out["errors"] = {
+            name.split("_", 1)[0]: msg[:40] for name, msg in list(errors.items())[:5]
+        }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # last-resort guard: drop per-query detail, keep total
+        out.pop("queries", None)
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -162,19 +162,30 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     expressions — zero shuffle, zero Python; 4x memory reduction is the
     point at 100 TB of embeddings.
     """
-    emb = f"transform({vec_col}, v -> CAST(v AS DOUBLE))"
-    maxabs = f"array_max(transform({emb}, v -> abs(v)))"
-    scale = f"({maxabs} / 127.0D)"
-    q = f"transform({emb}, v -> CAST(floor(v / {scale} + 0.5D) AS INT))"
-    sq_err = (
-        f"aggregate({emb}, 0.0D, (acc, v) -> "
-        f"acc + pow(v - floor(v / {scale} + 0.5D) * {scale}, 2))"
+    # Stage the per-row scalars as real columns so each is computed ONCE per
+    # vector. (The first version textually inlined the `scale` fragment —
+    # itself an array_max over the vector — inside the per-element lambdas,
+    # which codegen evaluates per element: O(d²) work per row, ~7s of the
+    # sf0.1 bench. Outer-column references inside higher-order-function
+    # lambdas keep it O(d).)
+    staged = (
+        df.withColumn("_emb", F.expr(f"transform({vec_col}, v -> CAST(v AS DOUBLE))"))
+        .withColumn("_maxabs", F.expr("array_max(transform(_emb, v -> abs(v)))"))
+        .filter(F.col("_maxabs") > 0)
+        .withColumn("_scale", F.expr("_maxabs / 127.0D"))
+        .withColumn(
+            "_q", F.expr("transform(_emb, v -> CAST(floor(v / _scale + 0.5D) AS INT))")
+        )
     )
-    return df.filter(F.expr(f"{maxabs} > 0")).select(
+    sq_err = (
+        "aggregate(_emb, 0.0D, (acc, v) -> "
+        "acc + pow(v - floor(v / _scale + 0.5D) * _scale, 2))"
+    )
+    return staged.select(
         "vec_id",
-        F.round(F.expr(scale), 9).alias("scale"),
-        F.expr(f"aggregate({q}, 0L, (acc, v) -> acc + v)").alias("q_sum"),
-        F.expr(f"array_max({q})").alias("q_max"),
+        F.round(F.col("_scale"), 9).alias("scale"),
+        F.expr("aggregate(_q, 0L, (acc, v) -> acc + v)").alias("q_sum"),
+        F.expr("array_max(_q)").alias("q_max"),
         F.round(F.expr(f"sqrt({sq_err} / size({vec_col}))"), 6).alias("rmse"),
     )
 

@@ -138,12 +138,24 @@ def read_jsonl(
 
 
 def nanos_to_timestamp(df: DataFrame, col: str) -> DataFrame:
-    """Parquet TIMESTAMP(NANOS) read as long (legacy nanosAsLong): truncate
-    to micros with exact integer division (DIV, not ``/`` — double loses
-    precision above 2^53) — matches how micro-precision engines (DuckDB)
-    read the same file. No-op when the column is already a timestamp."""
-    if isinstance(df.schema[col].dataType, T.LongType):
+    """Normalize an event-time column to TIMESTAMP (LTZ) however the parquet
+    encoded it:
+
+    - TIMESTAMP(NANOS) read as long (legacy nanosAsLong): truncate to micros
+      with exact integer division (DIV, not ``/`` — double loses precision
+      above 2^53) — matches how micro-precision engines (DuckDB) read the
+      same file.
+    - tz-naive ``timestamp[us]`` read as TIMESTAMP_NTZ (Spark 4 infers NTZ
+      from parquet isAdjustedToUTC=false): cast to LTZ, which preserves the
+      wall-clock fields in the session timezone. Watermarks/windows require
+      LTZ event time; NTZ is rejected at analysis.
+
+    No-op when the column is already TIMESTAMP."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    elif isinstance(dt, T.TimestampNTZType):
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
