@@ -2041,3 +2041,195 @@ def q90_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("priority"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+@register(
+    "q91_cohort_retention",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort_month
+      FROM orders GROUP BY 1
+    ), act AS (
+      SELECT DISTINCT o.o_custkey, fo.cohort_month,
+             date_trunc('month', o.o_orderdate) AS order_month
+      FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
+    )
+    SELECT CAST(cohort_month AS DATE) AS cohort_month,
+           CAST((EXTRACT(year FROM order_month) * 12
+                 + EXTRACT(month FROM order_month))
+              - (EXTRACT(year FROM cohort_month) * 12
+                 + EXTRACT(month FROM cohort_month)) AS INT) AS months_since,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM act GROUP BY 1, 2
+    """,
+    doc="monthly cohort retention matrix: customers grouped by first-order "
+    "month, counted active per months-since offset — the standard "
+    "retention triangle. Months-since via integer year*12+month "
+    "arithmetic (engine-portable; months_between() interpolates on "
+    "day-of-month and would diverge). Two key-local aggregations plus a "
+    "fact-sized distinct; output bounded by |months|^2",
+)
+def q91_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    om = orders.select(
+        "o_custkey", F.trunc("o_orderdate", "month").alias("order_month")
+    )
+    fo = om.groupBy("o_custkey").agg(F.min("order_month").alias("cohort_month"))
+    act = om.join(fo, "o_custkey").distinct()
+    months_since = (
+        (F.year("order_month") * 12 + F.month("order_month"))
+        - (F.year("cohort_month") * 12 + F.month("cohort_month"))
+    ).cast("int")
+    return (
+        act.select("cohort_month", months_since.alias("months_since"))
+        .groupBy("cohort_month", "months_since")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register(
+    "q92_part_cooccurrence",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 25
+    """,
+    doc="market-basket co-occurrence: top-25 part pairs by number of "
+    "orders containing both. Self-join on the order key AFTER "
+    "distinct-ing (order, part) — pair expansion is bounded by "
+    "order size (<=7 items -> <=21 pairs/order), never |lineitem|^2; "
+    "total order (count, part_a, part_b) makes the top-k deterministic",
+)
+def q92_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(25)
+    )
+
+
+@register(
+    "q93_customer_rfm",
+    oracle="""
+    WITH agg AS (
+      SELECT o_custkey AS c_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS monetary
+      FROM orders GROUP BY 1
+    )
+    SELECT c_custkey, CAST(last_order AS DATE) AS last_order, n_orders, monetary,
+           CAST(NTILE(4) OVER (ORDER BY last_order DESC, c_custkey) AS INT)
+             AS r_quartile,
+           CAST(NTILE(4) OVER (ORDER BY n_orders DESC, c_custkey) AS INT)
+             AS f_quartile,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, c_custkey) AS INT)
+             AS m_quartile
+    FROM agg
+    """,
+    doc="RFM segmentation: per-customer recency (last order), frequency, "
+    "monetary (decimal-accumulated, double-emitted), each bucketed into "
+    "quartiles by ntile over a TOTAL order (metric, custkey) so both "
+    "engines tie-break identically. The ntile window runs over the "
+    "customer-grain AGGREGATE (dim-bounded), not the fact table — the "
+    "single-partition sort is |customers|, not |orders|",
+)
+def q93_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from salesanalytics_etl_spark.functions.scalar import dec182, money_out
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        money_out(F.sum(dec182("o_totalprice"))).alias("monetary"),
+    )
+    w_r = Window.orderBy(F.desc("last_order"), F.asc("c_custkey"))
+    w_f = Window.orderBy(F.desc("n_orders"), F.asc("c_custkey"))
+    w_m = Window.orderBy(F.desc("monetary"), F.asc("c_custkey"))
+    return agg.select(
+        "c_custkey",
+        "last_order",
+        "n_orders",
+        "monetary",
+        F.ntile(4).over(w_r).alias("r_quartile"),
+        F.ntile(4).over(w_f).alias("f_quartile"),
+        F.ntile(4).over(w_m).alias("m_quartile"),
+    )
+
+
+@register(
+    "q94_scd2_customers",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment,
+             DATE '2020-01-01' AS valid_from,
+             CAST(NULL AS DATE) AS valid_to,
+             TRUE AS is_current
+      FROM customer
+    ), upd AS (
+      SELECT c_custkey, 'MIGRATED' AS c_mktsegment
+      FROM customer
+      WHERE c_custkey % 7 = 0 AND c_mktsegment <> 'MIGRATED'
+    )
+    SELECT b.c_custkey, b.c_mktsegment, b.valid_from,
+           CASE WHEN u.c_custkey IS NOT NULL
+                THEN DATE '2024-06-01' ELSE b.valid_to END AS valid_to,
+           CASE WHEN u.c_custkey IS NOT NULL
+                THEN FALSE ELSE TRUE END AS is_current
+    FROM base b LEFT JOIN upd u ON b.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, DATE '2024-06-01',
+           CAST(NULL AS DATE), TRUE
+    FROM upd
+    """,
+    doc="SCD2 dimension merge driver-checked end-to-end: seed the customer "
+    "dim as all-current (valid_from 2020-01-01), apply a derived update "
+    "batch (every 7th key re-segmented to MIGRATED effective 2024-06-01) "
+    "via operators/upsert.py:scd2_apply — changed rows close out + "
+    "re-open, unchanged rows pass through; broadcast join, dimension "
+    "never shuffled (reference MERGE semantics, history-preserving: "
+    "etl_sales_analytics.py:223-283)",
+)
+def q94_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.upsert import scd2_apply
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    dim = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.to_date(F.lit("2020-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        customer.filter(
+            (F.col("c_custkey") % 7 == 0) & (F.col("c_mktsegment") != "MIGRATED")
+        )
+        .select("c_custkey", F.lit("MIGRATED").alias("c_mktsegment"))
+    )
+    return scd2_apply(
+        dim,
+        updates,
+        keys=["c_custkey"],
+        tracked=["c_mktsegment"],
+        effective_date="2024-06-01",
+    )

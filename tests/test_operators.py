@@ -141,3 +141,57 @@ def test_check_split_injected_violations(spark):
     assert sorted(r.id for r in keep.collect()) == [1, 4]
     # both the negative value AND the coerced-NULL fail the check
     assert sorted(r.id for r in reject.collect()) == [2, 3]
+
+
+def test_scd2_apply_closes_reopens_and_is_idempotent(spark):
+    from salesanalytics_etl_spark.operators.upsert import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            # key 1: has history (one closed + one current row)
+            (1, "A", "x", "2020-01-01", "2022-01-01", False),
+            (1, "B", "x", "2022-01-01", None, True),
+            # key 2: current only, will NOT change (update equals current)
+            (2, "B", "y", "2020-01-01", None, True),
+            # key 3: current only, WILL change
+            (3, "C", "z", "2020-01-01", None, True),
+            # key 4: no update row at all
+            (4, "D", "w", "2020-01-01", None, True),
+        ],
+        "k INT, seg STRING, name STRING, valid_from STRING, valid_to STRING,"
+        " is_current BOOLEAN",
+    ).selectExpr(
+        "k", "seg", "name",
+        "CAST(valid_from AS DATE) AS valid_from",
+        "CAST(valid_to AS DATE) AS valid_to",
+        "is_current",
+    )
+    updates = spark.createDataFrame(
+        [(1, "NEW"), (2, "B"), (3, "ALSO_NEW")], "k INT, seg STRING"
+    )
+
+    once = scd2_apply(dim, updates, ["k"], ["seg"], "2024-06-01")
+    rows = {
+        (r.k, r.seg, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in once.collect()
+    }
+    assert rows == {
+        # key 1: old history untouched, B closed, NEW opened
+        (1, "A", "2020-01-01", "2022-01-01", False),
+        (1, "B", "2022-01-01", "2024-06-01", False),
+        (1, "NEW", "2024-06-01", "None", True),
+        # key 2: no-op update
+        (2, "B", "2020-01-01", "None", True),
+        # key 3: closed + reopened
+        (3, "C", "2020-01-01", "2024-06-01", False),
+        (3, "ALSO_NEW", "2024-06-01", "None", True),
+        # key 4: untouched
+        (4, "D", "2020-01-01", "None", True),
+    }
+    # non-tracked business column carries over onto the new version
+    new_row = once.filter("k = 3 AND is_current").collect()[0]
+    assert new_row.name == "z"
+
+    # idempotent: re-applying the same batch changes nothing
+    twice = scd2_apply(once, updates, ["k"], ["seg"], "2024-07-01")
+    assert {tuple(r) for r in twice.collect()} == {tuple(r) for r in once.collect()}
