@@ -48,7 +48,18 @@ def get_spark(
         # readers.py converts the long back to a micros timestamp.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Single-JVM local mode holds every cached frame + shuffle buffer in
+        # the driver heap; 8g caused GC thrash (multi-second per-query
+        # spikes) late in a 90-query sweep as persisted frames accumulated.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # A 90+-query sweep generates thousands of whole-stage-codegen
+        # classes; the JVM default 240m code cache fills mid-sweep, the JIT
+        # shuts off ("CodeCache is full. Compiler has been disabled."), and
+        # later queries run interpreted with erratic 5-30x spikes.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
