@@ -2233,3 +2233,32 @@ def q94_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         tracked=["c_mktsegment"],
         effective_date="2024-06-01",
     )
+
+
+@register(
+    "q95_sentence_split_udtf",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(string_split(lower(text), '.'), x -> trim(x)),
+               x -> length(x) > 0) AS sents
+      FROM documents
+    ), z AS (
+      SELECT doc_id, unnest(list_zip(range(1, len(sents) + 1), sents)) AS p
+      FROM s
+    )
+    SELECT doc_id, CAST(p[1] AS INT) AS sent_id, CAST(p[2] AS VARCHAR) AS sentence
+    FROM z
+    """,
+    doc="Python UDTF surface (SURVEY.md §2.12): sentence explosion via a "
+    "registered @udtf + LATERAL join, value-identical to the codegen'd "
+    "explode(split()) convention q83 uses — proves the table-valued-"
+    "function contract against the oracle; Arrow-batched transport "
+    "(operators/udtfs.py)",
+)
+def q95_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.udtfs import split_sentences_udtf
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return split_sentences_udtf(spark, documents)

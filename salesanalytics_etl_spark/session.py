@@ -44,6 +44,9 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow transport for Python UDTFs (operators/udtfs.py) — batch
+        # serialization instead of pickled rows.
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # Parquet TIMESTAMP(NANOS) (events.ts) is otherwise unreadable;
         # readers.py converts the long back to a micros timestamp.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
