@@ -1,0 +1,112 @@
+"""Incremental aggregate maintenance: keep a queryable rollup table current
+under a stream, exactly-once, without watermark-finalization latency.
+
+The append-mode streaming rollup (events.py:streaming_hourly_rollup) only
+EMITS a window once the watermark closes it — correct for a results stream,
+but a dashboard table wants every window current including still-open ones,
+and late data folded in when it arrives. The standard lakehouse shape for
+that is a PARTIAL-AGGREGATE LOG:
+
+- each micro-batch writes its map-side partial aggregates (count + decimal
+  sum per key) to a log directory partitioned by ``batch_id``. Dynamic
+  partition overwrite makes a replayed micro-batch REPLACE its own partition
+  instead of double-adding — idempotence comes from deterministic layout,
+  not sink transactions (same principle as the reference's MERGE ingest,
+  etl_sales_analytics.py:223-283).
+- the queryable rollup is the final aggregation OVER the log — cheap because
+  the log holds one row per (batch, key), not per event.
+- ``compact_log`` folds all partitions into one, bounding log growth; it is
+  safe to run any time because folding partials is the same associative
+  aggregation.
+
+Scale: the log is |batches| x |keys| rows, independent of event volume;
+partial aggregation happens inside each micro-batch (map-side, streaming);
+compaction is one bounded shuffle. Decimal accumulation keeps the fold
+order-insensitive, so log -> final and batch -> final agree exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from salesanalytics_etl_spark.functions.scalar import money_out
+
+_DEC = "decimal(18,2)"
+
+
+def batch_partials(batch: DataFrame) -> DataFrame:
+    """Per-(hour, event_type) partial aggregates of one micro-batch."""
+    return batch.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).cast(_DEC).alias("value_sum_partial"),
+    )
+
+
+class RollupMaintenanceSink:
+    """foreachBatch sink maintaining the partial-aggregate log."""
+
+    def __init__(self, spark: SparkSession, log_dir: str):
+        self.spark = spark
+        self.log_dir = log_dir
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        (
+            batch_partials(batch)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .repartition(1)  # one small file per micro-batch partition
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.log_dir)
+        )
+
+    def attach(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+def current_rollup(spark: SparkSession, log_dir: str) -> DataFrame:
+    """The maintained rollup: final fold over the partial log. Matches
+    events.py:hourly_event_rollup on the same data, bit-for-bit."""
+    log = spark.read.parquet(log_dir)
+    return (
+        log.groupBy("hour_start", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            money_out(F.sum(F.col("value_sum_partial"))).alias("value_sum"),
+        )
+    )
+
+
+def compact_log(spark: SparkSession, log_dir: str) -> None:
+    """Fold every log partition into batch_id=-1, bounding log size.
+
+    Reads the whole log, re-partials it, and overwrites the directory in
+    one job. Run between streaming runs (the availableNow trigger model);
+    under a live stream this would be the Delta/Iceberg OPTIMIZE analogue.
+    """
+    log = spark.read.parquet(log_dir)
+    folded = (
+        log.groupBy("hour_start", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_sum_partial").cast(_DEC).alias("value_sum_partial"),
+        )
+        .withColumn("batch_id", F.lit(-1))
+    )
+    tmp = log_dir.rstrip("/") + ".compact"
+    folded.repartition(1).write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    # atomic-ish local swap, same convention as ParquetUpsertSink generations
+    import shutil
+
+    shutil.rmtree(log_dir)
+    os.rename(tmp, log_dir)
