@@ -30,3 +30,37 @@ def test_no_cartesian_or_rowwise_python(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan, (
         f"{name} uses a row-at-a-time Python UDF"
     )
+
+
+def _formatted_plan(df) -> str:
+    jvm = df._sc._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+# PLANS.md regression pins: the scale-critical plan properties of the
+# headline queries must survive refactors. Each entry: query -> substrings
+# its formatted physical plan must contain.
+_PLAN_PINS = {
+    # date-range predicate reaches the parquet scan (row-group skipping /
+    # partition pruning at scale)
+    "q14_sales_daterange": ["GreaterThanOrEqual(o_orderdate", "LessThan(o_orderdate"],
+    # ship-date predicate pushed on the single-scan aggregation
+    "q48_pricing_summary": ["LessThanOrEqual(l_shipdate"],
+    # fact-dim joins broadcast; the fact table is never shuffled for them
+    "q03_sales_by_day": ["BroadcastHashJoin"],
+    "q05_top_products": ["BroadcastHashJoin"],
+    "q78_regional_supplier_revenue": ["BroadcastHashJoin"],
+    # top-k is a bounded heap, not a global sort
+    "q05_top_products": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "q92_part_cooccurrence": ["TakeOrderedAndProject"],
+    # grouping sets expand AFTER the join, inside the aggregation
+    "q35_sales_rollup": ["Expand"],
+}
+
+
+@pytest.mark.parametrize("name", sorted(_PLAN_PINS))
+def test_plan_pins(spark, sf_dir, name):
+    df = all_queries()[name](spark, sf_dir)
+    plan = _formatted_plan(df)
+    for needle in _PLAN_PINS[name]:
+        assert needle in plan, f"{name}: expected {needle!r} in physical plan"
