@@ -2262,3 +2262,204 @@ def q95_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = _t(spark, sf_dir, "documents")
     return split_sentences_udtf(spark, documents)
+
+
+@register(
+    "q96_event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type AS from_type, event_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="per-user event-type transition matrix (Markov counts): LAG over "
+    "(ts, event_id) — a TOTAL order, so ties can't flap between engines. "
+    "One shuffle on user_id for the window, one |types|^2-bounded agg; "
+    "the user_id partitioning is the same key the funnel (q80) and "
+    "sessionizer (q30) use, so a real pipeline reuses the exchange",
+)
+def q96_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@register(
+    "q97_daily_sales_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS order_date,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s) AS DOUBLE) AS tot,
+             CAST(SUM(CAST(s * s AS DECIMAL(38,4))) AS DOUBLE) AS totsq
+      FROM daily
+    )
+    SELECT d.order_date,
+           ROUND(CAST(d.s AS DOUBLE), 2) AS day_sales,
+           ROUND((CAST(d.s AS DOUBLE) - tot / n)
+                 / sqrt(totsq / n - (tot / n) * (tot / n)), 6) AS zscore
+    FROM daily d, stats
+    WHERE abs((CAST(d.s AS DOUBLE) - tot / n)
+              / sqrt(totsq / n - (tot / n) * (tot / n))) > 2.0
+    """,
+    doc="daily-revenue anomaly detection: days whose sales z-score "
+    "exceeds |2|. Mean/variance are derived from EXACT decimal "
+    "sum / sum-of-squares (order-insensitive under any partitioning), "
+    "cast to double only in the final closed-form z — so both engines "
+    "compute bit-identical scores; a streaming stddev_samp over doubles "
+    "would be summation-order-dependent and flap the gate. Stats side "
+    "is a 1-row broadcast",
+)
+def q97_daily_sales_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182
+
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    daily = (
+        orders.select("o_orderkey", F.to_date("o_orderdate").alias("order_date"))
+        .join(
+            lineitem.select("l_orderkey", "l_extendedprice"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("order_date")
+        .agg(F.sum(dec182("l_extendedprice")).alias("s"))
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").cast("double").alias("tot"),
+        F.sum((F.col("s") * F.col("s")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("totsq"),
+    )
+    joined = daily.join(F.broadcast(stats))
+    mean = F.col("tot") / F.col("n")
+    z = (F.col("s").cast("double") - mean) / F.sqrt(
+        F.col("totsq") / F.col("n") - mean * mean
+    )
+    return (
+        joined.filter(F.abs(z) > 2.0)
+        .select(
+            "order_date",
+            F.round(F.col("s").cast("double"), 2).alias("day_sales"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
+@register(
+    "q98_supplier_type_share",
+    oracle="""
+    WITH rev AS (
+      SELECT l.l_suppkey, p.p_type,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT l_suppkey, p_type,
+           ROUND(CAST(r AS DOUBLE), 2) AS supplier_revenue,
+           ROUND(CAST(r AS DOUBLE)
+                 / CAST(SUM(r) OVER (PARTITION BY p_type) AS DOUBLE), 6)
+             AS share_of_type
+    FROM rev
+    """,
+    doc="supplier share of part-type revenue: ratio-to-window-total. The "
+    "window input is the (supplier x type) AGGREGATE, dims broadcast "
+    "into the lineitem pass; the share divides two doubles derived from "
+    "the same exact decimal sums, so partitioning can't skew it",
+)
+def q98_supplier_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from salesanalytics_etl_spark.functions.scalar import dec182
+
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = (
+        lineitem.select("l_suppkey", "l_partkey", "l_extendedprice")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey", "p_type")
+        .agg(F.sum(dec182("l_extendedprice")).alias("r"))
+    )
+    w = Window.partitionBy("p_type")
+    return rev.select(
+        "l_suppkey",
+        "p_type",
+        F.round(F.col("r").cast("double"), 2).alias("supplier_revenue"),
+        F.round(
+            F.col("r").cast("double") / F.sum("r").over(w).cast("double"), 6
+        ).alias("share_of_type"),
+    )
+
+
+@register(
+    "q99_priority_sla",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(COUNT(*) FILTER (
+             WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+           ) AS BIGINT) AS n_late,
+           ROUND(CAST(COUNT(*) FILTER (
+             WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+           ) AS DOUBLE) / COUNT(*), 6) AS late_rate
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+    doc="ship-SLA by order priority: lineitems shipped more than 30 days "
+    "after order date, as exact integer counts + one terminal double "
+    "ratio. Conditional count folds map-side; output bounded by "
+    "|priorities|",
+)
+def q99_priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    late = (
+        F.to_date("l_shipdate")
+        > F.date_add(F.to_date("o_orderdate"), 30)
+    ).cast("long")
+    joined = (
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(
+            lineitem.select("l_orderkey", "l_shipdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(late).alias("n_late"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_lineitems",
+            "n_late",
+            F.round(
+                F.col("n_late").cast("double") / F.col("n_lineitems"), 6
+            ).alias("late_rate"),
+        )
+    )
