@@ -2463,3 +2463,90 @@ def q99_priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late_rate"),
         )
     )
+
+
+@register(
+    "q100_etl_dataflow",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price, 1 AS seq
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 23 = 0 THEN -o_custkey
+                  ELSE o_custkey END,
+             o_orderdate,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 10.00
+                  AS DECIMAL(18,2)),
+             2
+      FROM orders WHERE o_orderkey % 17 = 0
+    ), dedup AS (
+      SELECT * FROM src
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_orderkey ORDER BY seq DESC) = 1
+    ), valid AS (
+      SELECT d.* FROM dedup d
+      JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON d.o_custkey = c.c_custkey
+    )
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(price) AS DOUBLE), 2) AS total_sales
+    FROM valid GROUP BY 1
+    """,
+    doc="the reference's FULL ETL dataflow as ONE driver-checked query "
+    "(etl_sales_analytics.py:302-330): ingest (base orders + a "
+    "re-delivered batch where every 17th order arrives again with a "
+    "corrected price and every 23rd of those carries a broken customer "
+    "FK) -> keep-LAST dedupe (must pick the corrected re-delivery; "
+    "operators/cleaning.py:dedupe_keep_last) -> FK validation against "
+    "customer (broadcast semi-join drops the broken rows; "
+    "operators/integrity.py:fk_split) -> monthly rollup (decimal-exact, "
+    "double-emitted). Wrong dedupe order, wrong FK direction, or a "
+    "dropped reject all change the sums — the composition is what is "
+    "verified, not the stages in isolation",
+)
+def q100_etl_dataflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182, money_out
+    from salesanalytics_etl_spark.operators.cleaning import dedupe_keep_last
+    from salesanalytics_etl_spark.operators.integrity import fk_split
+
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        dec182("o_totalprice").alias("price"),
+        F.lit(1).alias("seq"),
+    )
+    redelivery = (
+        orders.filter(F.col("o_orderkey") % 17 == 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 23 == 0, -F.col("o_custkey"))
+            .otherwise(F.col("o_custkey"))
+            .alias("o_custkey"),
+            "o_orderdate",
+            (dec182("o_totalprice") + F.lit(10.00).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("price"),
+            F.lit(2).alias("seq"),
+        )
+    )
+    src = base.unionByName(redelivery)
+    deduped = dedupe_keep_last(src, keys=["o_orderkey"], order_col="seq").drop(
+        "seq"
+    )
+    valid, _rejects = fk_split(
+        deduped, customer, child_key="o_custkey", parent_key="c_custkey"
+    )
+    return (
+        valid.groupBy(
+            F.trunc("o_orderdate", "month").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_out(F.sum("price")).alias("total_sales"),
+        )
+    )
