@@ -347,3 +347,44 @@ def label_centroids(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         ).alias("centroid"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+
+
+def export_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> None:
+    """Deterministic global shuffle + sharding: the last step before
+    training consumes a curated corpus.
+
+    Training wants (a) a fixed number of shards sized for loader
+    parallelism, (b) a global shuffle so batches are not correlated with
+    source/crawl order, and (c) DETERMINISM — the same corpus must export
+    byte-identical shards on every run, engine version, and input
+    partitioning, or training runs are not reproducible. So both decisions
+    come from content, never ``rand()`` or partition layout:
+
+    - shard  = pmod(xxhash64(key), n_shards)
+    - order  = xxhash64(key, salt) within the shard (a new ``salt`` gives
+      an independent epoch permutation without rewriting shard membership)
+
+    Plan: one repartition on the shard id + sortWithinPartitions — a
+    single shuffle of the corpus, the unavoidable one (a global shuffle IS
+    the product), then a partitioned write. At 100 TB, n_shards is
+    typically 10k-100k so each shard is a few GB: one writer task per
+    shard, no driver involvement.
+    """
+    (
+        df.withColumn(
+            "_shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
+        )
+        .withColumn("_ord", F.xxhash64(F.col(key_col), F.lit(salt)))
+        .repartition(n_shards, F.col("_shard"))
+        .sortWithinPartitions("_shard", "_ord")
+        .drop("_ord")
+        .write.mode("overwrite")
+        .partitionBy("_shard")
+        .parquet(out_dir)
+    )

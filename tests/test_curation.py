@@ -224,3 +224,70 @@ def test_compression_ratio_null_text_propagates(spark):
     )
     out = {r.doc_id: r.compress_ratio for r in compression_ratio(df).collect()}
     assert out[2] is None and out[1] is not None
+
+
+def test_export_shards_deterministic_and_complete(spark, sf_dir, tmp_path):
+    from salesanalytics_etl_spark.operators.curation import export_shards
+    from salesanalytics_etl_spark.sources.readers import load_driver_tables
+
+    docs = load_driver_tables(spark, sf_dir, ["documents"])["documents"]
+    out1, out2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    export_shards(docs, out1, n_shards=8)
+    export_shards(docs, out2, n_shards=8)
+
+    back = spark.read.parquet(out1)
+    # complete and exactly partitioned
+    assert back.count() == docs.count()
+    assert back.select("_shard").distinct().count() <= 8
+    # shard assignment is content-derived: recompute and compare
+    from pyspark.sql import functions as F
+
+    expect = docs.select(
+        "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(8)).alias("want")
+    )
+    got = back.select("doc_id", F.col("_shard").cast("long").alias("got"))
+    assert got.join(expect, "doc_id").filter("got <> want").count() == 0
+
+    # determinism: same corpus -> same per-shard doc sequences (file order)
+    def seq(path):
+        out = {}
+        for row in (
+            spark.read.parquet(path)
+            .select("_shard", "doc_id")
+            .toPandas()
+            .itertuples(index=False)
+        ):
+            out.setdefault(row._0, []).append(row.doc_id)
+        return out
+
+    import pyarrow.parquet as pq
+    import glob
+
+    def shard_files(path):
+        return {
+            d: sorted(glob.glob(f"{path}/_shard={d}/*.parquet"))
+            for d in range(8)
+        }
+
+    for d, files in shard_files(out1).items():
+        ids1 = [
+            i
+            for f in files
+            for i in pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        ]
+        ids2 = [
+            i
+            for f in shard_files(out2)[d]
+            for i in pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        ]
+        assert ids1 == ids2 and len(ids1) > 0
+
+    # a different salt permutes within shards but keeps membership
+    out3 = str(tmp_path / "e3")
+    export_shards(docs, out3, n_shards=8, salt=7)
+    d0 = shard_files(out1)[0]
+    d3 = sorted(glob.glob(f"{out3}/_shard=0/*.parquet"))
+    ids_a = [i for f in d0 for i in pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()]
+    ids_b = [i for f in d3 for i in pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()]
+    assert sorted(ids_a) == sorted(ids_b)
+    assert ids_a != ids_b  # new epoch permutation
