@@ -84,3 +84,64 @@ def test_merge_upsert_matches_dict_update(spark, base, batch):
         for r in merge_upsert(df_of(base), df_of(batch), keys=["k"]).collect()
     }
     assert got == want
+
+
+@given(
+    st.lists(  # dimension seed: key -> initial segment
+        st.tuples(st.integers(0, 5), st.sampled_from(["A", "B", "C"])),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(  # update batch: key -> new segment (keys may be absent/same)
+        st.tuples(st.integers(0, 5), st.sampled_from(["A", "B", "C", "D"])),
+        min_size=0,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+)
+@_SETTINGS
+def test_scd2_invariants(spark, seed, batch):
+    from pyspark.sql import functions as F
+
+    from salesanalytics_etl_spark.operators.upsert import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(k, s) for k, s in seed], "k INT, seg STRING"
+    ).select(
+        "k",
+        "seg",
+        F.to_date(F.lit("2020-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    # scd2_apply contract: update keys must exist in the dimension
+    seed_keys = {k for k, _ in seed}
+    updates_rows = [(k, s) for k, s in batch if k in seed_keys]
+    if not updates_rows:
+        return
+    updates = spark.createDataFrame(updates_rows, "k INT, seg STRING")
+
+    out = scd2_apply(dim, updates, ["k"], ["seg"], "2024-06-01")
+    rows = out.collect()
+
+    # exactly one OPEN (current) row per key, and it carries the latest seg
+    cur = {r.k: r.seg for r in rows if r.is_current}
+    assert sorted(cur) == sorted(seed_keys)
+    want_cur = dict(seed)
+    want_cur.update(dict(updates_rows))
+    assert cur == want_cur
+    # every closed row is consistently terminated, never truncated history
+    for r in rows:
+        assert r.is_current == (r.valid_to is None)
+    # changed keys have exactly two rows; unchanged keys exactly one
+    from collections import Counter
+
+    per_key = Counter(r.k for r in rows)
+    changed = {k for k, s in updates_rows if dict(seed)[k] != s}
+    for k in seed_keys:
+        assert per_key[k] == (2 if k in changed else 1)
+
+    # fixpoint: re-applying the same batch changes nothing
+    again = scd2_apply(out, updates, ["k"], ["seg"], "2024-07-01")
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in rows}
