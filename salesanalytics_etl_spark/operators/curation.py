@@ -367,8 +367,14 @@ def export_shards(
     come from content, never ``rand()`` or partition layout:
 
     - shard  = pmod(xxhash64(key), n_shards)
-    - order  = xxhash64(key, salt) within the shard (a new ``salt`` gives
-      an independent epoch permutation without rewriting shard membership)
+    - order  = (xxhash64(key, salt), key) within the shard — the key
+      tiebreak makes the sort a total order even across xxhash64
+      collisions; a new ``salt`` gives an independent epoch permutation
+      without rewriting shard membership
+
+    ``key_col`` must be unique (export AFTER dedupe): rows sharing a key
+    would tie on both sort columns and their relative order would follow
+    input partitioning, breaking byte-stable re-export.
 
     Plan: one repartition on the shard id + sortWithinPartitions — a
     single shuffle of the corpus, the unavoidable one (a global shuffle IS
@@ -382,7 +388,7 @@ def export_shards(
         )
         .withColumn("_ord", F.xxhash64(F.col(key_col), F.lit(salt)))
         .repartition(n_shards, F.col("_shard"))
-        .sortWithinPartitions("_shard", "_ord")
+        .sortWithinPartitions("_shard", "_ord", key_col)
         .drop("_ord")
         .write.mode("overwrite")
         .partitionBy("_shard")

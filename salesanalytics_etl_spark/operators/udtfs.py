@@ -32,7 +32,11 @@ class SentenceSplit:
             return
         i = 0
         for raw in text.lower().split("."):
-            s = raw.strip()
+            # strip(' ') not strip(): SQL trim (both Spark's and DuckDB's)
+            # removes SPACES only, and the oracle's emptiness test must see
+            # the same segments — Python's all-whitespace strip would drop
+            # a segment that is only '\n', desynchronizing sent_id
+            s = raw.strip(" ")
             if s:
                 i += 1
                 yield i, s

@@ -66,8 +66,12 @@ def scd2_apply(
     ``dim`` carries SCD2 bookkeeping columns ``valid_from`` DATE,
     ``valid_to`` DATE (NULL = open) and ``is_current`` BOOLEAN alongside the
     business columns. ``updates`` carries ``keys`` + ``tracked`` columns
-    only, one row per key, for keys that already exist in the dimension
-    (route brand-new keys through :func:`merge_upsert` first). For each
+    only, one row per key, for keys with a CURRENT row in the dimension
+    (route brand-new keys through :func:`merge_upsert` first; an update
+    whose key has no current row — never seeded, or retired upstream —
+    matches nothing and is a silent no-op by design, the same contract as
+    SQL MERGE's unmatched-source rows without a WHEN NOT MATCHED clause).
+    For each
     update whose ``tracked`` values differ (NULL-safely) from the key's
     CURRENT row, that row is closed (``valid_to = effective_date``,
     ``is_current = false``) and a new open row is appended
@@ -88,6 +92,8 @@ def scd2_apply(
     from functools import reduce
     from operator import or_
 
+    if not tracked:
+        raise ValueError("scd2_apply: `tracked` must name at least one column")
     eff = F.to_date(F.lit(effective_date))
     upd = F.broadcast(
         updates.select(

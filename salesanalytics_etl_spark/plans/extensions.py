@@ -2347,14 +2347,23 @@ def q97_daily_sales_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("order_date")
         .agg(F.sum(dec182("l_extendedprice")).alias("s"))
     )
-    stats = daily.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("s").cast("double").alias("tot"),
+    # corpus stats as an unbounded window over `daily` — the |days|-bounded
+    # AGGREGATE, not the fact table — so the orders⋈lineitem join runs
+    # ONCE; a separate stats aggregate + rejoin would execute the whole
+    # upstream plan twice (no persist on the pure query surface)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    joined = daily.select(
+        "order_date",
+        "s",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("s").over(w).cast("double").alias("tot"),
         F.sum((F.col("s") * F.col("s")).cast("decimal(38,4)"))
+        .over(w)
         .cast("double")
         .alias("totsq"),
     )
-    joined = daily.join(F.broadcast(stats))
     mean = F.col("tot") / F.col("n")
     z = (F.col("s").cast("double") - mean) / F.sqrt(
         F.col("totsq") / F.col("n") - mean * mean

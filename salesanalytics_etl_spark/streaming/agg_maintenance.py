@@ -88,25 +88,47 @@ def current_rollup(spark: SparkSession, log_dir: str) -> DataFrame:
 
 
 def compact_log(spark: SparkSession, log_dir: str) -> None:
-    """Fold every log partition into batch_id=-1, bounding log size.
+    """Fold settled log partitions into batch_id=-1, bounding log size.
 
-    Reads the whole log, re-partials it, and overwrites the directory in
-    one job. Run between streaming runs (the availableNow trigger model);
-    under a live stream this would be the Delta/Iceberg OPTIMIZE analogue.
+    Replay safety: after a crash, only the LAST in-flight micro-batch can
+    be re-delivered (Spark commits each batch to the checkpoint before
+    starting the next). If compaction folded that batch into -1 and the
+    replay then re-created its partition, its partials would count twice.
+    So the newest batch partition is EXCLUDED from the fold and left in
+    place — a replay overwrites it, exactly as during normal operation —
+    and only batches strictly older (which the checkpoint has provably
+    committed, or they could not have a successor) are folded.
+
+    The swap is rename-aside (live -> .old, .compact -> live, delete .old)
+    so a crash at any point leaves either the old or the new directory
+    intact under a recoverable name — never a deleted log.
+
+    Run between streaming runs (the availableNow trigger model); under a
+    live stream this would be the Delta/Iceberg OPTIMIZE analogue.
     """
     log = spark.read.parquet(log_dir)
+    ids = [r[0] for r in log.select("batch_id").distinct().collect()]
+    newest = max(ids)
+    settled = log.filter(F.col("batch_id") != newest)
+    if not [i for i in ids if i != newest]:
+        return  # nothing settled to fold
     folded = (
-        log.groupBy("hour_start", "event_type")
+        settled.groupBy("hour_start", "event_type")
         .agg(
             F.sum("n_events").alias("n_events"),
             F.sum("value_sum_partial").cast(_DEC).alias("value_sum_partial"),
         )
         .withColumn("batch_id", F.lit(-1))
     )
+    keep_newest = log.filter(F.col("batch_id") == newest)
+    out = folded.unionByName(keep_newest)
     tmp = log_dir.rstrip("/") + ".compact"
-    folded.repartition(1).write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
-    # atomic-ish local swap, same convention as ParquetUpsertSink generations
+    out.repartition(1).write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    old = log_dir.rstrip("/") + ".old"
     import shutil
 
-    shutil.rmtree(log_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(log_dir, old)
     os.rename(tmp, log_dir)
+    shutil.rmtree(old)

@@ -61,9 +61,23 @@ def test_maintained_rollup_matches_batch_and_survives_replay(
     sink.process_batch(replay, batch_id=0)
     assert _rollup_map(current_rollup(spark, log_dir)) == after_once
 
-    # compaction folds partitions without changing the result
+    # compaction folds settled partitions without changing the result; the
+    # newest batch partition stays un-folded (replay safety)
     compact_log(spark, log_dir)
     assert _rollup_map(current_rollup(spark, log_dir)) == after_once
     assert (
-        spark.read.parquet(log_dir).select("batch_id").distinct().count() == 1
+        spark.read.parquet(log_dir).select("batch_id").distinct().count() == 2
     )
+
+    # CRASH-REPLAY AFTER COMPACTION: only the newest batch can ever be
+    # re-delivered, and its partition was kept out of the fold — so the
+    # replay overwrites it and the rollup is unchanged (no double count)
+    newest = max(
+        r[0] for r in spark.read.parquet(log_dir).select("batch_id").collect()
+    )
+    replay_newest = spark.read.parquet(src).limit(500)
+    sink.process_batch(replay_newest, batch_id=newest)
+    sink.process_batch(replay_newest, batch_id=newest)
+    after_replay = _rollup_map(current_rollup(spark, log_dir))
+    sink.process_batch(replay_newest, batch_id=newest)
+    assert _rollup_map(current_rollup(spark, log_dir)) == after_replay

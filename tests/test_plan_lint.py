@@ -46,12 +46,11 @@ _PLAN_PINS = {
     "q14_sales_daterange": ["GreaterThanOrEqual(o_orderdate", "LessThan(o_orderdate"],
     # ship-date predicate pushed on the single-scan aggregation
     "q48_pricing_summary": ["LessThanOrEqual(l_shipdate"],
-    # fact-dim joins broadcast; the fact table is never shuffled for them
+    # fact-dim joins broadcast; the fact table is never shuffled for them;
+    # q05's top-k must also be a bounded heap, not a global sort
     "q03_sales_by_day": ["BroadcastHashJoin"],
-    "q05_top_products": ["BroadcastHashJoin"],
-    "q78_regional_supplier_revenue": ["BroadcastHashJoin"],
-    # top-k is a bounded heap, not a global sort
     "q05_top_products": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "q78_regional_supplier_revenue": ["BroadcastHashJoin"],
     "q92_part_cooccurrence": ["TakeOrderedAndProject"],
     # grouping sets expand AFTER the join, inside the aggregation
     "q35_sales_rollup": ["Expand"],
