@@ -219,15 +219,20 @@ def inverted_index(
 
     One shuffle on term; postings are capped so a stopword's row stays
     bounded (the full postings of 'the' at 100 TB would be the corpus).
-    Emitted postings are sorted arrays — deterministic, engine-comparable.
+    Postings are emitted as a comma-joined string of ascending doc ids:
+    deterministic, engine-comparable, and scalar-typed so downstream
+    result canonicalizers (which sort cells) never see an array column.
     """
     toks = _token_rows(df, text_col).distinct()
     return (
         toks.groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.slice(
-                F.sort_array(F.collect_set("doc_id")), 1, max_postings
+            F.array_join(
+                F.slice(
+                    F.sort_array(F.collect_set("doc_id")), 1, max_postings
+                ).cast("array<string>"),
+                ",",
             ).alias("postings"),
         )
         .filter(F.col("df") >= min_df)

@@ -907,7 +907,7 @@ def q65_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE length(t.term) > 0
     )
     SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
-           (array_agg(doc_id ORDER BY doc_id))[1:20] AS postings
+           array_to_string((array_agg(doc_id ORDER BY doc_id))[1:20], ',') AS postings
     FROM toks GROUP BY term HAVING COUNT(*) >= 5
     """,
     doc="inverted index (term -> sorted postings, capped at 20, df >= 5): "

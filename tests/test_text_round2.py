@@ -45,7 +45,7 @@ def test_inverted_index_postings_sorted_capped(spark):
             _docs(spark, rows), min_df=5, max_postings=3
         ).collect()
     }
-    assert out["alpha"] == (10, [0, 1, 2])  # capped at 3, ascending
+    assert out["alpha"] == (10, "0,1,2")  # capped at 3, ascending
     assert out["beta"][0] == 11
     # min_df filter: a term in 1 doc never appears
     one_off = inverted_index(_docs(spark, rows + [(100, "rare")]), min_df=5)
