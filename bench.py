@@ -56,6 +56,8 @@ def main() -> None:
     # full names for 90 queries → >2000 chars → the driver recorded
     # ``parsed: null``.)
     short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
+    # qNN prefixes must be unique or two queries silently share one slot
+    assert len(short) == len(timings), "duplicate qNN prefix in query names"
     out = {
         "metric": "total_query_wall_seconds",
         "value": round(sum(timings.values()), 3),

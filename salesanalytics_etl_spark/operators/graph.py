@@ -43,10 +43,19 @@ def connected_components(
     collect; only a pathologically large pair graph pays for the iterative
     distributed label propagation (each Spark round on a 256-edge graph
     costs seconds of pure scheduling, ~100× the actual work).
+
+    The edge set is persisted across the size probe and the solve — it is
+    typically the output of an expensive similarity pipeline, and without
+    the persist the count() gate silently recomputes that whole pipeline
+    a second time for the collect (measured 2× the q49 wall time).
     """
-    if edges.count() <= DRIVER_CC_MAX_EDGES:
-        return _driver_union_find(edges, src, dst)
-    return _label_propagation(edges, src, dst, max_iter)
+    edges = edges.persist()
+    try:
+        if edges.count() <= DRIVER_CC_MAX_EDGES:
+            return _driver_union_find(edges, src, dst)
+        return _label_propagation(edges, src, dst, max_iter)
+    finally:
+        edges.unpersist()
 
 
 def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:

@@ -266,10 +266,17 @@ def q44_docs_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q45_media_resize",
-    oracle=None,
+    oracle="""
+    SELECT doc_id, CAST(1024 AS BIGINT) AS n_bytes,
+           CAST(32 AS INT) AS width, CAST(32 AS INT) AS height
+    FROM documents
+    """,
     doc="multimodal resize step: mapInPandas payload downsample to a "
     "fixed width*height byte budget (decode stubbed; schema/batch "
-    "contract real)",
+    "contract real). Oracle checks the fan-through and the exact byte "
+    "budget (every payload lands at width*height bytes), i.e. the "
+    "mapInPandas batch contract — the fake resample's content is covered "
+    "by unit tests",
 )
 def q45_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from salesanalytics_etl_spark.operators.multimodal import (
@@ -284,9 +291,21 @@ def q45_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q46_media_frame_sample",
-    oracle=None,
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             GREATEST(octet_length(encode(text)) // 64, 1) AS nf
+      FROM documents
+    )
+    SELECT doc_id, CAST(t.f AS INT) AS frame_idx,
+           CAST(LEAST(64, n_bytes - t.f * 64) AS INT) AS frame_bytes
+    FROM m, UNNEST(range(0, nf, 4)) AS t(f)
+    """,
     doc="multimodal frame sampling: fan-out mapInPandas splitting each "
-    "payload into fixed-size frames, keeping every 4th (ffmpeg stubbed)",
+    "payload into fixed-size frames, keeping every 4th (ffmpeg stubbed). "
+    "Oracle replays the frame arithmetic (count = max(bytes//64,1), "
+    "stride 4, tail frame short) from byte lengths alone — checks the "
+    "fan-OUT row multiplication exactly",
 )
 def q46_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from salesanalytics_etl_spark.operators.multimodal import (
@@ -385,16 +404,60 @@ def q51_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q49_dedup_clusters",
-    oracle=None,
-    doc="near-dup pairs → transitive-closure clusters via iterative "
-    "min-label propagation (driver-controlled loop, O(diameter) rounds; "
-    "iterative algorithm → rows-only by design). Output: (cluster_id, "
-    "doc_id) for every doc in a near-dup relationship",
+    oracle=r"""
+    WITH RECURSIVE n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents WHERE doc_id < 250
+    ), sh AS (
+      SELECT doc_id, list(DISTINCT substr(norm, CAST(i AS INT), 5)) AS shingles
+      FROM n, UNNEST(range(1, GREATEST(length(norm) - 3, 2))) AS t(i)
+      GROUP BY doc_id
+    ), edges AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.shingles, b.shingles))),
+                  4) >= 0.5
+    ), und AS (
+      SELECT doc_a AS s, doc_b AS d FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ), reach(s, d) AS (
+      SELECT s, d FROM und
+      UNION
+      SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+    )
+    SELECT LEAST(s, MIN(d)) AS cluster_id, s AS doc_id
+    FROM reach GROUP BY s
+    """,
+    doc="near-dup pairs → transitive-closure clusters (cluster_id = min "
+    "member). Edges are EXACT 5-gram Jaccard >= 0.5 over a bounded doc "
+    "subset, so the min-label components are value-checkable against a "
+    "DuckDB recursive-CTE fixpoint; the same connected_components powers "
+    "the MinHash pipeline's (approximate, rows-only) production path, "
+    "covered by planted-chain unit tests (operators/graph.py)",
 )
 def q49_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import (
+        jaccard_verify,
+        shingle_rows,
+        shingle_sets,
+    )
     from salesanalytics_etl_spark.operators.graph import dedup_clusters
 
-    return dedup_clusters(_minhash_pairs(spark, sf_dir))
+    (documents,) = _t(spark, sf_dir, "documents")
+    subset = documents.filter(F.col("doc_id") < 250)
+    sets = shingle_sets(shingle_rows(subset))
+    ids = subset.select(F.col("doc_id"))
+    pairs = (
+        ids.select(F.col("doc_id").alias("doc_a"))
+        .join(ids.select(F.col("doc_id").alias("doc_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # the pair list inherits the 1-file scan's partitioning; without a
+        # spread, every per-pair set intersection lands on one task
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    edges = jaccard_verify(pairs, sets, threshold=0.5).select("doc_a", "doc_b")
+    return dedup_clusters(edges)
 
 
 @register(
@@ -643,9 +706,21 @@ def q43_purchase_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q31_media_features",
-    oracle=None,
+    oracle=r"""
+    SELECT doc_id, 'image' AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           ROUND(CAST(length(text) - length(regexp_replace(text,
+                 '[\x20-\x2f]', '', 'g')) AS DOUBLE) / length(text), 4) AS f2,
+           ROUND(CAST(length(text) - length(regexp_replace(text,
+                 '[\x60-\x6f]', '', 'g')) AS DOUBLE) / length(text), 4) AS f6
+    FROM documents
+    """,
     doc="binary payload column + Arrow-batched mapInPandas feature "
-    "extraction (deterministic byte-histogram fake; real codecs stubbed)",
+    "extraction (deterministic byte-histogram fake; real codecs stubbed). "
+    "The oracle replays the histogram character-wise — valid because the "
+    "corpus is pure ASCII (octet_length == length driver-checked via "
+    "n_bytes), so byte bins == char-class counts; bins 2 (0x20-0x2f) and "
+    "6 (0x60-0x6f) are the informative ones on English text",
 )
 def q31_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from salesanalytics_etl_spark.operators.multimodal import (
@@ -660,8 +735,8 @@ def q31_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "modality",
         "n_bytes",
-        F.round(F.element_at("features", 1), 4).alias("f0"),
-        F.round(F.element_at("features", 2), 4).alias("f1"),
+        F.round(F.element_at("features", 3), 4).alias("f2"),
+        F.round(F.element_at("features", 7), 4).alias("f6"),
     )
 
 

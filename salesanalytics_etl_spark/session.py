@@ -34,6 +34,23 @@ def get_spark(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
 
+    # Single-JVM local mode holds every cached frame + shuffle buffer in the
+    # driver heap; 8g caused GC thrash late in a 90-query sweep. But a fixed
+    # 24g would push smaller hosts into swap/OOM-kill, so cap the default at
+    # ~60% of currently-available RAM (env override always wins).
+    heap = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if not heap:
+        avail_gb = 24
+        try:
+            with open("/proc/meminfo") as f:
+                for ln in f:
+                    if ln.startswith("MemAvailable:"):
+                        avail_gb = int(ln.split()[1]) * 6 // (10 * 1024 * 1024)
+                        break
+        except OSError:
+            pass
+        heap = f"{max(2, min(24, avail_gb))}g"
+
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -51,10 +68,7 @@ def get_spark(
         # readers.py converts the long back to a micros timestamp.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        # Single-JVM local mode holds every cached frame + shuffle buffer in
-        # the driver heap; 8g caused GC thrash (multi-second per-query
-        # spikes) late in a 90-query sweep as persisted frames accumulated.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", heap)
         # A 90+-query sweep generates thousands of whole-stage-codegen
         # classes; the JVM default 240m code cache fills mid-sweep, the JIT
         # shuts off ("CodeCache is full. Compiler has been disabled."), and

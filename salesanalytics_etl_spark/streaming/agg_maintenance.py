@@ -105,9 +105,17 @@ def compact_log(spark: SparkSession, log_dir: str) -> None:
 
     Run between streaming runs (the availableNow trigger model); under a
     live stream this would be the Delta/Iceberg OPTIMIZE analogue.
+
+    The rename-aside swap uses driver-local os.rename/shutil, so
+    ``log_dir`` must be POSIX storage local to the driver (the test/demo
+    deployment). On HDFS/S3, route the swap through the JVM Hadoop
+    FileSystem API (``spark._jvm.org.apache.hadoop.fs``) instead —
+    os.rename cannot cross filesystems or talk to object stores.
     """
     log = spark.read.parquet(log_dir)
     ids = [r[0] for r in log.select("batch_id").distinct().collect()]
+    if not ids:  # zero-row log (e.g. only _SUCCESS after an empty batch)
+        return
     newest = max(ids)
     settled = log.filter(F.col("batch_id") != newest)
     if not [i for i in ids if i != newest]:

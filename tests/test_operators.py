@@ -195,3 +195,87 @@ def test_scd2_apply_closes_reopens_and_is_idempotent(spark):
     # idempotent: re-applying the same batch changes nothing
     twice = scd2_apply(once, updates, ["k"], ["seg"], "2024-07-01")
     assert {tuple(r) for r in twice.collect()} == {tuple(r) for r in once.collect()}
+
+
+def test_merge_upsert_partitioned_touches_only_batch_partitions(
+    spark, tmp_path
+):
+    import hashlib
+    import os
+
+    from salesanalytics_etl_spark.operators.upsert import (
+        merge_upsert,
+        merge_upsert_partitioned,
+    )
+
+    path = str(tmp_path / "orders_t")
+    seed = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d2", "b"), (3, "d3", "c"), (4, "d2", "d")],
+        ["k", "dt", "v"],
+    )
+    merge_upsert_partitioned(spark, path, seed, ["k"], ["dt"])
+
+    def part_files(day):
+        d = os.path.join(path, f"dt={day}")
+        return {
+            f: hashlib.md5(
+                open(os.path.join(d, f), "rb").read()
+            ).hexdigest()
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        }
+
+    before_d1, before_d3 = part_files("d1"), part_files("d3")
+
+    batch = spark.createDataFrame(
+        [(2, "d2", "B2"), (5, "d2", "e")], ["k", "dt", "v"]
+    )
+    n = merge_upsert_partitioned(spark, path, batch, ["k"], ["dt"])
+    assert n == 1  # only dt=d2 rewritten
+
+    # untouched partitions: identical file names AND bytes
+    assert part_files("d1") == before_d1
+    assert part_files("d3") == before_d3
+
+    # end state == the full-table merge_upsert semantics (q52 contract)
+    got = {
+        (r.k, r.dt): r.v for r in spark.read.parquet(path).collect()
+    }
+    expect = {
+        (r.k, r.dt): r.v
+        for r in merge_upsert(seed, batch, ["k"]).collect()
+    }
+    assert got == expect == {
+        (1, "d1"): "a",
+        (2, "d2"): "B2",
+        (3, "d3"): "c",
+        (4, "d2"): "d",
+        (5, "d2"): "e",
+    }
+    # idempotent: re-applying the same batch changes nothing
+    assert merge_upsert_partitioned(spark, path, batch, ["k"], ["dt"]) == 1
+    assert {
+        (r.k, r.dt): r.v for r in spark.read.parquet(path).collect()
+    } == expect
+
+
+def test_scd2_apply_rejects_duplicate_update_keys(spark):
+    import pytest as _pytest
+
+    from salesanalytics_etl_spark.operators.upsert import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "x", "2024-01-01", True)],
+        ["k", "seg", "valid_from", "is_current"],
+    ).select(
+        "k",
+        "seg",
+        F.to_date("valid_from").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        "is_current",
+    )
+    dup_updates = spark.createDataFrame(
+        [(1, "y"), (1, "z")], ["k", "seg"]
+    )
+    with _pytest.raises(ValueError, match="key-unique"):
+        scd2_apply(dim, dup_updates, ["k"], ["seg"], "2024-06-01")

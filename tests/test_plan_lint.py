@@ -63,3 +63,33 @@ def test_plan_pins(spark, sf_dir, name):
     plan = _formatted_plan(df)
     for needle in _PLAN_PINS[name]:
         assert needle in plan, f"{name}: expected {needle!r} in physical plan"
+
+
+# Two-level aggregation family (per-order rollup → global stats): the
+# correct shape is partial+final HashAggregate pairs around exactly TWO
+# exchanges (hash on the group key, then SinglePartition for the global
+# row) and a scan pruned to the columns used. A refactor that sneaks in a
+# third exchange or widens the scan re-reads the fact table — the round-4
+# bench flagged q08 at 8x, which isolated timing proved to be JVM noise;
+# these pins make a *structural* regression impossible to miss.
+_TWO_LEVEL_AGG = {
+    "q08_avg_order_value": "struct<l_orderkey:bigint,l_extendedprice:double>",
+    "q12_order_totals": None,  # view-backed; exchange-count pin only
+}
+
+
+@pytest.mark.parametrize("name", sorted(_TWO_LEVEL_AGG))
+def test_two_level_agg_exchange_budget(spark, sf_dir, name):
+    df = all_queries()[name](spark, sf_dir)
+    plan = _formatted_plan(df)
+    n_exchanges = plan.count("(Exchange")  # formatted-plan node headers
+    if n_exchanges == 0:  # header style fallback
+        n_exchanges = sum(
+            1 for ln in plan.splitlines() if ln.strip().startswith("(")
+            and "Exchange" in ln
+        )
+    assert n_exchanges <= 2, f"{name}: {n_exchanges} exchanges (budget 2)"
+    assert "partial_sum" in plan, f"{name}: no map-side partial aggregation"
+    read_schema = _TWO_LEVEL_AGG[name]
+    if read_schema:
+        assert read_schema in plan, f"{name}: scan not pruned to {read_schema}"
