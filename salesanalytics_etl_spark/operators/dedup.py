@@ -263,18 +263,25 @@ def minhash_near_dupes(
     # persisted: banding and the estimate filter both consume them.
     rows = shingle_rows(df, text_col)
     # Materialize the persisted signatures EAGERLY (count() is a cheap
-    # action over the cached 32-long rows): three downstream branches
-    # (banding + both sides of the estimate filter) consume sigs inside
-    # one job, and Spark schedules their stages concurrently — a lazy
-    # persist lets each branch recompute the full shingle-explode +
-    # signature aggregation before any cache partition lands (measured
-    # 18s → 11s for the whole pipeline at sf0.1).
+    # action over the cached 32-long rows): downstream consumers schedule
+    # their stages concurrently, and a lazy persist lets each recompute
+    # the full shingle-explode + signature aggregation before any cache
+    # partition lands (measured 18s → 11s originally; re-confirmed this
+    # round — dropping the eager count regressed 6.0s → 9.2s).
     sigs = minhash_signatures(rows).persist()
     sigs.count()
-    cands = estimate_filter(
-        lsh_candidates(sigs, max_bucket), sigs, min_agree
-    ).persist()
-    cands.count()
+    # The estimate filter exists to protect the verify stage from a flood
+    # of hopeless candidates; when banding already produced a small set,
+    # its two signature joins cost more than the verify work they'd save
+    # — so it only runs past a candidate budget. At 100 TB the budget is
+    # always exceeded and the filter always runs; locally it saves a job.
+    raw = lsh_candidates(sigs, max_bucket).persist()
+    if raw.count() > 200_000:
+        cands = estimate_filter(raw, sigs, min_agree).persist()
+        cands.count()
+        raw.unpersist()
+    else:
+        cands = raw
     docs_in_pairs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
