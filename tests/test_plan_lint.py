@@ -24,11 +24,26 @@ ALL = sorted(all_queries())
 
 @pytest.mark.parametrize("name", ALL)
 def test_no_cartesian_or_rowwise_python(spark, sf_dir, name):
+    from pyspark.sql import types as T
+
     df = all_queries()[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
     assert "BatchEvalPython" not in plan, (
         f"{name} uses a row-at-a-time Python UDF"
+    )
+    # Gate-surface contract: only scalar output columns. The driver's
+    # result canonicalizer sorts cell values and crashes on list cells
+    # (round 4: q66's array<long> postings ERR'd the row) — arrays must
+    # be joined to strings before they reach the query surface.
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{name} emits complex-typed columns {complex_cols}; join them to "
+        "scalar strings (array_join / to_json) for the gate surface"
     )
 
 

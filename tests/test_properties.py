@@ -145,3 +145,82 @@ def test_scd2_invariants(spark, seed, batch):
     # fixpoint: re-applying the same batch changes nothing
     again = scd2_apply(out, updates, ["k"], ["seg"], "2024-07-01")
     assert {tuple(r) for r in again.collect()} == {tuple(r) for r in rows}
+
+
+_PMERGE_SETTINGS = settings(
+    max_examples=6,  # each example writes parquet twice — keep it tight
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(
+    st.lists(  # seed rows (key, payload); dt partition derived from key
+        st.tuples(st.integers(0, 9), st.integers(0, 100)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(  # incoming batch
+        st.tuples(st.integers(0, 9), st.integers(0, 100)),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+)
+@_PMERGE_SETTINGS
+def test_merge_upsert_partitioned_matches_full_merge(
+    spark, tmp_path_factory, seed, batch
+):
+    """End state always equals the full-table merge_upsert semantics, and
+    partitions absent from the batch are never rewritten (file bytes
+    identical) — the two invariants of the partition-scoped MERGE, under
+    arbitrary key overlap. The partition column is derived from the key
+    (dt = key % 3), satisfying the keys-determine-partition contract."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from salesanalytics_etl_spark.operators.upsert import (
+        merge_upsert,
+        merge_upsert_partitioned,
+    )
+
+    path = str(tmp_path_factory.mktemp("pmerge") / "t")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(k, f"d{k % 3}", v) for k, v in rows], "k INT, dt STRING, v INT"
+        )
+
+    seed_df, batch_df = mk(seed), mk(batch)
+    merge_upsert_partitioned(spark, path, seed_df, ["k"], ["dt"])
+
+    def snapshot(dts):
+        out = {}
+        for dt in dts:
+            d = os.path.join(path, f"dt={dt}")
+            if os.path.isdir(d):
+                out[dt] = {
+                    f: hashlib.md5(
+                        open(os.path.join(d, f), "rb").read()
+                    ).hexdigest()
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    batch_dts = {f"d{k % 3}" for k, _ in batch}
+    untouched = {f"d{i}" for i in range(3)} - batch_dts
+    before = snapshot(untouched)
+
+    merge_upsert_partitioned(spark, path, batch_df, ["k"], ["dt"])
+    assert snapshot(untouched) == before  # untouched partitions unchanged
+
+    got = {(r.k, r.dt, r.v) for r in spark.read.parquet(path).collect()}
+    want = {
+        (r.k, r.dt, r.v)
+        for r in merge_upsert(seed_df, batch_df, ["k"]).collect()
+    }
+    assert got == want
