@@ -157,8 +157,15 @@ def normalize_text(text: Column) -> Column:
 
 def _token_rows(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, term) rows: whitespace tokens of the normalized text —
-    the shared tokenization for TF-IDF / inverted index / repetition."""
-    return df.select(
+    the shared tokenization for TF-IDF / inverted index / repetition.
+
+    Spread before the explode: a single-file corpus scan plans as one
+    task, and the ~300× token fan-out would otherwise run serially on it
+    (same trap as the decontamination join — see SCALE.md round-5 notes).
+    """
+    from salesanalytics_etl_spark.operators.dedup import spread_partitions
+
+    return spread_partitions(df.select("doc_id", F.col(text_col))).select(
         "doc_id",
         F.explode(F.split(normalize_text(F.col(text_col)), r"\s+")).alias("term"),
     ).filter(F.length("term") > 0)
