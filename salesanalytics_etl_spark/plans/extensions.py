@@ -2634,3 +2634,38 @@ def q100_etl_dataflow(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_out(F.sum("price")).alias("total_sales"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch-accelerated exact statistics
+# --------------------------------------------------------------------------
+@register(
+    "q101_heavy_hitter_shingles",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), sh AS (
+      SELECT substr(norm, i, 5) AS sh
+      FROM n, UNNEST(range(1, greatest(length(norm) - 4, 1) + 1)) AS t(i)
+    )
+    SELECT sh, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM sh
+    GROUP BY sh
+    HAVING COUNT(*) * 500 >= (SELECT COUNT(*) FROM sh)
+    """,
+    doc="frequent 5-char shingles (frequency >= n/500) via per-task "
+    "Misra-Gries candidates + exact broadcast recount "
+    "(operators/frequent.py): the only exchange is over the bounded "
+    "candidate set, never the full shingle domain — yet the OUTPUT is "
+    "exact (MG superset guarantee + recount), so unlike the HLL/GK "
+    "sketches this sketch-accelerated path is hash-checked against the "
+    "plain GROUP BY/HAVING twin",
+)
+def q101_heavy_hitter_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import shingle_rows
+    from salesanalytics_etl_spark.operators.frequent import heavy_hitters
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    rows = shingle_rows(documents)
+    return heavy_hitters(rows, key_col="sh", phi_denom=500)
