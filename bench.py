@@ -37,12 +37,26 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     queries = all_queries()
 
-    # Warm the JVM + parquet footer caches with the flagship once.
+    # Warm the JVM with the flagship once, then touch every table's
+    # parquet footers + pages so first-scan penalties (footer parse, OS
+    # page-cache misses) don't land on whichever query alphabetically
+    # reads a table first — that cost is layout-fixed, not query work.
     queries["q03_sales_by_day"](spark, sf_dir).toPandas()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    jvm_gc = spark._jvm.System.gc  # noqa: SLF001
     for name in sorted(queries):
+        # Collect garbage BETWEEN queries: single-JVM sweeps otherwise
+        # attribute one query's accumulated heap to a random successor's
+        # mid-run GC pause (the round-4 q08 "8x regression" was exactly
+        # this — isolated runs showed 1x).
+        jvm_gc()
         t0 = time.perf_counter()
         try:
             queries[name](spark, sf_dir).toPandas()

@@ -69,6 +69,11 @@ _PLAN_PINS = {
     "q92_part_cooccurrence": ["TakeOrderedAndProject"],
     # grouping sets expand AFTER the join, inside the aggregation
     "q35_sales_rollup": ["Expand"],
+    # heavy hitters: the sketch pass is the Arrow-batched kernel and the
+    # exact recount joins the bounded candidate set by BROADCAST — a
+    # shuffled recount join would drag the full shingle domain through an
+    # exchange, the exact thing the operator exists to avoid
+    "q101_heavy_hitter_shingles": ["MapInPandas", "BroadcastHashJoin"],
 }
 
 
