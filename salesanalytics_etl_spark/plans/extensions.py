@@ -2669,3 +2669,37 @@ def q101_heavy_hitter_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
     rows = shingle_rows(documents)
     return heavy_hitters(rows, key_col="sh", phi_denom=500)
+
+
+@register(
+    "q102_exact_jaccard_join",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, list(DISTINCT substr(norm, CAST(i AS INT), 5)) AS shingles
+      FROM n, UNNEST(range(1, GREATEST(length(norm) - 3, 2))) AS t(i)
+      GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.shingles, b.shingles))),
+                   4) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.9
+    """,
+    doc="EXACT similarity self-join over the FULL corpus: every doc pair "
+    "with 5-gram Jaccard >= 0.9 (the realistic near-dup dedup cut), "
+    "recall 1.0 — prefix filtering (rarest-first global order + length "
+    "+ positional pruning) turns the quadratic join into an equi-join "
+    "on prefix shingles (operators/dedup.py:exact_jaccard_join); the "
+    "DuckDB twin brute-forces all pairs, so a hash match certifies both "
+    "the candidate completeness (no false negatives) and the verifier",
+)
+def q102_exact_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import exact_jaccard_join
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return exact_jaccard_join(documents, threshold=0.9)

@@ -60,6 +60,7 @@ _CHECK_FIRST = [
     "q25_minhash_neardup",
     "q94_scd2_customers",
     "q101_heavy_hitter_shingles",
+    "q102_exact_jaccard_join",
     "q01_table_counts",
     "q02_orders_sample_topk",
     "q03_sales_by_day",

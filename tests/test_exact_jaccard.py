@@ -1,0 +1,87 @@
+"""exact_jaccard_join (operators/dedup.py): recall 1.0 vs brute force,
+planted near-dup pairs, and threshold edges."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from salesanalytics_etl_spark.operators.dedup import (
+    exact_jaccard_join,
+    jaccard_verify,
+    shingle_rows,
+    shingle_sets,
+)
+
+
+def _brute_force(docs, threshold):
+    """All-pairs exact Jaccard via the string-array verifier (independent
+    of the hashed fast path under test)."""
+    sets = shingle_sets(shingle_rows(docs))
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("doc_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("doc_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    return {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_verify(pairs, sets, threshold).collect()
+    }
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (1, base),
+        (2, base + "and then naps"),          # near-dup of 1
+        (3, base.replace("quick", "rapid")),  # near-dup of 1
+        (4, "completely different content about spark physical plans " * 6),
+        (5, "completely different content about spark physical plans " * 6),
+        (6, "unrelated short text"),
+    ] + [(100 + i, f"filler document number {i} with words {i * 7} " * 5)
+         for i in range(30)]
+    return _docs(spark, rows)
+
+
+def test_matches_brute_force_all_pairs(planted):
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in exact_jaccard_join(planted, threshold=0.5).collect()
+    }
+    assert got == _brute_force(planted, 0.5)
+    pairs_only = {(a, b) for a, b, _ in got}
+    assert (1, 2) in pairs_only and (1, 3) in pairs_only
+    assert (4, 5) in pairs_only  # exact duplicates (J = 1.0)
+    assert not any(6 in p for p in pairs_only)
+
+
+def test_high_threshold_recall(planted):
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in exact_jaccard_join(planted, threshold=0.9).collect()
+    }
+    brute = {(a, b) for a, b, _ in _brute_force(planted, 0.9)}
+    assert got == brute
+    assert (4, 5) in got
+
+
+def test_driver_corpus_matches_brute_force(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in exact_jaccard_join(docs, threshold=0.7).collect()
+    }
+    assert got == _brute_force(docs, 0.7)
+
+
+def test_no_pairs_on_disjoint_corpus(spark):
+    # each doc is one repeated distinct character: shingle sets are
+    # pairwise disjoint by construction
+    rows = [(i, chr(ord("a") + i) * 40) for i in range(20)]
+    assert exact_jaccard_join(_docs(spark, rows), threshold=0.5).count() == 0
