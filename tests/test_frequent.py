@@ -82,3 +82,34 @@ def test_mg_kernel_bounded_and_superset():
 def test_empty_input_yields_empty(spark):
     rows = spark.range(0).select(F.col("id").alias("term"))
     assert heavy_hitters(rows, "term", phi_denom=10, k=64).count() == 0
+
+
+# -- property: sketch-accelerated output == exact, on arbitrary inputs ----
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=200),
+    st.integers(min_value=2, max_value=20),
+)
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+def test_heavy_hitters_property_matches_exact(spark, keys, phi_denom):
+    n = len(keys)
+    want = {
+        (str(k), c)
+        for k, c in Counter(keys).items()
+        if c * phi_denom >= n
+    }
+    df = spark.createDataFrame(
+        [(k,) for k in keys], "term int"
+    ).repartition(4)
+    got = {
+        (r.term, r.freq)
+        for r in heavy_hitters(df, "term", phi_denom=phi_denom, k=64).collect()
+    }
+    assert got == want
