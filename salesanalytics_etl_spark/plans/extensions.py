@@ -2675,11 +2675,15 @@ def q101_heavy_hitter_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q102_exact_jaccard_join",
     oracle=r"""
     WITH n AS (
-      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS w
       FROM documents
     ), sh AS (
-      SELECT doc_id, list(DISTINCT substr(norm, CAST(i AS INT), 5)) AS shingles
-      FROM n, UNNEST(range(1, GREATEST(length(norm) - 3, 2))) AS t(i)
+      SELECT doc_id,
+             list(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                           w[i+3] || ' ' || w[i+4]) AS shingles
+      FROM n, UNNEST(range(1, GREATEST(len(w) - 4, 0) + 1)) AS t(i)
       GROUP BY doc_id
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -2688,18 +2692,20 @@ def q101_heavy_hitter_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
                    4) AS jaccard
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.9
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
     """,
     doc="EXACT similarity self-join over the FULL corpus: every doc pair "
-    "with 5-gram Jaccard >= 0.9 (the realistic near-dup dedup cut), "
-    "recall 1.0 — prefix filtering (rarest-first global order + length "
-    "+ positional pruning) turns the quadratic join into an equi-join "
-    "on prefix shingles (operators/dedup.py:exact_jaccard_join); the "
-    "DuckDB twin brute-forces all pairs, so a hash match certifies both "
-    "the candidate completeness (no false negatives) and the verifier",
+    "with 5-WORD-gram Jaccard >= 0.8 (the standard document-dedup "
+    "granularity and cut), recall 1.0 — prefix filtering (rarest-first "
+    "global order + length + positional pruning) turns the quadratic "
+    "join into an equi-join on prefix shingles "
+    "(operators/dedup.py:exact_jaccard_join); the DuckDB twin brute-"
+    "forces all pairs, so a hash match certifies both the candidate "
+    "completeness (no false negatives) and the verifier; docs under 5 "
+    "words emit no shingles on either engine",
 )
 def q102_exact_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from salesanalytics_etl_spark.operators.dedup import exact_jaccard_join
 
     (documents,) = _t(spark, sf_dir, "documents")
-    return exact_jaccard_join(documents, threshold=0.9)
+    return exact_jaccard_join(documents, threshold=0.8, unit="word")

@@ -85,3 +85,42 @@ def test_no_pairs_on_disjoint_corpus(spark):
     # pairwise disjoint by construction
     rows = [(i, chr(ord("a") + i) * 40) for i in range(20)]
     assert exact_jaccard_join(_docs(spark, rows), threshold=0.5).count() == 0
+
+
+def test_word_unit_matches_brute_force(planted):
+    from salesanalytics_etl_spark.operators.dedup import word_shingle_rows
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in exact_jaccard_join(
+            planted, threshold=0.5, unit="word"
+        ).collect()
+    }
+    sets = shingle_sets(word_shingle_rows(planted))
+    ids = planted.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("doc_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("doc_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    brute = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_verify(pairs, sets, 0.5).collect()
+    }
+    assert got == brute
+    pairs_only = {(a, b) for a, b, _ in got}
+    assert (1, 2) in pairs_only and (4, 5) in pairs_only
+
+
+def test_word_unit_short_docs_emit_nothing(spark):
+    from salesanalytics_etl_spark.operators.dedup import word_shingle_rows
+
+    df = _docs(spark, [(1, "only four words here"), (2, ""), (3, "a b c d e")])
+    rows = word_shingle_rows(df).collect()
+    assert {r.doc_id for r in rows} == {3}
+    assert rows[0].sh == "a b c d e"
+
+
+def test_bad_unit_raises(spark):
+    with pytest.raises(ValueError, match="unit"):
+        exact_jaccard_join(_docs(spark, [(1, "x")]), unit="sentence")
