@@ -585,3 +585,65 @@ def word_shingle_rows(
     return exploded.select(
         "doc_id", F.expr(f"concat_ws(' ', slice(w, i, {n}))").alias("sh")
     )
+
+
+def duplicate_spans(
+    df: DataFrame, text_col: str = "text", n: int = 20
+) -> DataFrame:
+    """Exact duplicated-span detection: per-doc count/fraction of n-WORD
+    windows that also appear verbatim in at least one OTHER document.
+
+    The fixed-window form of exact-substring training-data dedup (the
+    suffix-array approach finds maximal repeats; fixed windows find the
+    same cross-document boilerplate with two aggregations instead of a
+    suffix sort, the standard map-reduce adaptation). Returns
+    (doc_id, n_windows, n_dup_windows, dup_ratio) for docs with at least
+    one duplicated window — the rows a curation pipeline would route to
+    span-level cutting.
+
+    Scale shape: windows shuffle by a 128-bit md5 fingerprint (32-char
+    hex, ~4x smaller than the raw ~120-char span — the shuffle IS the
+    cost at 100 TB), min!=max on doc_id detects cross-doc repeats without
+    a COUNT DISTINCT, and the flagging join is an equi-join on the same
+    fingerprint (re-using the partitioning; dup-span sets are small enough
+    for AQE to broadcast them in practice). The span text itself never
+    shuffles. Collision risk at 128 bits is negligible at any corpus size.
+    """
+    normed = spread_partitions(df.select("doc_id", F.col(text_col))).select(
+        "doc_id", F.split(normalize_text(F.col(text_col)), " ").alias("w")
+    )
+    spans = normed.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.when(
+                F.size("w") >= n, F.sequence(F.lit(1), F.size("w") - (n - 1))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        F.md5(F.expr(f"concat_ws(' ', slice(w, i, {n}))")).alias("span_fp"),
+    )
+    dup = (
+        spans.groupBy("span_fp")
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .where(F.col("_mn") != F.col("_mx"))
+        .select("span_fp", F.lit(1).alias("_dup"))
+    )
+    return (
+        spans.join(dup, "span_fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("_dup").alias("n_dup_windows"),
+        )
+        .where(F.col("n_dup_windows") > 0)
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 4).alias(
+                "dup_ratio"
+            ),
+        )
+    )

@@ -356,3 +356,50 @@ def compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(norm).alias("n_chars_norm"),
         _ratio(norm).alias("compress_ratio"),
     )
+
+
+def unigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document unigram cross-entropy (bits/token) under the corpus's
+    own unigram language model — the classic LM-based quality filter
+    (CCNet-style perplexity filtering, with the n-gram model degenerate
+    at n=1 so the whole computation stays in SQL): documents whose tokens
+    are systematically rare under the corpus distribution score high and
+    are curation candidates.
+
+    Returns (doc_id, n_tokens, bits_per_token) for every doc with >=1
+    token. Cross-engine determinism: the per-term surprisal
+    -log2(tf/N) is rounded to 6 decimals ONCE (a single deterministic
+    double op per distinct term) and accumulated as DECIMAL(18,6) — the
+    per-doc sum is exact integer arithmetic, immune to partitioning and
+    summation order; only the final divide-by-n is floating point.
+
+    Scale shape: vocab is one map-side-combinable groupBy on term; the
+    corpus total N is a 1-row broadcast (no collect); the scoring join is
+    tf-rows ⋈ vocab on term (vocab is Zipf-small once aggregated — AQE
+    broadcasts it); the per-doc agg reuses the doc_id partitioning.
+    """
+    toks = _token_rows(df, text_col)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    total = vocab.agg(F.sum("ctf").alias("_n"))
+    term_bits = vocab.join(F.broadcast(total)).select(
+        "term",
+        F.round(F.log2(F.col("_n")) - F.log2(F.col("ctf")), 6)
+        .cast("decimal(18,6)")
+        .alias("bits"),
+    )
+    return (
+        tf.join(term_bits, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("bits")).alias("_sum_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("_sum_bits").cast("double") / F.col("n_tokens"), 4
+            ).alias("bits_per_token"),
+        )
+    )

@@ -2709,3 +2709,89 @@ def q102_exact_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = _t(spark, sf_dir, "documents")
     return exact_jaccard_join(documents, threshold=0.8, unit="word")
+
+
+# --------------------------------------------------------------------------
+# Exact substring (span) dedup + LM quality filtering
+# --------------------------------------------------------------------------
+@register(
+    "q103_duplicate_spans",
+    oracle=r"""
+    WITH nn AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ), sp AS (
+      SELECT doc_id, array_to_string(w[i:i+19], ' ') AS span
+      FROM nn, UNNEST(range(1, GREATEST(len(w) - 19, 0) + 1)) AS t(i)
+    ), dup AS (
+      SELECT span FROM sp GROUP BY span HAVING MIN(doc_id) <> MAX(doc_id)
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_windows,
+             COUNT(*) FILTER (WHERE span IN (SELECT span FROM dup))
+               AS n_dup_windows
+      FROM sp GROUP BY doc_id
+    )
+    SELECT doc_id, n_windows, n_dup_windows,
+           ROUND(n_dup_windows * 1.0 / n_windows, 4) AS dup_ratio
+    FROM agg WHERE n_dup_windows > 0
+    """,
+    doc="exact duplicated-span detection (fixed 20-word windows — the "
+    "map-reduce form of exact-substring training-data dedup): per-doc "
+    "count and fraction of windows appearing verbatim in another doc "
+    "(operators/dedup.py:duplicate_spans). Spark shuffles 128-bit md5 "
+    "fingerprints, never span text; min!=max on doc_id detects cross-doc "
+    "repeats without COUNT DISTINCT; the DuckDB twin groups the raw span "
+    "strings, so a hash match also certifies the fingerprint path "
+    "collision-free on this corpus",
+)
+def q103_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import duplicate_spans
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return duplicate_spans(documents, n=20)
+
+
+@register(
+    "q104_unigram_surprisal",
+    oracle=r"""
+    WITH nn AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, t.term FROM nn, UNNEST(w) AS t(term)
+      WHERE length(t.term) > 0
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), vocab AS (
+      SELECT term, SUM(tf) AS ctf FROM tf GROUP BY term
+    ), tot AS (
+      SELECT SUM(ctf) AS n FROM vocab
+    ), bits AS (
+      SELECT term,
+             CAST(ROUND(log2(n) - log2(ctf), 6) AS DECIMAL(18,6)) AS bits
+      FROM vocab, tot
+    ), agg AS (
+      SELECT doc_id, SUM(tf) AS n_tokens, SUM(tf * bits) AS s
+      FROM tf JOIN bits USING (term) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(s AS DOUBLE) / n_tokens, 4) AS bits_per_token
+    FROM agg
+    """,
+    doc="per-document unigram cross-entropy (bits/token) under the "
+    "corpus's own unigram LM — the CCNet-style perplexity quality filter "
+    "with the model degenerate at n=1 so scoring stays in SQL "
+    "(operators/text.py:unigram_surprisal). Cross-engine exactness: "
+    "per-term surprisal is rounded once to 6 decimals and accumulated as "
+    "DECIMAL(18,6), so the per-doc sum is order-insensitive integer "
+    "arithmetic on both engines",
+)
+def q104_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.text import unigram_surprisal
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return unigram_surprisal(documents)

@@ -61,6 +61,8 @@ _CHECK_FIRST = [
     "q94_scd2_customers",
     "q101_heavy_hitter_shingles",
     "q102_exact_jaccard_join",
+    "q103_duplicate_spans",
+    "q104_unigram_surprisal",
     "q01_table_counts",
     "q02_orders_sample_topk",
     "q03_sales_by_day",
@@ -99,11 +101,11 @@ _CHECK_FIRST = [
     "q54_part_sample_topk",
     "q55_lineitem_sample_topk",
     "q56_conformance_coercion",
-    # q57-q60 already carry r4-green rows; the final three slots go to
-    # the r3-era stragglers so the 50-row window re-records the stalest
+    # q57-q60 already carry r4-green rows; the remaining slot goes to an
+    # r3-era straggler so the 50-row window re-records the stalest (q62/
+    # q63 keep their r3 rows — the two new-surface queries q103/q104
+    # took their window slots: new code outranks stale-but-green rows)
     "q61_small_quantity_revenue",
-    "q62_check_violations",
-    "q63_sales_cube",
 ]
 
 

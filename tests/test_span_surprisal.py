@@ -1,0 +1,102 @@
+"""Unit tests for exact duplicate-span detection and unigram surprisal.
+
+The oracle-differential sweep (tests/test_queries.py) hash-checks q103/q104
+against DuckDB on real data; these tests pin the *semantics* on planted
+inputs: cross-doc-only flagging, the sub-window-length guard, exact window
+arithmetic, and the surprisal ordering/exactness contracts.
+"""
+
+from __future__ import annotations
+
+import math
+
+from salesanalytics_etl_spark.operators.dedup import duplicate_spans
+from salesanalytics_etl_spark.operators.text import unigram_surprisal
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+SHARED = " ".join(f"w{i}" for i in range(20))  # exactly one 20-word window
+
+
+class TestDuplicateSpans:
+    def test_cross_doc_span_flagged_both_sides(self, spark):
+        df = _docs(
+            spark,
+            [
+                (1, SHARED + " tail1 a b c"),
+                (2, "head x y z " + SHARED),
+                (3, " ".join(f"u{i}" for i in range(30))),  # unique text
+            ],
+        )
+        out = {
+            r["doc_id"]: r for r in duplicate_spans(df, n=20).collect()
+        }
+        # docs 1 and 2 share the planted window; doc 3 is clean
+        assert set(out) == {1, 2}
+        # doc 1: 24 words -> 5 windows; windows starting at 1 only are
+        # fully inside SHARED (window 1 == SHARED); others include tail
+        assert out[1]["n_windows"] == 5
+        assert out[1]["n_dup_windows"] == 1
+        assert out[2]["n_windows"] == 5
+        assert out[2]["n_dup_windows"] == 1
+        assert abs(out[1]["dup_ratio"] - 0.2) < 1e-9
+
+    def test_self_repetition_not_flagged(self, spark):
+        # one doc repeating its own 20-gram is NOT a cross-doc duplicate
+        df = _docs(spark, [(1, SHARED + " " + SHARED), (2, "short text")])
+        assert duplicate_spans(df, n=20).count() == 0
+
+    def test_short_docs_emit_no_windows(self, spark):
+        df = _docs(
+            spark,
+            [(1, " ".join(f"w{i}" for i in range(19))), (2, SHARED)],
+        )
+        # 19-word doc has no 20-word window; single doc with the window
+        # has no partner -> empty result
+        assert duplicate_spans(df, n=20).count() == 0
+
+    def test_whitespace_case_normalized(self, spark):
+        df = _docs(
+            spark,
+            [(1, SHARED.upper()), (2, SHARED.replace(" ", "   "))],
+        )
+        out = duplicate_spans(df, n=20).collect()
+        assert {r["doc_id"] for r in out} == {1, 2}
+        assert all(r["dup_ratio"] == 1.0 for r in out)
+
+
+class TestUnigramSurprisal:
+    def test_uniform_corpus_bits(self, spark):
+        # 4 equally-frequent tokens -> every token carries exactly 2 bits
+        df = _docs(spark, [(1, "a b"), (2, "c d")])
+        out = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+        assert out[1]["n_tokens"] == 2
+        assert out[1]["bits_per_token"] == 2.0
+        assert out[2]["bits_per_token"] == 2.0
+
+    def test_rare_tokens_score_higher(self, spark):
+        common = " ".join(["the"] * 50)
+        df = _docs(
+            spark,
+            [(1, common), (2, "zq xv kj"), (3, "the the the")],
+        )
+        out = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+        assert out[2]["bits_per_token"] > out[3]["bits_per_token"]
+        assert out[1]["bits_per_token"] == out[3]["bits_per_token"]
+
+    def test_value_matches_closed_form(self, spark):
+        # corpus: 3x"a", 1x"b" (N=4). surprisal(a)=log2(4/3), surpr(b)=2
+        df = _docs(spark, [(1, "a a a"), (2, "b")])
+        out = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+        expect_a = round(round(math.log2(4) - math.log2(3), 6), 4)
+        assert out[1]["bits_per_token"] == expect_a
+        assert out[2]["bits_per_token"] == 2.0
+
+    def test_empty_and_blank_docs_dropped(self, spark):
+        df = _docs(spark, [(1, "   "), (2, ""), (3, "hello")])
+        out = unigram_surprisal(df).collect()
+        assert [r["doc_id"] for r in out] == [3]
+        assert out[0]["n_tokens"] == 1
