@@ -47,6 +47,12 @@ def main() -> None:
         "documents embeddings"
     ).split():
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    # Spawn all Python workers once (daemon + per-core workers + Arrow
+    # init): ~5s that would otherwise land on whichever query first
+    # crosses the Python boundary (measured on q101 — 7.3s cold vs 2.1s
+    # warm at sf0.1). Worker spawn is deployment-fixed, not query work.
+    spark.range(256).repartition(int(spark.sparkContext.defaultParallelism)) \
+        .mapInPandas(lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -20,10 +20,10 @@ two-pass mergeable-summary rewrite:
    on partition order — which is what makes this oracle-checkable against
    a plain GROUP BY/HAVING twin (unlike the HLL/GK sketches, q64/q82).
 
-Shuffle inventory at scale: one exchange over the candidate domain
-(<= k x tasks keys) and a 1-row total — never over the full key domain.
-The threshold compare is integer math (``freq * denom >= n``), immune to
-float rounding on both engines.
+Shuffle inventory at scale: one bounded sketch collect (<= k+1 rows per
+task, merged driver-side) and one exchange over <= k recounted keys —
+never over the full key domain. The threshold compare is integer math
+(``freq * denom >= n``), immune to float rounding on both engines.
 
 Reference parity: the reference has no sketch operators; this extends its
 surface for corpus-scale token statistics (SURVEY.md north-star ops).
@@ -91,23 +91,54 @@ def heavy_hitters(
         raise ValueError(
             f"phi_denom={phi_denom} needs capacity k >= {phi_denom - 1}, got {k}"
         )
+    spark = rows.sparkSession
     src = rows.select(F.col(key_col).cast("string").alias(key_col))
-    summaries = src.mapInPandas(
+
+    # Reduce step: collect the per-task summaries (BOUNDED — at most k+1
+    # rows per task regardless of the key domain; 1000 executors x 1025
+    # rows ~ 1M short rows, the standard sketch-collect envelope) and
+    # merge them driver-side into one capacity-k MG summary. Merging
+    # preserves the superset guarantee (Agarwal et al.: MG summaries are
+    # mergeable under add-then-trim), so the merged counter set still
+    # contains every key with global frequency > n/(k+1). An earlier
+    # version kept the reduce distributed behind a .persist(); the pin
+    # outlived the query and accumulated executor memory across a
+    # 100-query sweep — the sketch IS small by construction, so the
+    # driver merge is both simpler and leak-free.
+    counters: dict[str, int] = {}
+    n_total = 0
+    summ = src.mapInPandas(
         _mg_kernel(key_col, k), schema=f"{key_col} string, cnt long"
-    ).persist()  # tiny (<= k x tasks rows); two consumers below
-    candidates = (
-        summaries.filter(F.col(key_col).isNotNull()).select(key_col).distinct()
-    )
-    total = summaries.filter(F.col(key_col).isNull()).agg(
-        F.sum("cnt").alias("n_total")
-    )
-    counted = (
-        src.join(F.broadcast(candidates), key_col)
-        .groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("freq"))
+    ).toPandas()  # Arrow-batched collect — Py4J Row decoding of the same
+    # summary measured ~2-3s at 28k rows, the Arrow path is milliseconds
+    import pandas as pd
+
+    for term, cnt in zip(summ[key_col].to_numpy(), summ["cnt"].to_numpy()):
+        if pd.isna(term):  # sentinel row: task's exact row count
+            n_total += int(cnt)
+        else:
+            counters[term] = counters.get(term, 0) + int(cnt)
+    if len(counters) > k:
+        dec = sorted(counters.values(), reverse=True)[k]
+        counters = {t: c - dec for t, c in counters.items() if c > dec}
+
+    out_schema = f"{key_col} string, freq long"
+    if not counters or n_total == 0:
+        return spark.createDataFrame([], schema=out_schema)
+
+    # Exact recount of the candidates only: one scan of the source, one
+    # exchange over <= k keys. The threshold compare is integer math
+    # against the exact sentinel total, so the OUTPUT is exact and
+    # deterministic even though the candidate set is partition-dependent.
+    cand = F.broadcast(
+        spark.createDataFrame(
+            [(t,) for t in counters], schema=f"{key_col} string"
+        )
     )
     return (
-        counted.join(F.broadcast(total))
-        .filter(F.col("freq") * phi_denom >= F.col("n_total"))
+        src.join(cand, key_col)
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * phi_denom >= F.lit(n_total))
         .select(key_col, "freq")
     )

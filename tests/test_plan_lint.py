@@ -69,11 +69,12 @@ _PLAN_PINS = {
     "q92_part_cooccurrence": ["TakeOrderedAndProject"],
     # grouping sets expand AFTER the join, inside the aggregation
     "q35_sales_rollup": ["Expand"],
-    # heavy hitters: the sketch pass is the Arrow-batched kernel and the
-    # exact recount joins the bounded candidate set by BROADCAST — a
-    # shuffled recount join would drag the full shingle domain through an
+    # heavy hitters: the MG sketch pass runs eagerly (bounded Arrow
+    # collect, merged driver-side — not part of the returned plan); the
+    # exact recount joins the <=k candidate set by BROADCAST — a shuffled
+    # recount join would drag the full shingle domain through an
     # exchange, the exact thing the operator exists to avoid
-    "q101_heavy_hitter_shingles": ["MapInPandas", "BroadcastHashJoin"],
+    "q101_heavy_hitter_shingles": ["BroadcastHashJoin"],
 }
 
 
