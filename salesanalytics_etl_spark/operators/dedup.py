@@ -467,11 +467,24 @@ def exact_jaccard_join(
         if unit == "char"
         else word_shingle_rows(df, text_col)
     )
+    # Hash shingles to 64-bit longs at the source: every downstream
+    # shuffle (distinct, df count, prefix join, candidate equi-join,
+    # verify sets) then moves 8-byte keys instead of ~30-char strings —
+    # at 100 TB the prefix join's exchange IS the cost. Prefix filtering
+    # only needs SOME consistent global order, so ordering by (df, hash)
+    # is as valid as (df, shingle). A cross-doc hash collision could at
+    # worst admit a false candidate (killed by the verifier) or inflate
+    # one pair's intersection by 1 (P ~ 2^-45 per pair, and the DuckDB
+    # twin computes on raw strings — the gate would surface it).
     # persisted + EAGER (same lesson as minhash_near_dupes: concurrent
     # consumers of a lazy persist each recompute the full upstream before
     # any cache partition lands): sets_rows feeds sizes/dfreq/prefix-join
     # and the verify-side semi-join
-    sets_rows = raw_rows.distinct().persist()
+    sets_rows = (
+        raw_rows.select("doc_id", F.xxhash64("sh").alias("sh"))
+        .distinct()
+        .persist()
+    )
     sets_rows.count()
     sizes = sets_rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sets_rows.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -534,9 +547,8 @@ def exact_jaccard_join(
     # double-consumer trap as the MinHash verify stage
     hsets = (
         sets_rows.join(docs_in_pairs, "doc_id", "left_semi")
-        .select("doc_id", F.xxhash64("sh").alias("h"))
         .groupBy("doc_id")
-        .agg(F.collect_set("h").alias("hs"))
+        .agg(F.collect_set("sh").alias("hs"))  # sh is already the 64-bit hash
         .persist()
     )
     hsets.count()
