@@ -2795,3 +2795,190 @@ def q104_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = _t(spark, sf_dir, "documents")
     return unigram_surprisal(documents)
+
+
+@register(
+    "q105_cluster_representatives",
+    oracle=r"""
+    WITH RECURSIVE n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents WHERE doc_id < 250
+    ), sh AS (
+      SELECT doc_id, list(DISTINCT substr(norm, CAST(i AS INT), 5)) AS shingles
+      FROM n, UNNEST(range(1, GREATEST(length(norm) - 3, 2))) AS t(i)
+      GROUP BY doc_id
+    ), edges AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.shingles, b.shingles))),
+                  4) >= 0.5
+    ), und AS (
+      SELECT doc_a AS s, doc_b AS d FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ), reach(s, d) AS (
+      SELECT s, d FROM und
+      UNION
+      SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+    ), clusters AS (
+      SELECT LEAST(s, MIN(d)) AS cluster_id, s AS doc_id
+      FROM reach GROUP BY s
+    ), q AS (
+      SELECT doc_id,
+             ROUND(0.25 * (CASE WHEN length(text) BETWEEN 64 AND 8192
+                                THEN 1.0 ELSE 0.0 END)
+                 + 0.5 * (CASE WHEN length(text) > 0
+                          THEN CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                                    AS DOUBLE) / length(text) ELSE 0.0 END)
+                 + 0.25 * (CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+')) > 0
+                           AND CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                               / len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                               BETWEEN 2 AND 12
+                           THEN 1.0 ELSE 0.0 END), 4) AS quality
+      FROM documents
+    )
+    SELECT c.cluster_id, c.doc_id, q.quality,
+           CAST(CASE WHEN ROW_NUMBER() OVER (
+                  PARTITION BY c.cluster_id
+                  ORDER BY q.quality DESC, c.doc_id) = 1
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM clusters c JOIN q USING (doc_id)
+    """,
+    doc="the dedup ACTION step: near-dup clusters (q49's exact-edge "
+    "transitive closure) -> keep the highest-quality member per cluster "
+    "(q23's quality heuristic; doc_id tiebreak), mark the rest for "
+    "dropping. Composes clustering + quality scoring + a per-cluster "
+    "window — the per-cluster pick shuffles only the clustered tail of "
+    "the corpus (docs in no cluster need no decision), and quality "
+    "joins on doc_id before the window so one exchange serves both",
+)
+def q105_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from salesanalytics_etl_spark.operators.text import quality_score
+
+    clusters = q49_dedup_clusters(spark, sf_dir)
+    (documents,) = _t(spark, sf_dir, "documents")
+    q = quality_score(documents).select("doc_id", "quality")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(q, "doc_id")
+        .select(
+            "cluster_id",
+            "doc_id",
+            "quality",
+            F.when(F.row_number().over(w) == 1, 1).otherwise(0)
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+@register(
+    "q106_token_budget_mixture",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INT)
+               % 10000 AS bucket
+      FROM documents
+    ), per_source AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(tok) AS n_tokens
+      FROM d GROUP BY source
+    ), g AS (
+      SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources
+      FROM per_source
+    ), rates AS (
+      SELECT source, n_docs, n_tokens,
+             CASE WHEN n_tokens = 0 THEN 0
+                  ELSE LEAST(10000, (total_tokens // 2) * 10000
+                                    // (n_sources * n_tokens))
+             END AS sample_bp
+      FROM per_source, g
+    )
+    SELECT r.source,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(r.n_tokens AS BIGINT) AS n_tokens,
+           CAST(r.sample_bp AS BIGINT) AS sample_bp,
+           CAST(COUNT(*) FILTER (WHERE d.bucket < r.sample_bp) AS BIGINT)
+             AS n_docs_sampled,
+           CAST(COALESCE(SUM(d.tok) FILTER (WHERE d.bucket < r.sample_bp), 0)
+                AS BIGINT) AS n_tokens_sampled
+    FROM rates r JOIN d ON d.source = r.source
+    GROUP BY r.source, r.n_docs, r.n_tokens, r.sample_bp
+    """,
+    doc="mixture planning + deterministic execution for a token-budget "
+    "corpus mix: target = half the corpus tokens spread uniformly over "
+    "sources; per-source sampling rate in integer basis points "
+    "(LEAST(10000, budget*1e4 // (n_sources * tokens_s)) — all integer "
+    "math, exact on both engines), then each doc's md5 bucket decides "
+    "membership (the q51 content-hash trick: stable under reprocessing, "
+    "no rand()). Scale: one groupBy(source) [tiny], a 1-row global "
+    "broadcast, the rate dim broadcast back onto the corpus scan, one "
+    "final groupBy(source) — the corpus is scanned twice and never "
+    "shuffled on a wide key",
+)
+def q106_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.text import token_count
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    d = documents.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("tok"),
+        bucket.alias("bucket"),
+    )
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("n_tokens")
+    )
+    glob = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    rates = per_source.join(F.broadcast(glob)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(10000).cast("long"),
+                F.expr(
+                    "((total_tokens div 2) * 10000)"
+                    " div (n_sources * n_tokens)"
+                ),
+            )
+        )
+        .alias("sample_bp"),
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "n_tokens", "sample_bp")
+        .agg(
+            F.count(F.when(F.col("bucket") < F.col("sample_bp"), 1)).alias(
+                "n_docs_sampled"
+            ),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("bucket") < F.col("sample_bp"), F.col("tok"))
+                ),
+                F.lit(0),
+            ).alias("n_tokens_sampled"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "sample_bp",
+            "n_docs_sampled",
+            "n_tokens_sampled",
+        )
+    )

@@ -63,6 +63,8 @@ _CHECK_FIRST = [
     "q102_exact_jaccard_join",
     "q103_duplicate_spans",
     "q104_unigram_surprisal",
+    "q105_cluster_representatives",
+    "q106_token_budget_mixture",
     "q01_table_counts",
     "q02_orders_sample_topk",
     "q03_sales_by_day",
@@ -100,12 +102,9 @@ _CHECK_FIRST = [
     "q53_customer_sample_topk",
     "q54_part_sample_topk",
     "q55_lineitem_sample_topk",
-    "q56_conformance_coercion",
-    # q57-q60 already carry r4-green rows; the remaining slot goes to an
-    # r3-era straggler so the 50-row window re-records the stalest (q62/
-    # q63 keep their r3 rows — the two new-surface queries q103/q104
-    # took their window slots: new code outranks stale-but-green rows)
-    "q61_small_quantity_revenue",
+    # q57-q60 already carry r4-green rows; q56/q61/q62/q63 keep their
+    # r2/r3 rows — the four new-surface queries q103-q106 took their
+    # window slots: never-recorded code outranks stale-but-green rows.
 ]
 
 
