@@ -380,7 +380,14 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     toks = _token_rows(df, text_col)
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    vocab = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    # Persist the vocab (|vocab| ≪ |tokens| by Zipf): the total and the
+    # per-term bits BOTH derive from it, and unpersisted each would
+    # recompute the tokenize+tf pass — .explain showed the corpus
+    # scanned three times; the model-train/score split is inherently two
+    # passes and should stay two. The output (the |docs|-sized scoring
+    # table a pipeline materializes anyway) is checkpointed eagerly so
+    # the cache can be released before returning.
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("ctf")).persist()
     total = vocab.agg(F.sum("ctf").alias("_n"))
     term_bits = vocab.join(F.broadcast(total)).select(
         "term",
@@ -388,7 +395,7 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("decimal(18,6)")
         .alias("bits"),
     )
-    return (
+    out = (
         tf.join(term_bits, "term")
         .groupBy("doc_id")
         .agg(
@@ -402,4 +409,7 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.col("_sum_bits").cast("double") / F.col("n_tokens"), 4
             ).alias("bits_per_token"),
         )
+        .localCheckpoint()
     )
+    vocab.unpersist()
+    return out
