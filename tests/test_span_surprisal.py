@@ -100,3 +100,81 @@ class TestUnigramSurprisal:
         out = unigram_surprisal(df).collect()
         assert [r["doc_id"] for r in out] == [3]
         assert out[0]["n_tokens"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Property-based: distributed results == single-node brute force
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# tiny alphabet + short docs → plenty of genuine cross-doc window overlap
+_doc = st.lists(
+    st.sampled_from(["a", "b", "c"]), min_size=0, max_size=10
+).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=8)
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _brute_dup_spans(texts, n):
+    import collections
+
+    spans = {}  # doc_id -> list of window strings (all positions)
+    for i, t in enumerate(texts):
+        w = " ".join(t.split()).lower().split(" ") if t.strip() else []
+        spans[i] = [
+            " ".join(w[j : j + n]) for j in range(len(w) - n + 1)
+        ] if len(w) >= n else []
+    owners = collections.defaultdict(set)
+    for i, ws in spans.items():
+        for s in ws:
+            owners[s].add(i)
+    out = {}
+    for i, ws in spans.items():
+        dup = sum(1 for s in ws if len(owners[s]) > 1)
+        if dup:
+            out[i] = (len(ws), dup)
+    return out
+
+
+@given(_corpus)
+@_SETTINGS
+def test_duplicate_spans_matches_brute_force(spark, texts):
+    n = 3
+    df = _docs(spark, list(enumerate(texts))).repartition(3)
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in duplicate_spans(df, n=n).collect()
+    }
+    assert got == _brute_dup_spans(texts, n)
+
+
+@given(_corpus)
+@_SETTINGS
+def test_surprisal_matches_brute_force(spark, texts):
+    import collections
+
+    df = _docs(spark, list(enumerate(texts))).repartition(3)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bits_per_token"])
+        for r in unigram_surprisal(df).collect()
+    }
+    toks = {
+        i: [w for w in " ".join(t.split()).lower().split(" ") if w]
+        for i, t in enumerate(texts)
+    }
+    ctf = collections.Counter(w for ws in toks.values() for w in ws)
+    total = sum(ctf.values())
+    want = {}
+    for i, ws in toks.items():
+        if not ws:
+            continue
+        bits = {w: round(math.log2(total) - math.log2(ctf[w]), 6) for w in ctf}
+        s = sum(bits[w] for w in ws)
+        want[i] = (len(ws), round(s / len(ws), 4))
+    assert got == want
