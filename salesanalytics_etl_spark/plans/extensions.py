@@ -2982,3 +2982,30 @@ def q106_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens_sampled",
         )
     )
+
+
+@register(
+    "q107_hopping_window",
+    oracle="""
+    SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT))
+                AS TIMESTAMP)
+             - k.k * INTERVAL 15 MINUTE AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS value_sum
+    FROM events, UNNEST(range(0, 4)) AS k(k)
+    GROUP BY 1, 2
+    """,
+    doc="hopping 1h/15min window rollup via F.window(ts, window, slide) — "
+    "the sliding-window operator (q29 covers aligned tumbles); each event "
+    "lands in exactly 4 epoch-aligned windows, which the oracle replays "
+    "as floor-to-15min minus k*15min for k=0..3. Decimal-accumulated "
+    "value sums; the same expression runs under Structured Streaming "
+    "with a watermark (streaming/events.py)",
+)
+def q107_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.streaming.events import hopping_event_rollup
+
+    (events,) = _t(spark, sf_dir, "events")
+    return hopping_event_rollup(events)

@@ -101,10 +101,10 @@ _CHECK_FIRST = [
     "q52_merge_upsert",
     "q53_customer_sample_topk",
     "q54_part_sample_topk",
-    "q55_lineitem_sample_topk",
-    # q57-q60 already carry r4-green rows; q56/q61/q62/q63 keep their
-    # r2/r3 rows — the four new-surface queries q103-q106 took their
-    # window slots: never-recorded code outranks stale-but-green rows.
+    # q55-q63 keep their r2/r3/r4 rows — the new-surface queries
+    # q103-q107 took the tail window slots: never-recorded code outranks
+    # stale-but-green rows.
+    "q107_hopping_window",
 ]
 
 

@@ -174,3 +174,34 @@ def streaming_dedup(
     """
     keys = keys or ["event_id"]
     return stream.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def hopping_event_rollup(
+    events: DataFrame, window: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """Hopping (sliding) window: 1-hour windows every 15 minutes.
+
+    ``F.window(ts, window, slide)`` assigns each event to window/slide
+    (= 4) overlapping epoch-aligned windows — the streaming-compatible
+    sliding-window operator (same expression runs under a watermark in
+    Structured Streaming). The shuffle carries (window, type)-grain
+    partial aggregates: map-side combine means the 4x row fan-out from
+    overlap never crosses the exchange as raw events.
+    """
+    return (
+        events.groupBy(
+            F.window("ts", window, slide).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_out(F.sum(F.col("value").cast("decimal(18,2)"))).alias(
+                "value_sum"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )

@@ -131,3 +131,29 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT event_id FROM dedup_sink").collect()
     assert sorted(r.event_id for r in got) == [1, 2, 3, 4]
+
+
+def test_streaming_hopping_rollup_matches_batch(spark, sf_dir, events_stream_dir):
+    """The hopping-window rollup (q107) under a watermarked stream equals
+    the batch plan on the same data — the sliding-window twin of the
+    tumbling equivalence above."""
+    from salesanalytics_etl_spark.streaming.events import (
+        hopping_event_rollup,
+        read_events_stream,
+    )
+
+    stream = read_events_stream(spark, events_stream_dir)
+    q = (
+        hopping_event_rollup(stream.withWatermark("ts", "2 hours"))
+        .writeStream.format("memory")
+        .queryName("t_hop")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {tuple(r) for r in spark.table("t_hop").collect()}
+    events = load_driver_tables(spark, sf_dir, ["events"])["events"]
+    batch = {tuple(r) for r in hopping_event_rollup(events).collect()}
+    assert streamed == batch
+    assert len(batch) > 0

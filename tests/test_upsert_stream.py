@@ -42,3 +42,67 @@ def test_streaming_upsert_converges_and_is_idempotent(spark, sf_dir, tmp_path):
     q2 = sink.attach(stream2, checkpoint=str(tmp_path / "ckpt2"))
     q2.awaitTermination(120)
     assert _state(sink) == want
+
+
+def test_partitioned_streaming_upsert_touches_only_batch_partitions(
+    spark, sf_dir, tmp_path
+):
+    """Partition-scoped CDC sink: final state == batch merge result, and a
+    micro-batch confined to one partition leaves every other partition's
+    data files byte-identical on disk."""
+    import glob
+    import hashlib
+    import os
+
+    from salesanalytics_etl_spark.streaming.upsert_stream import (
+        PartitionedParquetUpsertSink,
+    )
+
+    src = str(tmp_path / "src")
+    events = (
+        load_driver_tables(spark, sf_dir, ["events"])["events"]
+        .withColumn("day", F.to_date("ts"))
+    )
+    # seed load: everything except the last day
+    days = sorted(r.day for r in events.select("day").distinct().collect())
+    hot, cold = days[-1], days[:-1]
+    sink = PartitionedParquetUpsertSink(
+        spark, str(tmp_path / "tbl"), keys=["event_id"], partition_by=["day"]
+    )
+    sink.process_batch(events.filter(F.col("day") != hot), batch_id=0)
+
+    def file_hashes():
+        out = {}
+        for p in glob.glob(os.path.join(sink.path, "**", "*.parquet"),
+                           recursive=True):
+            with open(p, "rb") as f:
+                out[p] = hashlib.md5(f.read()).hexdigest()
+        return out
+
+    before = file_hashes()
+
+    # stream ONLY the hot day's events through the sink
+    hot_src = str(tmp_path / "hot")
+    events.filter(F.col("day") == hot).repartition(3).write.parquet(hot_src)
+    schema = spark.read.parquet(hot_src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(hot_src)
+    )
+    q = sink.attach(stream, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # cold partitions' files untouched byte-for-byte
+    after = file_hashes()
+    cold_before = {p: h for p, h in before.items() if f"day={hot}" not in p}
+    assert cold_before == {
+        p: h for p, h in after.items() if f"day={hot}" not in p
+    }
+
+    # final state equals the full-table batch result
+    got = {
+        r.event_id: (r.event_type, r.value) for r in sink.current().collect()
+    }
+    want = {r.event_id: (r.event_type, r.value) for r in events.collect()}
+    assert got == want
