@@ -36,6 +36,10 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     queries = all_queries()
+    # qNN prefixes must be unique (they become the compact JSON keys) —
+    # fail BEFORE the multi-minute sweep, not after it
+    prefixes = {n.split("_", 1)[0] for n in queries}
+    assert len(prefixes) == len(queries), "duplicate qNN prefix in query names"
 
     # Warm the JVM with the flagship once, then touch every table's
     # parquet footers + pages so first-scan penalties (footer parse, OS

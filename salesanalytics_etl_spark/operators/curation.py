@@ -258,14 +258,10 @@ def curation_pipeline(
     bench = df.filter(F.col("doc_id") % 50 == 0)
     # AQE coalesces the (tiny) fingerprint-window shuffle output to ~1
     # partition; the n-gram explode multiplies rows 100-1000× AFTER that,
-    # so without an explicit spread the decontamination join runs on one
-    # task regardless of cluster width (measured 8.3s → 5.4s cold / 1.9s
-    # warm at sf0.1; the residual cold cost is the single-file scan).
-    from salesanalytics_etl_spark.operators.dedup import spread_partitions
-
-    corpus_ngrams = ngram_rows(
-        spread_partitions(corpus.select("doc_id", text_col)), n
-    )
+    # so the explode must re-spread first (measured 8.3s → 5.4s cold /
+    # 1.9s warm at sf0.1) — ngram_rows' internal spread_partitions does
+    # exactly that on its input projection.
+    corpus_ngrams = ngram_rows(corpus.select("doc_id", text_col), n)
     flagged = (
         corpus_ngrams.join(
             F.broadcast(ngram_rows(bench, n).select("ngram").distinct()),

@@ -486,17 +486,23 @@ def exact_jaccard_join(
         .persist()
     )
     sets_rows.count()
+    # All threshold comparisons below use INTEGER basis points, never
+    # float products: ceil(0.8 * 35) evaluates as ceil(28.000000000000004)
+    # = 29 in binary floating point — one element short on the prefix, one
+    # too many on the overlap bound — silently dropping exact-boundary
+    # pairs and breaking the recall-1.0 contract. t_bp is exact for any
+    # threshold expressible in 4 decimals (the operator's precision).
+    t_bp = int(round(threshold * 10000))
     sizes = sets_rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sets_rows.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    # ceil(t*sz) in exact integer math: (t_bp*sz + 9999) div 10000
+    ceil_t_sz = F.expr(f"({t_bp} * sz + 9999) div 10000")
     pref = (
         sets_rows.join(dfreq, "sh")
         .join(sizes, "doc_id")
         .withColumn("rn", F.row_number().over(w))
-        .filter(
-            F.col("rn")
-            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-        )
+        .filter(F.col("rn") <= F.col("sz") - ceil_t_sz + 1)
         .select("doc_id", "sh", "sz", "rn")
         .persist()  # consumed by BOTH sides of the candidate self-join
     )
@@ -521,16 +527,19 @@ def exact_jaccard_join(
     overlap_ub = F.lit(1) + F.least(
         F.col("sz_a") - F.col("rn_a"), F.col("sz_b") - F.col("rn_b")
     )
-    overlap_req = F.ceil(
-        F.lit(threshold / (1.0 + threshold))
-        * (F.col("sz_a") + F.col("sz_b"))
+    # overlap >= t/(1+t)·(|A|+|B|): ceil via integer math with the exact
+    # rational t_bp/(10000+t_bp) — t=0.8 is 4/9 of the size sum, which
+    # float ceil(0.4444...*63) gets wrong (29 vs 28)
+    overlap_req = F.expr(
+        f"({t_bp} * (sz_a + sz_b) + {10000 + t_bp} - 1)"
+        f" div {10000 + t_bp}"
     )
     cands = (
         a.join(b, "sh")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b"))
-            & (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a"))
+            & (F.col("sz_a") * 10000 >= F.lit(t_bp) * F.col("sz_b"))
+            & (F.col("sz_b") * 10000 >= F.lit(t_bp) * F.col("sz_a"))
             & (overlap_ub >= overlap_req)
         )
         .select("doc_a", "doc_b", "sz_a", "sz_b")
@@ -555,12 +564,17 @@ def exact_jaccard_join(
     ha = hsets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("h_a"))
     hb = hsets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("h_b"))
     ov = F.size(F.array_intersect("h_a", "h_b"))
-    jac = ov / (F.col("sz_a") + F.col("sz_b") - ov)
+    uni = F.col("sz_a") + F.col("sz_b") - ov
+    # admit on the EXACT integer comparison ov/uni >= t (ov*10000 >=
+    # t_bp*uni) — the same boundary the candidate filters prune at; a
+    # round-then-compare admission would disagree with the pruning for
+    # pairs whose J rounds up across the threshold. Rounding is display
+    # only (and the oracle twin mirrors exact-filter + rounded-emit).
     out = (
         cands.join(ha, "doc_a")
         .join(hb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .filter(ov * 10000 >= F.lit(t_bp) * uni)
+        .select("doc_a", "doc_b", F.round(ov / uni, 4).alias("jaccard"))
         .localCheckpoint()
     )
     sets_rows.unpersist()

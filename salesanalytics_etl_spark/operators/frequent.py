@@ -84,12 +84,15 @@ def heavy_hitters(
 ) -> DataFrame:
     """Exact keys with frequency >= n / ``phi_denom`` (phi = 1/phi_denom).
 
-    ``phi_denom`` must not exceed k+1 or the MG superset guarantee breaks
-    (a heavy key could be decremented away before the recount).
+    ``phi_denom`` must not exceed k: the MG undercount can reach n/(k+1),
+    and the output threshold admits frequency >= n/phi_denom, so a key at
+    EXACTLY n/(k+1) (admitted when phi_denom = k+1) could be decremented
+    out of every summary before the recount. phi_denom <= k keeps the
+    qualifying frequencies strictly above the worst-case decrement.
     """
-    if phi_denom > k + 1:
+    if phi_denom > k:
         raise ValueError(
-            f"phi_denom={phi_denom} needs capacity k >= {phi_denom - 1}, got {k}"
+            f"phi_denom={phi_denom} needs capacity k >= {phi_denom}, got {k}"
         )
     spark = rows.sparkSession
     src = rows.select(F.col(key_col).cast("string").alias(key_col))

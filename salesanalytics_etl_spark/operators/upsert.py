@@ -106,7 +106,14 @@ def merge_upsert_partitioned(
             for r in touched
         ],
     )
-    target = spark.read.parquet(path)
+    # Pin the read schema to the incoming batch's: partition VALUES are
+    # round-tripped through directory names, and schema inference would
+    # re-type them (a string partition value '01' becomes int 1), so the
+    # merged frame would be overwritten into a DIFFERENT directory (c=1)
+    # while the stale original (c=01) survives — silent duplication.
+    # With the schema pinned, directory names parse back to the declared
+    # types and the dynamic overwrite lands on the same partitions.
+    target = spark.read.schema(incoming.schema).parquet(path)
     merged = merge_upsert(target.filter(pred), incoming, keys)
 
     staging = path.rstrip("/") + ".__merge_staging__"
@@ -116,7 +123,7 @@ def merge_upsert_partitioned(
     spark.conf.set(key, "dynamic")
     try:
         (
-            spark.read.parquet(staging)
+            spark.read.schema(incoming.schema).parquet(staging)
             .write.mode("overwrite")
             .partitionBy(*partition_by)
             .parquet(path)

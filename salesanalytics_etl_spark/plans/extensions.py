@@ -20,9 +20,10 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [tables[n] for n in names]
 
 
-# q25 (pair listing) and q49 (transitive clustering) share the MinHash
-# pipeline; cache the verified-pairs DataFrame per (application, dir) so a
-# sweep over the whole surface computes signatures/banding once. Keyed on
+# q25's verified-pairs DataFrame is cached per (application, dir) so a
+# sweep over the whole surface computes signatures/banding once (q49's
+# clusters get the same treatment in _exact_clusters below — it stopped
+# consuming the MinHash pairs when its edges became exact). Keyed on
 # applicationId, not id(spark) — CPython can reuse a GC'd session's id,
 # which would hand back persisted frames bound to a dead SparkContext.
 # Bounded FIFO: in a long-lived service, unbounded entries would pin
@@ -321,7 +322,8 @@ def q46_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q25_minhash_neardup",
     oracle=None,
-    doc="MinHash(32)+LSH(8 bands) candidate pairs, exact-Jaccard verified "
+    doc="MinHash(32)+LSH(6 bands x 5 rows) candidate pairs, exact-Jaccard "
+    "verified "
     "≥0.5 — shingle/signature/banding all JVM array expressions",
 )
 def q25_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,6 +439,15 @@ def q51_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "covered by planted-chain unit tests (operators/graph.py)",
 )
 def q49_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _exact_clusters(spark, sf_dir)
+
+
+# q49's exact clustering is consumed twice per sweep (q49 itself and
+# q105's representative pick) — same memoization as _minhash_pairs.
+_EXACT_CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from salesanalytics_etl_spark.operators.dedup import (
         jaccard_verify,
         shingle_rows,
@@ -444,20 +455,32 @@ def q49_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from salesanalytics_etl_spark.operators.graph import dedup_clusters
 
-    (documents,) = _t(spark, sf_dir, "documents")
-    subset = documents.filter(F.col("doc_id") < 250)
-    sets = shingle_sets(shingle_rows(subset))
-    ids = subset.select(F.col("doc_id"))
-    pairs = (
-        ids.select(F.col("doc_id").alias("doc_a"))
-        .join(ids.select(F.col("doc_id").alias("doc_b")))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        # the pair list inherits the 1-file scan's partitioning; without a
-        # spread, every per-pair set intersection lands on one task
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    edges = jaccard_verify(pairs, sets, threshold=0.5).select("doc_a", "doc_b")
-    return dedup_clusters(edges)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EXACT_CLUSTERS_CACHE:
+        while len(_EXACT_CLUSTERS_CACHE) >= _MINHASH_CACHE_MAX:
+            _, evicted = _EXACT_CLUSTERS_CACHE.popitem()
+            try:
+                evicted.unpersist()
+            except Exception:  # session may already be gone
+                pass
+        (documents,) = _t(spark, sf_dir, "documents")
+        subset = documents.filter(F.col("doc_id") < 250)
+        sets = shingle_sets(shingle_rows(subset))
+        ids = subset.select(F.col("doc_id"))
+        pairs = (
+            ids.select(F.col("doc_id").alias("doc_a"))
+            .join(ids.select(F.col("doc_id").alias("doc_b")))
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            # the pair list inherits the 1-file scan's partitioning;
+            # without a spread, every per-pair set intersection lands on
+            # one task
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        edges = jaccard_verify(pairs, sets, threshold=0.5).select(
+            "doc_a", "doc_b"
+        )
+        _EXACT_CLUSTERS_CACHE[key] = dedup_clusters(edges).persist()
+    return _EXACT_CLUSTERS_CACHE[key]
 
 
 @register(
@@ -709,10 +732,14 @@ def q43_purchase_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT doc_id, 'image' AS modality,
            octet_length(encode(text)) AS n_bytes,
-           ROUND(CAST(length(text) - length(regexp_replace(text,
-                 '[\x20-\x2f]', '', 'g')) AS DOUBLE) / length(text), 4) AS f2,
-           ROUND(CAST(length(text) - length(regexp_replace(text,
-                 '[\x60-\x6f]', '', 'g')) AS DOUBLE) / length(text), 4) AS f6
+           CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             ROUND(CAST(length(text) - length(regexp_replace(text,
+                   '[\x20-\x2f]', '', 'g')) AS DOUBLE) / length(text), 4)
+           END AS f2,
+           CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             ROUND(CAST(length(text) - length(regexp_replace(text,
+                   '[\x60-\x6f]', '', 'g')) AS DOUBLE) / length(text), 4)
+           END AS f6
     FROM documents
     """,
     doc="binary payload column + Arrow-batched mapInPandas feature "
@@ -2687,12 +2714,12 @@ def q101_heavy_hitter_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.shingles, b.shingles))),
-                   4) AS jaccard
+             len(list_intersect(a.shingles, b.shingles)) AS i,
+             len(list_distinct(list_concat(a.shingles, b.shingles))) AS u
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
+    SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / u, 4) AS jaccard
+    FROM pairs WHERE i * 10000 >= 8000 * u
     """,
     doc="EXACT similarity self-join over the FULL corpus: every doc pair "
     "with 5-WORD-gram Jaccard >= 0.8 (the standard document-dedup "

@@ -50,11 +50,24 @@ def _bucket(col: Column, bounds: list[float]) -> Column:
 
 
 def _interleave(buckets: list[Column], bits: int) -> Column:
-    """Morton code: bit j of column i lands at position j*ncols + i."""
+    """Morton code: bit j of column i lands at position j*ncols + i.
+
+    Buckets shift as BIGINT: with int32 buckets a bit landing at position
+    >= 31 (reachable at 8 columns x 4 bits) would set the sign bit and
+    order the TOP bucket first under repartitionByRange — every file's
+    min-max box would then span the whole domain and skipping collapses.
+    63 positions bound the supported (ncols, bits) combinations.
+    """
     ncols = len(buckets)
+    if ncols * bits > 63:
+        raise ValueError(
+            f"{ncols} columns x {bits} bits = {ncols * bits} Morton bit "
+            "positions; the sign-safe BIGINT limit is 63"
+        )
     parts = [
         F.shiftleft(
-            F.shiftright(b, j).bitwiseAND(F.lit(1)), j * ncols + i
+            F.shiftright(b.cast("bigint"), j).bitwiseAND(F.lit(1)),
+            j * ncols + i,
         )
         for i, b in enumerate(buckets)
         for j in range(bits)

@@ -124,3 +124,18 @@ def test_word_unit_short_docs_emit_nothing(spark):
 def test_bad_unit_raises(spark):
     with pytest.raises(ValueError, match="unit"):
         exact_jaccard_join(_docs(spark, [(1, "x")]), unit="sentence")
+
+
+def test_exact_boundary_pair_survives_float_hostile_sizes(spark):
+    """J = 28/35 = 0.8 exactly, with sizes where float threshold math goes
+    wrong: ceil(0.8*35) = ceil(28.000000000000004) = 29 under binary
+    floating point (one prefix element short) and the PPJoin bound
+    ceil(0.8/1.8 * 63) = 29 vs the true 28 — either float product prunes
+    this qualifying pair. The integer basis-point filters must keep it."""
+    words = [f"w{i}" for i in range(32)]
+    extra = [f"x{i}" for i in range(7)]
+    a = " ".join(words)                 # 32 words -> 28 5-word shingles
+    b = " ".join(words + extra)         # 39 words -> 35, superset of A's
+    df = _docs(spark, [(1, a), (2, b)])
+    got = exact_jaccard_join(df, threshold=0.8, unit="word").collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in got] == [(1, 2, 0.8)]

@@ -279,3 +279,37 @@ def test_scd2_apply_rejects_duplicate_update_keys(spark):
     )
     with _pytest.raises(ValueError, match="key-unique"):
         scd2_apply(dim, dup_updates, ["k"], ["seg"], "2024-06-01")
+
+
+def test_merge_upsert_partitioned_preserves_partition_value_encoding(
+    spark, tmp_path
+):
+    """String partition values that don't survive type inference (zero-
+    padded '01') must land back in the SAME directory on re-merge — an
+    inferred-int read would rewrite them as dt=1 and leave the stale
+    dt=01 directory alive, duplicating every key."""
+    import os
+
+    from salesanalytics_etl_spark.operators.upsert import (
+        merge_upsert_partitioned,
+    )
+
+    path = str(tmp_path / "padded_t")
+    seed = spark.createDataFrame(
+        [(1, "01", "a"), (2, "02", "b")], "k long, dt string, v string"
+    )
+    merge_upsert_partitioned(spark, path, seed, ["k"], ["dt"])
+    batch = spark.createDataFrame(
+        [(1, "01", "a2"), (3, "01", "c")], "k long, dt string, v string"
+    )
+    merge_upsert_partitioned(spark, path, batch, ["k"], ["dt"])
+
+    dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("dt=")
+    )
+    assert dirs == ["dt=01", "dt=02"]  # no dt=1 split-brain directory
+    got = {
+        (r.k, r.dt): r.v
+        for r in spark.read.schema(seed.schema).parquet(path).collect()
+    }
+    assert got == {(1, "01"): "a2", (2, "02"): "b", (3, "01"): "c"}
