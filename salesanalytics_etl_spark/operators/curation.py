@@ -168,13 +168,21 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     # which codegen evaluates per element: O(d²) work per row, ~7s of the
     # sf0.1 bench. Outer-column references inside higher-order-function
     # lambdas keep it O(d).)
+    # All-zero vectors (failed/padded embeddings — exactly what a quality
+    # report should surface) emit scale=0, q_sum=0, q_max=0, rmse=0
+    # instead of silently vanishing: a dropped row breaks row accounting
+    # for callers reconciling the report against the corpus.
     staged = (
         df.withColumn("_emb", F.expr(f"transform({vec_col}, v -> CAST(v AS DOUBLE))"))
         .withColumn("_maxabs", F.expr("array_max(transform(_emb, v -> abs(v)))"))
-        .filter(F.col("_maxabs") > 0)
         .withColumn("_scale", F.expr("_maxabs / 127.0D"))
         .withColumn(
-            "_q", F.expr("transform(_emb, v -> CAST(floor(v / _scale + 0.5D) AS INT))")
+            "_q",
+            F.expr(
+                "CASE WHEN _maxabs > 0 THEN "
+                "transform(_emb, v -> CAST(floor(v / _scale + 0.5D) AS INT)) "
+                "ELSE transform(_emb, v -> 0) END"
+            ),
         )
     )
     sq_err = (
@@ -186,7 +194,9 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         F.round(F.col("_scale"), 9).alias("scale"),
         F.expr("aggregate(_q, 0L, (acc, v) -> acc + v)").alias("q_sum"),
         F.expr("array_max(_q)").alias("q_max"),
-        F.round(F.expr(f"sqrt({sq_err} / size({vec_col}))"), 6).alias("rmse"),
+        F.when(F.col("_maxabs") > 0, F.round(
+            F.expr(f"sqrt({sq_err} / size({vec_col}))"), 6
+        )).otherwise(F.lit(0.0)).alias("rmse"),
     )
 
 

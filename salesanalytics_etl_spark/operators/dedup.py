@@ -155,12 +155,19 @@ def lsh_candidates(sigs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
     banded = sigs.select(
         "doc_id", F.posexplode(F.array(*band_hashes)).alias("band_id", "band_hash")
     )
-    # one shuffle: bucket members collected per (band, hash); oversized
-    # buckets dropped; pairs generated by a double explode of the member
-    # list (≤ max_bucket² rows per bucket, bounded by the cap) — cheaper
-    # than a windowed count + self-join (3 wide ops → 1).
+    # one shuffle key throughout: rank members within each (band, hash)
+    # and TRUNCATE at max_bucket+1 BEFORE collecting — a degenerate
+    # bucket of 10⁶ boilerplate docs would otherwise accumulate all 10⁶
+    # entries in one collect_list aggregation buffer (agg buffers can't
+    # spill) before the size filter dropped it. The window sorter spills
+    # to disk, the collect buffer is now ≤ max_bucket+1 entries, and the
+    # +1 sentinel preserves the exact drop semantics: any truncated
+    # bucket shows size max_bucket+1 and is filtered out.
+    w = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
     buckets = (
-        banded.groupBy("band_id", "band_hash")
+        banded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket + 1)
+        .groupBy("band_id", "band_hash")
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
@@ -379,9 +386,14 @@ def simhash_near_dupes(
         ).alias("chunk_id", "chunk_val"),
     )
     # same bucket-list pair generation as the MinHash path: carry
-    # (doc_id, simhash) structs so the Hamming check needs no join back
+    # (doc_id, simhash) structs so the Hamming check needs no join back.
+    # Truncate-at-cap+1 before collecting (see lsh_candidates) so one
+    # degenerate chunk bucket can't blow the aggregation buffer.
+    w = Window.partitionBy("chunk_id", "chunk_val").orderBy("doc_id")
     buckets = (
-        chunks.groupBy("chunk_id", "chunk_val")
+        chunks.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket + 1)
+        .groupBy("chunk_id", "chunk_val")
         .agg(
             F.collect_list(F.struct("doc_id", "simhash")).alias("members")
         )

@@ -95,7 +95,15 @@ def heavy_hitters(
             f"phi_denom={phi_denom} needs capacity k >= {phi_denom}, got {k}"
         )
     spark = rows.sparkSession
-    src = rows.select(F.col(key_col).cast("string").alias(key_col))
+    # NULL keys are excluded from BOTH passes and from n_total: pandas
+    # value_counts drops NaN, so NULL could never surface as a candidate
+    # while its rows would still inflate the sentinel total — quietly
+    # raising the bar for every real key. The contract is explicitly
+    # "frequent among non-NULL keys" (mirror any SQL twin with
+    # WHERE key IS NOT NULL).
+    src = rows.select(
+        F.col(key_col).cast("string").alias(key_col)
+    ).filter(F.col(key_col).isNotNull())
 
     # Reduce step: collect the per-task summaries (BOUNDED — at most k+1
     # rows per task regardless of the key domain; 1000 executors x 1025

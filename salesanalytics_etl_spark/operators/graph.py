@@ -134,6 +134,18 @@ def _label_propagation(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # min-label propagation moves one hop per round, so convergence
+        # needs >= component-diameter rounds; exhausting the budget means
+        # some component still holds intermediate labels — returning them
+        # would silently report ONE real cluster as several (extra
+        # duplicate docs kept). Fail loudly instead.
+        sym.unpersist()
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iter} rounds — "
+            "the graph has a component with diameter > max_iter; raise "
+            "max_iter (cost is one join+agg per extra round)"
+        )
     sym.unpersist()
     return labels
 

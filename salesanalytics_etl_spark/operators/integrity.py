@@ -45,25 +45,36 @@ def fk_split_composite(
     etl_sales_analytics.py:200-203); rejects are everything else, written to
     ONE reject set like the reference's single rejects file (:204-205).
 
-    Implemented as chained left_semi joins for keep; reject = child minus
-    keep via a left_anti on the child's own full key — but to avoid a
-    self-join on a wide fact table, we instead compute reject as the union of
-    per-parent anti-joins, deduplicated. For 100 TB facts the chained
-    semi-joins all broadcast the (small) parent key sets, so the fact is
-    scanned once per branch with no shuffle.
+    Implemented as ONE scan of the fact with a broadcast membership flag
+    per parent: keep = rows where every flag matched, reject = the rest.
+    (An earlier version unioned per-parent anti-joins and .distinct()'d to
+    merge a row failing two FKs — but distinct also collapses genuinely
+    DUPLICATE child rows, so keep ∪ reject lost multiplicity vs the
+    reference's write-every-masked-row rejects file. The flag approach
+    rejects each physical row exactly once, duplicates included.) For
+    100 TB facts every parent key set broadcasts, the fact is scanned
+    once, and no shuffle happens at all.
     """
-    keep = child
-    for parent, child_key, parent_key in parents:
-        keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
-        keep = keep.join(F.broadcast(keys), on=child_key, how="left_semi")
+    from functools import reduce
+    from operator import and_
 
-    reject = None
-    for parent, child_key, parent_key in parents:
-        keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
-        bad = child.join(F.broadcast(keys), on=child_key, how="left_anti")
-        reject = bad if reject is None else reject.unionByName(bad)
-    # A row failing two FKs appears in two branches → drop exact duplicates.
-    reject = reject.distinct() if reject is not None else child.limit(0)
+    if not parents:
+        return child, child.limit(0)
+    cur = child
+    flags = []
+    for i, (parent, child_key, parent_key) in enumerate(parents):
+        flag = f"_fk_ok_{i}"
+        keys = (
+            parent.select(F.col(parent_key).alias(child_key))
+            .distinct()
+            .withColumn(flag, F.lit(1))
+        )
+        cur = cur.join(F.broadcast(keys), on=child_key, how="left")
+        flags.append(flag)
+    all_ok = reduce(and_, [F.col(f).isNotNull() for f in flags])
+    # restore the child's column order (the equi-join floats join keys first)
+    keep = cur.filter(all_ok).select(*child.columns)
+    reject = cur.filter(~all_ok).select(*child.columns)
     return keep, reject
 
 

@@ -76,14 +76,20 @@ def _fit_centroids(
             return hit
     n = corpus.count()
     step = max(1, n // SAMPLE_CAP)
-    # id-stride sample: deterministic across partitionings/sessions,
-    # unlike df.sample whose draw depends on partition layout
+    # hash-stride sample: deterministic across partitionings/sessions,
+    # unlike df.sample whose draw depends on partition layout. Striding
+    # on the HASH of the id, not the id itself — raw residues can be
+    # empty (all-odd ids with step 2 select zero rows and the k-means
+    # fit crashes on an empty array) while hash residues are uniform
+    # under any id-assignment scheme.
     pdf = (
-        corpus.filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
+        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
         .select(vec_col)
         .limit(SAMPLE_CAP)
         .toPandas()
     )
+    if len(pdf) == 0:  # belt-and-braces: tiny corpora or extreme skew
+        pdf = corpus.select(vec_col).limit(SAMPLE_CAP).toPandas()
     sample = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     centroids = _spherical_kmeans(sample, k)
     if cache_key is not None:

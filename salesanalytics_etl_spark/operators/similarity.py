@@ -173,8 +173,15 @@ def embedding_neardup_exact(
 
     out = None
     for blk_no in range(n_blocks):
+        # block on pmod(xxhash64(id)) — raw id residues are NOT uniform
+        # (ids stamped in strides of 100 would put the whole corpus into
+        # one block and collect it onto the driver); the hash residue is
+        # uniform for any id-assignment scheme, keeping every block
+        # ~block_rows as promised
         blk = (
-            src.filter(F.pmod(F.col(id_col), F.lit(n_blocks)) == blk_no)
+            src.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)) == blk_no
+            )
             .toPandas()  # bounded: ~block_rows rows, never the corpus
         )
         if len(blk) == 0:

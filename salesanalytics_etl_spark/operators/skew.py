@@ -18,40 +18,45 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# phase-1 aggregate and the combiner that re-aggregates its partials
+_SALT_FNS: dict[str, tuple] = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),  # count partials combine by SUM
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple],
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-phase aggregation with a random salt on the group key.
 
-    ``aggs`` maps output column name → phase-1 aggregate expression.
-    Phase 2 re-aggregates with the matching combiner (sum→sum, count→sum,
-    min→min, max→max — pass the phase-1 expression; the combiner is chosen
-    by name: count(...) partials are summed).
-
-    Only sum/count/min/max (re-aggregable) functions are supported — avg
-    etc. must be decomposed by the caller (sum + count).
+    ``aggs`` maps output column name → ``(fn, column)`` with fn one of
+    ``sum | count | min | max`` — the re-aggregable functions, declared
+    EXPLICITLY. (An earlier API took pre-built aggregate Columns and
+    sniffed the function from ``Column.toString()`` — which renders
+    count(DISTINCT x) as plain 'count(x)', so a non-re-aggregable
+    DISTINCT silently produced double-counted garbage. The declared form
+    makes that unrepresentable.) avg = sum + count, decomposed by the
+    caller; DISTINCT requires a dedupe before the salted pass.
     """
+    for name, (fn, _) in aggs.items():
+        if fn not in _SALT_FNS:
+            raise ValueError(
+                f"salted_agg: unsupported fn {fn!r} for {name!r} — only "
+                f"{sorted(_SALT_FNS)} partials are re-aggregable; "
+                "decompose avg into sum + count, dedupe before DISTINCT"
+            )
     salted = df.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
     phase1 = salted.groupBy(*keys, "_salt").agg(
-        *[expr.alias(name) for name, expr in aggs.items()]
+        *[_SALT_FNS[fn][0](col).alias(name) for name, (fn, col) in aggs.items()]
     )
-
-    def combiner(name: str, expr: Column) -> Column:
-        # count partials combine by SUM; sum/min/max combine by themselves
-        fn_name = expr._jc.toString().split("(")[0].lower()  # noqa: SLF001
-        if fn_name.startswith("count"):
-            return F.sum(name).alias(name)
-        if fn_name.startswith("min"):
-            return F.min(name).alias(name)
-        if fn_name.startswith("max"):
-            return F.max(name).alias(name)
-        return F.sum(name).alias(name)
-
     return phase1.groupBy(*keys).agg(
-        *[combiner(name, expr) for name, expr in aggs.items()]
+        *[_SALT_FNS[fn][1](name).alias(name) for name, (fn, _) in aggs.items()]
     )
 
 

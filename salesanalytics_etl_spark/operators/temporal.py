@@ -74,6 +74,11 @@ def asof_join(
     # executions — e.g. under task retries or AQE replanning).
     left_keyed = left.withColumn("_lid", F.monotonically_increasing_id())
     rcols = right_cols or [c for c in right.columns if c != on]
+    # the pick window orders by asof_<right_ts>, so the projection must
+    # carry it even when the caller's right_cols omits it — otherwise the
+    # orderBy references an unresolved column
+    if right_ts not in rcols:
+        rcols = [*rcols, right_ts]
     lo = F.expr(f"INTERVAL {horizon}")
     joined = (
         left_keyed.alias("l")

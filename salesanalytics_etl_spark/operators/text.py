@@ -230,14 +230,28 @@ def inverted_index(
     deterministic, engine-comparable, and scalar-typed so downstream
     result canonicalizers (which sort cells) never see an array column.
     """
+    from pyspark.sql import Window
+
     toks = _token_rows(df, text_col).distinct()
+    # Rank postings per term BEFORE aggregating and collect only ranks
+    # <= max_postings (collect_list skips the NULLs the WHEN produces):
+    # a collect-then-slice would accumulate a stopword's FULL posting
+    # list — the corpus, at 100 TB — in one non-spillable agg buffer
+    # before slicing. The window sorter spills; the collect buffer is
+    # now <= max_postings entries; df still counts every posting.
+    w = Window.partitionBy("term").orderBy("doc_id")
+    ranked = toks.withColumn("_rn", F.row_number().over(w))
     return (
-        toks.groupBy("term")
+        ranked.groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df"),
             F.array_join(
-                F.slice(
-                    F.sort_array(F.collect_set("doc_id")), 1, max_postings
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("_rn") <= max_postings, F.col("doc_id")
+                        )
+                    )
                 ).cast("array<string>"),
                 ",",
             ).alias("postings"),

@@ -879,8 +879,8 @@ def q59_salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         events,
         keys=["event_type"],
         aggs={
-            "n_events": F.count(F.lit(1)),
-            "value_dec": F.sum(F.col("value").cast("decimal(18,2)")),
+            "n_events": ("count", F.lit(1)),
+            "value_dec": ("sum", F.col("value").cast("decimal(18,2)")),
         },
         n_salts=16,
     )
@@ -1283,19 +1283,25 @@ def q72_language_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), s AS (
       SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS maxabs,
              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
       FROM e
-      WHERE list_max(list_transform(v, x -> abs(x))) > 0
     )
     SELECT vec_id,
            ROUND(scale, 9) AS scale,
-           CAST(list_sum(list_transform(v,
-                 x -> CAST(floor(x / scale + 0.5) AS INT))) AS BIGINT) AS q_sum,
-           CAST(list_max(list_transform(v,
-                 x -> CAST(floor(x / scale + 0.5) AS INT))) AS INT) AS q_max,
-           ROUND(sqrt(list_sum(list_transform(v,
-                 x -> pow(x - floor(x / scale + 0.5) * scale, 2)))
-                 / len(v)), 6) AS rmse
+           CASE WHEN maxabs > 0 THEN
+             CAST(list_sum(list_transform(v,
+                   x -> CAST(floor(x / scale + 0.5) AS INT))) AS BIGINT)
+           ELSE 0 END AS q_sum,
+           CASE WHEN maxabs > 0 THEN
+             CAST(list_max(list_transform(v,
+                   x -> CAST(floor(x / scale + 0.5) AS INT))) AS INT)
+           ELSE 0 END AS q_max,
+           CASE WHEN maxabs > 0 THEN
+             ROUND(sqrt(list_sum(list_transform(v,
+                   x -> pow(x - floor(x / scale + 0.5) * scale, 2)))
+                   / len(v)), 6)
+           ELSE 0.0 END AS rmse
     FROM s
     """,
     doc="per-vector symmetric int8 quantization report (scale, quantized "

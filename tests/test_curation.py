@@ -91,7 +91,9 @@ def test_quantize_embeddings_exact_values(spark):
         ["vec_id", "embedding"],
     )
     out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
-    assert set(out) == {1}  # all-zero vector dropped by the maxabs>0 guard
+    # the all-zero vector is REPORTED with zeroed metrics, not dropped
+    assert set(out) == {1, 2}
+    assert out[2].scale == 0.0 and out[2].q_sum == 0 and out[2].rmse == 0.0
     r = out[1]
     scale = 1.0 / 127.0
     assert r.scale == round(scale, 9)

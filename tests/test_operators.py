@@ -313,3 +313,79 @@ def test_merge_upsert_partitioned_preserves_partition_value_encoding(
         for r in spark.read.schema(seed.schema).parquet(path).collect()
     }
     assert got == {(1, "01"): "a2", (2, "02"): "b", (3, "01"): "c"}
+
+
+def test_fk_split_composite_preserves_duplicate_row_multiplicity(spark):
+    """Two byte-identical child rows with a dangling FK must BOTH land in
+    rejects (the reference writes every masked row) — the old
+    union+distinct reject path collapsed them to one."""
+    parent = spark.createDataFrame([(1,)], "pk long")
+    child = spark.createDataFrame(
+        [(1, "ok"), (99, "dup"), (99, "dup")], "fk long, v string"
+    )
+    keep, reject = fk_split_composite(child, [(parent, "fk", "pk")])
+    assert keep.count() == 1
+    assert reject.count() == 2
+    assert keep.columns == child.columns and reject.columns == child.columns
+
+
+def test_salted_agg_rejects_non_reaggregable(spark):
+    """Non-re-aggregable functions (avg, anything DISTINCT) must be
+    unrepresentable/rejected — Column.toString() renders countDistinct as
+    plain count(x), so the old sniff-the-name API silently double-counted
+    values straddling salt groups."""
+    import pytest as _pytest
+
+    from salesanalytics_etl_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame([(1, 2.0)], "k long, x double")
+    with _pytest.raises(ValueError, match="avg"):
+        salted_agg(df, ["k"], {"m": ("avg", F.col("x"))}).collect()
+    with _pytest.raises(ValueError, match="count_distinct"):
+        salted_agg(df, ["k"], {"d": ("count_distinct", F.col("x"))}).collect()
+
+
+def test_quantize_embeddings_keeps_zero_vectors(spark):
+    from salesanalytics_etl_spark.operators.curation import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, -2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert set(out) == {1, 2}  # the zero vector is REPORTED, not dropped
+    assert out[1].scale == 0.0 and out[1].q_sum == 0 and out[1].rmse == 0.0
+    assert out[2].q_max == 64  # floor(-2/ (2/127) is min; max is 1 -> 64
+
+
+def test_asof_join_right_cols_without_ts(spark):
+    """right_cols omitting the timestamp must not blow up the pick window
+    (the projection force-includes right_ts)."""
+    from salesanalytics_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100)], "user_id long, ts long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    right = spark.createDataFrame(
+        [(1, 50, "x"), (1, 90, "y")], "user_id long, ts long, tag string"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["tag"],
+    ).collect()
+    assert len(out) == 1 and out[0]["asof_tag"] == "y"
+
+
+def test_label_propagation_raises_on_nonconvergence(spark):
+    import pytest
+
+    from salesanalytics_etl_spark.operators.graph import _label_propagation
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        _label_propagation(chain, "doc_a", "doc_b", max_iter=2)
+    # and converges fine with budget >= diameter
+    ok = _label_propagation(chain, "doc_a", "doc_b", max_iter=15)
+    assert ok.agg(F.countDistinct("component")).collect()[0][0] == 1

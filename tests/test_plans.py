@@ -96,8 +96,8 @@ def test_salted_agg_equals_plain_agg(spark, sf_dir):
             li,
             ["l_returnflag"],
             {
-                "n": F.count(F.lit(1)),
-                "qty": F.sum(F.col("l_quantity").cast("decimal(18,2)")),
+                "n": ("count", F.lit(1)),
+                "qty": ("sum", F.col("l_quantity").cast("decimal(18,2)")),
             },
             n_salts=8,
         ).collect()
