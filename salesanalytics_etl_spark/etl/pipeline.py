@@ -99,15 +99,17 @@ def run_pipeline(
         orders_ok, orders_bad = fk_split(orders, customers, "CustomerID")
     reject_counts["orders"] = write_rejects(orders_bad, rejects_dir, "orders")
 
-    # FK: details→{post-filter orders, products}, conjunctive (reference :200-207)
-    detail_edges = [
-        (parent, child_col, parent_col)
-        for parent, child_col, parent_col in [
-            (orders_ok, "OrderID", "OrderID"),
-            (products, "ProductID", "ProductID"),
-        ]
-        if not parent.isEmpty()
-    ]
+    # FK: details→{post-filter orders, products}, conjunctive (reference :200-207).
+    # The skip guard tests the PRE-filter parent: the reference's guard is
+    # about a missing/empty parent FILE. A batch whose orders all failed
+    # their own FK has a non-empty file — details must validate against
+    # the (empty) post-filter set and be rejected as orphans, not pass
+    # through unvalidated.
+    detail_edges = []
+    if not orders.isEmpty():
+        detail_edges.append((orders_ok, "OrderID", "OrderID"))
+    if not products.isEmpty():
+        detail_edges.append((products, "ProductID", "ProductID"))
     if detail_edges:
         details_ok, details_bad = fk_split_composite(details, detail_edges)
     else:
@@ -130,8 +132,22 @@ def run_pipeline(
         final[name] = merge_upsert(target, incoming, DEDUPE_KEYS[name])
 
     if target_dir:
+        # Stage-and-swap: on an incremental run, `existing` tables were
+        # read from these very paths, and Spark rejects overwriting a
+        # path its own plan is reading ("Cannot overwrite a path that is
+        # also being read from"). Write beside, then swap directories.
+        import shutil
+
         for name, df in final.items():
-            df.write.mode("overwrite").parquet(os.path.join(target_dir, name))
+            dst = os.path.join(target_dir, name)
+            stage = dst + ".__stage__"
+            df.write.mode("overwrite").parquet(stage)
+            old = dst + ".__old__"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(dst):
+                os.rename(dst, old)
+            os.rename(stage, dst)
+            shutil.rmtree(old, ignore_errors=True)
         final = {
             name: spark.read.parquet(os.path.join(target_dir, name))
             for name in final

@@ -49,13 +49,16 @@ def read_csv_exact(
     if not os.path.exists(path):
         df = spark.createDataFrame([], schema)
     else:
-        raw_schema = T.StructType(
-            [T.StructField(f.name, T.StringType()) for f in schema.fields]
-        )
+        # Read with the FILE's header names (all strings, no inference) and
+        # conform BY NAME afterwards. An explicit .schema() on a CSV read
+        # binds positionally (enforceSchema ignores header names), so a
+        # file with reordered columns — or a missing middle column — would
+        # silently load values under the wrong field names; header-named
+        # strings + name-based conformance make column order irrelevant.
         raw = (
             spark.read.option("header", True)
             .option("mode", "PERMISSIVE")
-            .schema(raw_schema)
+            .option("inferSchema", False)
             .csv(path)
         )
         df = conform_columns(raw, schema)

@@ -77,6 +77,18 @@ class RollupMaintenanceSink:
 def current_rollup(spark: SparkSession, log_dir: str) -> DataFrame:
     """The maintained rollup: final fold over the partial log. Matches
     events.py:hourly_event_rollup on the same data, bit-for-bit."""
+    has_data = os.path.isdir(log_dir) and any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(log_dir)
+        for f in files
+    )
+    if not has_data:  # log never saw a data file — empty rollup, not an
+        # UNABLE_TO_INFER_SCHEMA crash
+        return spark.createDataFrame(
+            [],
+            "hour_start timestamp, event_type string, "
+            "n_events bigint, value_sum double",
+        )
     log = spark.read.parquet(log_dir)
     return (
         log.groupBy("hour_start", "event_type")
@@ -112,9 +124,19 @@ def compact_log(spark: SparkSession, log_dir: str) -> None:
     FileSystem API (``spark._jvm.org.apache.hadoop.fs``) instead —
     os.rename cannot cross filesystems or talk to object stores.
     """
+    # A log holding no data files (only _SUCCESS after a zero-row first
+    # batch) makes spark.read.parquet throw UNABLE_TO_INFER_SCHEMA before
+    # any row-level guard can run — check the listing first.
+    has_data = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(log_dir)
+        for f in files
+    )
+    if not has_data:
+        return
     log = spark.read.parquet(log_dir)
     ids = [r[0] for r in log.select("batch_id").distinct().collect()]
-    if not ids:  # zero-row log (e.g. only _SUCCESS after an empty batch)
+    if not ids:  # zero-row log (data files present but empty)
         return
     newest = max(ids)
     settled = log.filter(F.col("batch_id") != newest)

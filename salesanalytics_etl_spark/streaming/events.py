@@ -164,16 +164,22 @@ def streaming_dedup(
     arrival per key, dropping any duplicate that arrives within the
     watermark horizon.
 
-    ``dropDuplicates`` on a watermarked stream is Spark's native stateful
-    dedup — state holds one entry per key and is EVICTED once the
-    watermark passes the key's event time, so memory is bounded by the
-    duplicate-arrival horizon, not the stream's lifetime. This is the
-    streaming counterpart of the batch exact_dedupe: at-least-once
-    sources (Kafka redeliveries, file re-drops) become effectively-once
-    downstream.
+    ``dropDuplicatesWithinWatermark`` is Spark's native stateful dedup
+    with BOUNDED state: entries are evicted once the watermark passes
+    their event time, so memory tracks the duplicate-arrival horizon,
+    not the stream's lifetime. (Plain ``dropDuplicates(keys)`` without
+    the event-time column in the subset never evicts — state grows by
+    one entry per distinct key forever; with the event-time column in
+    the subset it evicts, but then a redelivery with a different
+    timestamp isn't a duplicate. WithinWatermark gives eviction AND
+    key-only equality.) This is the streaming counterpart of the batch
+    exact_dedupe: at-least-once sources (Kafka redeliveries, file
+    re-drops) become effectively-once downstream.
     """
     keys = keys or ["event_id"]
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(keys)
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
 
 
 def hopping_event_rollup(

@@ -40,9 +40,23 @@ STATE_SCHEMA = T.StructType(
         T.StructField("start", T.LongType()),  # epoch micros (timestamps in
         T.StructField("end", T.LongType()),    # state columns round-trip
         T.StructField("n", T.LongType()),      # awkwardly; longs are exact)
-        T.StructField("vsum", T.DoubleType()),
+        # value sum in integer CENTS: a float accumulator drifts with
+        # arrival order and Python round() is half-to-even — both diverge
+        # from the batch path's order-insensitive DECIMAL(18,2) sums at
+        # boundary values (2.675 → 2.67 vs money_out's 2.68)
+        T.StructField("cents", T.LongType()),
     ]
 )
+
+
+def _cents(v: float) -> int:
+    # mirror Spark's CAST(double AS DECIMAL(18,2)): BigDecimal.valueOf
+    # (shortest repr) then HALF_UP — repr() is the same shortest form
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        (Decimal(repr(float(v))) * 100).quantize(Decimal("1"), ROUND_HALF_UP)
+    )
 
 
 def _sessionize_fn(gap_min: int):
@@ -53,21 +67,21 @@ def _sessionize_fn(gap_min: int):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
 
-        def emit(start_us: int, end_us: int, n: int, vsum: float) -> pd.DataFrame:
+        def emit(start_us: int, end_us: int, n: int, cents: int) -> pd.DataFrame:
             return pd.DataFrame(
                 {
                     "user_id": [user_id],
                     "session_start": [pd.Timestamp(start_us, unit="us")],
                     "session_end": [pd.Timestamp(end_us, unit="us")],
                     "n_events": [n],
-                    "value_sum": [round(vsum, 2)],
+                    "value_sum": [cents / 100.0],
                 }
             )
 
         if state.hasTimedOut:
-            start_us, end_us, n, vsum = state.get
+            start_us, end_us, n, cents = state.get
             state.remove()
-            yield emit(start_us, end_us, n, vsum)
+            yield emit(start_us, end_us, n, cents)
             return
 
         events = pd.concat(list(pdfs))
@@ -76,35 +90,41 @@ def _sessionize_fn(gap_min: int):
         ts_us = ts_us[order]
         vals = events["value"].to_numpy()[order]
 
-        if state.exists:
-            start_us, end_us, n, vsum = state.get
-        else:
-            start_us, end_us, n, vsum = ts_us[0], ts_us[0] - 1, 0, 0.0
-            # end < first ts so the first event "extends" the empty session
-
-        for t_us, v in zip(ts_us, vals):
-            # >= gap starts a NEW session — matches F.session_window's
-            # half-open [ts, ts+gap) merge rule and the q30 oracle's
-            # `diff >= INTERVAL gap` convention (kept aligned across all
-            # three sessionization paths)
-            if n > 0 and t_us - end_us >= gap_us:
-                yield emit(start_us, end_us, n, vsum)
-                start_us, end_us, n, vsum = t_us, t_us, 1, float(v)
+        # Linear interval merge over (stored session ∪ batch events),
+        # sorted by start. This handles a late-but-valid event EARLIER
+        # than the stored session start uniformly: it either extends the
+        # session backwards (start = min — the bug in the previous
+        # event-by-event form, which only maxed the end) or forms its own
+        # disjoint earlier session. `>= gap` split matches
+        # F.session_window's half-open [ts, ts+gap) merge rule and the
+        # q30 oracle (aligned across all three sessionization paths).
+        items = [tuple(state.get)] if state.exists else []
+        items += [
+            (int(t), int(t), 1, _cents(v)) for t, v in zip(ts_us, vals)
+        ]
+        items.sort(key=lambda x: x[0])
+        cur = items[0]
+        for nxt in items[1:]:
+            if nxt[0] - cur[1] >= gap_us:
+                yield emit(*cur)
+                cur = nxt
             else:
-                end_us = max(end_us, int(t_us))
-                if n == 0:
-                    start_us = t_us
-                n += 1
-                vsum += float(v)
+                cur = (
+                    cur[0],
+                    max(cur[1], nxt[1]),
+                    cur[2] + nxt[2],
+                    cur[3] + nxt[3],
+                )
+        start_us, end_us, n, cents = cur
 
         timeout_ms = int(end_us // 1000) + gap_min * 60 * 1000
         if timeout_ms <= state.getCurrentWatermarkMs():
             # the gap edge is already behind the watermark (events arrived
             # in a batch whose watermark had advanced past them): the
             # session is closed by definition — emit now, keep no state
-            yield emit(start_us, end_us, n, vsum)
+            yield emit(start_us, end_us, n, cents)
         else:
-            state.update((int(start_us), int(end_us), int(n), float(vsum)))
+            state.update((int(start_us), int(end_us), int(n), int(cents)))
             # close the open session once the watermark passes its gap edge
             state.setTimeoutTimestamp(timeout_ms)
 

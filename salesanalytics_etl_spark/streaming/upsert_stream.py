@@ -28,11 +28,32 @@ class ParquetUpsertSink:
     rewrite atomic-ish locally: readers always see a complete generation.
     """
 
-    def __init__(self, spark: SparkSession, path: str, keys: list[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        order_col: str | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.keys = keys
-        self.generation = 0
+        self.order_col = order_col
+        # Resume from the highest generation already on disk: the counter
+        # alone lived only in driver memory, so a restart-from-checkpoint
+        # would look for gen-0, find nothing, and silently merge the
+        # replayed batch against an EMPTY target — resetting the table.
+        self.generation = self._latest_gen()
+
+    def _latest_gen(self) -> int:
+        if not os.path.isdir(self.path):
+            return 0
+        gens = [
+            int(d.split("-", 1)[1])
+            for d in os.listdir(self.path)
+            if d.startswith("gen-") and d.split("-", 1)[1].isdigit()
+        ]
+        return max(gens, default=0)
 
     def _gen_path(self, gen: int) -> str:
         return os.path.join(self.path, f"gen-{gen}")
@@ -43,12 +64,36 @@ class ParquetUpsertSink:
             return None
         return self.spark.read.parquet(p)
 
+    def _dedupe_batch(self, batch: DataFrame) -> DataFrame:
+        """merge_upsert requires key-unique incoming rows; a CDC
+        micro-batch can carry several updates to one key (Kafka batching)
+        and passing them through would persist duplicate keys forever.
+        With ``order_col`` the LAST version by that ordering wins (the
+        batch ETL's keep-last semantics); without it an arbitrary single
+        row per key is kept — the key-unique invariant is preserved
+        either way, but CDC streams should supply an ordering column."""
+        from salesanalytics_etl_spark.operators.cleaning import (
+            dedupe_keep_last,
+        )
+
+        if self.order_col is not None:
+            return dedupe_keep_last(batch, self.keys, self.order_col)
+        return batch.dropDuplicates(self.keys)
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        import shutil
+
         target = self.current()
-        merged = merge_upsert(target, batch, self.keys)
+        merged = merge_upsert(target, self._dedupe_batch(batch), self.keys)
         nxt = self.generation + 1
         merged.write.mode("overwrite").parquet(self._gen_path(nxt))
+        prev = self.generation
         self.generation = nxt
+        # GC superseded generations (each holds a FULL table copy; a
+        # steady stream would otherwise grow storage linearly with batch
+        # count). Keep exactly one predecessor for in-flight readers.
+        for g in range(prev):
+            shutil.rmtree(self._gen_path(g), ignore_errors=True)
 
     def attach(self, stream: DataFrame, checkpoint: str):
         """Start the stream writing through this sink (availableNow)."""
@@ -85,11 +130,13 @@ class PartitionedParquetUpsertSink:
         path: str,
         keys: list[str],
         partition_by: list[str],
+        order_col: str | None = None,
     ):
         self.spark = spark
         self.path = path
         self.keys = keys
         self.partition_by = partition_by
+        self.order_col = order_col
         self.partitions_rewritten = 0  # cumulative, for observability
 
     def current(self) -> DataFrame | None:
@@ -98,10 +145,19 @@ class PartitionedParquetUpsertSink:
         return self.spark.read.parquet(self.path)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from salesanalytics_etl_spark.operators.cleaning import (
+            dedupe_keep_last,
+        )
         from salesanalytics_etl_spark.operators.upsert import (
             merge_upsert_partitioned,
         )
 
+        # key-unique the batch first (same contract as ParquetUpsertSink:
+        # multiple CDC updates to one key must collapse to a single row)
+        if self.order_col is not None:
+            batch = dedupe_keep_last(batch, self.keys, self.order_col)
+        else:
+            batch = batch.dropDuplicates(self.keys)
         self.partitions_rewritten += merge_upsert_partitioned(
             self.spark, self.path, batch, self.keys, self.partition_by
         )

@@ -81,3 +81,25 @@ def test_maintained_rollup_matches_batch_and_survives_replay(
     after_replay = _rollup_map(current_rollup(spark, log_dir))
     sink.process_batch(replay_newest, batch_id=newest)
     assert _rollup_map(current_rollup(spark, log_dir)) == after_replay
+
+
+def test_compact_and_rollup_tolerate_dataless_log(spark, tmp_path):
+    """A log dir holding only _SUCCESS (zero-row first batch) must not
+    crash with UNABLE_TO_INFER_SCHEMA — compact_log no-ops, current_rollup
+    returns an empty typed frame."""
+    import os
+
+    from salesanalytics_etl_spark.streaming.agg_maintenance import (
+        compact_log,
+        current_rollup,
+    )
+
+    log_dir = str(tmp_path / "empty_log")
+    os.makedirs(log_dir)
+    open(os.path.join(log_dir, "_SUCCESS"), "w").close()
+    compact_log(spark, log_dir)  # must not raise
+    out = current_rollup(spark, log_dir)
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "hour_start", "event_type", "n_events", "value_sum"
+    }

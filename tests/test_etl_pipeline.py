@@ -134,3 +134,46 @@ def test_empty_parent_skips_fk_validation(spark, tmp_path):
     # (100,7) dedupe->1, (102,7) ok now (order 102 no longer rejected),
     # (100,77) bad product, (103,9) ok
     assert res.reject_counts["order_details"] == 1
+
+
+def test_incremental_run_over_same_target_dir(spark, data_dir, tmp_path):
+    """run2 feeding run1's target_dir-backed tables back in must not hit
+    'Cannot overwrite a path that is also being read from' — the write is
+    stage-and-swap."""
+    t = str(tmp_path / "warehouse")
+    r1 = run_pipeline(
+        spark, data_dir, rejects_dir=str(tmp_path / "rej1"), target_dir=t
+    )
+    r2 = run_pipeline(
+        spark,
+        data_dir,
+        rejects_dir=str(tmp_path / "rej2"),
+        target_dir=t,
+        existing=r1.tables,
+    )
+    assert r2.counts == r1.counts  # idempotent over the same input
+    assert not any(d.endswith("__stage__") for d in os.listdir(t))
+
+
+def test_details_rejected_when_all_orders_fail_fk(spark, tmp_path):
+    """A batch whose orders ALL fail their customer FK must reject the
+    details referencing them — the empty-parent skip applies to an empty
+    parent FILE, not to a post-filter-empty parent."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "customers.csv"), "w") as f:
+        f.write("CustomerID,FirstName,LastName,Email,Phone,City,Country\n")
+        f.write("10,A,B,a@b.c,1,y,z\n")
+    with open(os.path.join(src, "products.csv"), "w") as f:
+        f.write("ProductID,ProductName,Category,Price\n7,P,C,1.0\n")
+    with open(os.path.join(src, "orders.csv"), "w") as f:
+        f.write("OrderID,CustomerID,OrderDate,Status\n")
+        f.write("1,999,2024-01-01,done\n")  # unknown customer -> rejected
+    with open(os.path.join(src, "order_details.csv"), "w") as f:
+        f.write("OrderID,ProductID,Quantity,TotalPrice\n")
+        f.write("1,7,2,1.0\n")  # references the rejected order
+
+    r = run_pipeline(spark, src, rejects_dir=str(tmp_path / "rej"))
+    assert r.counts["orders"] == 0
+    assert r.counts["order_details"] == 0  # orphan detail must NOT pass
+    assert r.reject_counts["order_details"] == 1

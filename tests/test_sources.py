@@ -140,3 +140,28 @@ def test_backfill_rewrites_only_touched_partitions(spark, tmp_path):
         ("2024-01-02", 4): 44.0,
         ("2024-01-03", 3): 30.0,
     }
+
+
+def test_read_csv_exact_conforms_by_name_not_position(spark, tmp_path):
+    """A CSV with REORDERED columns (or a missing middle column) must map
+    values by header name — a positional schema bind would silently load
+    Email under FirstName etc."""
+    from pyspark.sql import types as T
+
+    from salesanalytics_etl_spark.sources.readers import read_csv_exact
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    p = str(tmp_path / "reordered.csv")
+    with open(p, "w") as f:
+        f.write("price,id\n9.5,1\n2.0,7\n")  # reordered AND 'name' missing
+    out = read_csv_exact(spark, p, schema).collect()
+    assert [(r.id, r.name, r.price) for r in out] == [
+        (1, None, 9.5),
+        (7, None, 2.0),
+    ]

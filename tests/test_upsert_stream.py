@@ -106,3 +106,37 @@ def test_partitioned_streaming_upsert_touches_only_batch_partitions(
     }
     want = {r.event_id: (r.event_type, r.value) for r in events.collect()}
     assert got == want
+
+
+def test_sink_resumes_from_disk_generation(spark, tmp_path):
+    """A fresh sink object over an existing table dir must resume from the
+    highest gen-N on disk — a memory-only counter reset to gen-0 and the
+    next merge silently rebuilt the table from one batch."""
+    path = str(tmp_path / "resume_t")
+    s1 = ParquetUpsertSink(spark, path, keys=["k"])
+    s1.process_batch(spark.createDataFrame([(1, "a")], "k long, v string"), 0)
+    s1.process_batch(spark.createDataFrame([(2, "b")], "k long, v string"), 1)
+
+    s2 = ParquetUpsertSink(spark, path, keys=["k"])  # simulated restart
+    assert s2.generation == s1.generation
+    s2.process_batch(spark.createDataFrame([(3, "c")], "k long, v string"), 2)
+    got = {r.k: r.v for r in s2.current().collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # nothing lost across restart
+
+
+def test_sink_dedupes_batch_and_gcs_generations(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "dedup_t")
+    sink = ParquetUpsertSink(spark, path, keys=["k"], order_col="seq")
+    batch = spark.createDataFrame(
+        [(1, 1, "old"), (1, 2, "new"), (2, 1, "x")], "k long, seq long, v string"
+    )
+    sink.process_batch(batch, 0)
+    got = {r.k: r.v for r in sink.current().collect()}
+    assert got == {1: "new", 2: "x"}  # two updates to k=1 collapse, last wins
+    sink.process_batch(
+        spark.createDataFrame([(3, 1, "y")], "k long, seq long, v string"), 1
+    )
+    gens = sorted(d for d in os.listdir(path) if d.startswith("gen-"))
+    assert len(gens) <= 2  # superseded generations GC'd (1 predecessor kept)
