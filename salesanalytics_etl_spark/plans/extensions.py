@@ -12,12 +12,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from salesanalytics_etl_spark.plans.registry import register
-from salesanalytics_etl_spark.sources.readers import load_driver_tables
 
 
-def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    tables = load_driver_tables(spark, sf_dir, list(names))
-    return [tables[n] for n in names]
+# shared table-unpacking helper — single definition in plans.queries
+from salesanalytics_etl_spark.plans.queries import _t  # noqa: E402
 
 
 # q25's verified-pairs DataFrame is cached per (application, dir) so a
@@ -38,7 +36,10 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _MINHASH_PAIRS_CACHE:
         while len(_MINHASH_PAIRS_CACHE) >= _MINHASH_CACHE_MAX:
-            _, evicted = _MINHASH_PAIRS_CACHE.popitem()
+            # FIFO: evict the OLDEST insertion — dict.popitem() is LIFO
+            # and would thrash the newest entry while pinning stale ones
+            oldest = next(iter(_MINHASH_PAIRS_CACHE))
+            evicted = _MINHASH_PAIRS_CACHE.pop(oldest)
             try:
                 evicted.unpersist()
             except Exception:  # session may already be gone
@@ -458,7 +459,8 @@ def _exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _EXACT_CLUSTERS_CACHE:
         while len(_EXACT_CLUSTERS_CACHE) >= _MINHASH_CACHE_MAX:
-            _, evicted = _EXACT_CLUSTERS_CACHE.popitem()
+            oldest = next(iter(_EXACT_CLUSTERS_CACHE))  # FIFO, not popitem's LIFO
+            evicted = _EXACT_CLUSTERS_CACHE.pop(oldest)
             try:
                 evicted.unpersist()
             except Exception:  # session may already be gone
@@ -612,7 +614,7 @@ def q29_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q30_events_sessionize",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        >= INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -620,7 +622,7 @@ def q29_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), numbered AS (
       SELECT *, SUM(new_sess) OVER (
-        PARTITION BY user_id ORDER BY ts
+        PARTITION BY user_id ORDER BY ts, event_id
         ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM flagged
     )
@@ -1099,9 +1101,9 @@ def q67_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(quantile_cont(order_total, 0.5), 2) AS p50,
-           ROUND(quantile_cont(order_total, 0.9), 2) AS p90,
-           ROUND(quantile_cont(order_total, 0.99), 2) AS p99
+           FLOOR(quantile_cont(order_total, 0.5) * 100 + 0.5) / 100.0 AS p50,
+           FLOOR(quantile_cont(order_total, 0.9) * 100 + 0.5) / 100.0 AS p90,
+           FLOOR(quantile_cont(order_total, 0.99) * 100 + 0.5) / 100.0 AS p99
     FROM per_order GROUP BY c_mktsegment
     """,
     doc="per-segment order-value percentiles (extends q37's global "
@@ -1123,11 +1125,15 @@ def q68_segment_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "c_mktsegment")
         .agg(F.sum(dec182("l_extendedprice")).cast("double").alias("order_total"))
     )
+    # floor-formula rounding for interpolated midpoints (see q37)
+    def _r2(c):
+        return F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+
     return per_order.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.percentile("order_total", F.lit(0.5)), 2).alias("p50"),
-        F.round(F.percentile("order_total", F.lit(0.9)), 2).alias("p90"),
-        F.round(F.percentile("order_total", F.lit(0.99)), 2).alias("p99"),
+        _r2(F.percentile("order_total", F.lit(0.5))).alias("p50"),
+        _r2(F.percentile("order_total", F.lit(0.9))).alias("p90"),
+        _r2(F.percentile("order_total", F.lit(0.99))).alias("p99"),
     )
 
 
@@ -2237,13 +2243,13 @@ def q92_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH agg AS (
       SELECT o_custkey AS c_custkey,
-             MAX(o_orderdate) AS last_order,
+             MAX(CAST(o_orderdate AS DATE)) AS last_order,
              CAST(COUNT(*) AS BIGINT) AS n_orders,
              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
                AS monetary
       FROM orders GROUP BY 1
     )
-    SELECT c_custkey, CAST(last_order AS DATE) AS last_order, n_orders, monetary,
+    SELECT c_custkey, last_order, n_orders, monetary,
            CAST(NTILE(4) OVER (ORDER BY last_order DESC, c_custkey) AS INT)
              AS r_quartile,
            CAST(NTILE(4) OVER (ORDER BY n_orders DESC, c_custkey) AS INT)
@@ -2539,10 +2545,10 @@ def q98_supplier_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_lineitems,
            CAST(COUNT(*) FILTER (
-             WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+             WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 30
            ) AS BIGINT) AS n_late,
            ROUND(CAST(COUNT(*) FILTER (
-             WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+             WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 30
            ) AS DOUBLE) / COUNT(*), 6) AS late_rate
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY 1
@@ -2677,7 +2683,7 @@ def q100_etl_dataflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH n AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), sh AS (
       SELECT substr(norm, i, 5) AS sh
       FROM n, UNNEST(range(1, greatest(length(norm) - 4, 1) + 1)) AS t(i)

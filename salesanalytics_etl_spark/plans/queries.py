@@ -257,7 +257,8 @@ def q07_status_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
            ROUND(CAST(SUM(order_total) AS DOUBLE), 2) AS total_sales,
-           ROUND(CAST(SUM(order_total) AS DOUBLE) / COUNT(*), 2) AS avg_order_value
+           FLOOR(CAST(SUM(order_total) AS DOUBLE) / COUNT(*) * 100 + 0.5)
+             / 100.0 AS avg_order_value
     FROM per_order
     """,
     doc="re-aggregation: per-order SUM → global COUNT/SUM/AVG (queries.sql:93-103)",
@@ -270,8 +271,18 @@ def q08_avg_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_order.agg(
         F.count(F.lit(1)).alias("n_orders"),
         money_out(F.sum("order_total")).alias("total_sales"),
-        F.round(
-            F.sum("order_total").cast("double") / F.count(F.lit(1)), 2
+        # floor-formula rounding (see functions.scalar.safe_div): the
+        # quotient is an arbitrary double and engine-native ROUND diverges
+        # at shortest-repr half boundaries (1.005 -> 1.01 Spark HALF_UP,
+        # 1.00 DuckDB rint); the identical IEEE ops agree by construction
+        (
+            F.floor(
+                F.sum("order_total").cast("double")
+                / F.count(F.lit(1))
+                * F.lit(100.0)
+                + F.lit(0.5)
+            )
+            / F.lit(100.0)
         ).alias("avg_order_value"),
     )
 
@@ -630,9 +641,9 @@ def q36_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS order_total
       FROM lineitem GROUP BY l_orderkey
     )
-    SELECT ROUND(quantile_cont(order_total, 0.5), 2) AS p50,
-           ROUND(quantile_cont(order_total, 0.9), 2) AS p90,
-           ROUND(quantile_cont(order_total, 0.99), 2) AS p99
+    SELECT FLOOR(quantile_cont(order_total, 0.5) * 100 + 0.5) / 100.0 AS p50,
+           FLOOR(quantile_cont(order_total, 0.9) * 100 + 0.5) / 100.0 AS p90,
+           FLOOR(quantile_cont(order_total, 0.99) * 100 + 0.5) / 100.0 AS p99
     FROM per_order
     """,
     doc="exact percentiles (linear interpolation) of per-order totals — "
@@ -643,10 +654,16 @@ def q37_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = lineitem.groupBy("l_orderkey").agg(
         F.sum(dec182("l_extendedprice")).cast("double").alias("order_total")
     )
+    # floor-formula rounding: interpolated percentiles of cent-grid
+    # values land on half-cent midpoints routinely, where engine-native
+    # double ROUND diverges (see safe_div) — identical IEEE ops instead
+    def _r2(c):
+        return F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+
     return per_order.agg(
-        F.round(F.percentile("order_total", F.lit(0.5)), 2).alias("p50"),
-        F.round(F.percentile("order_total", F.lit(0.9)), 2).alias("p90"),
-        F.round(F.percentile("order_total", F.lit(0.99)), 2).alias("p99"),
+        _r2(F.percentile("order_total", F.lit(0.5))).alias("p50"),
+        _r2(F.percentile("order_total", F.lit(0.9))).alias("p90"),
+        _r2(F.percentile("order_total", F.lit(0.99))).alias("p99"),
     )
 
 

@@ -110,7 +110,8 @@ _CHECK_FIRST = [
 
 def _ordered() -> dict[str, QuerySpec]:
     first = [n for n in _CHECK_FIRST if n in _REGISTRY]
-    rest = [n for n in _REGISTRY if n not in set(first)]
+    first_set = set(first)
+    rest = [n for n in _REGISTRY if n not in first_set]
     return {n: _REGISTRY[n] for n in [*first, *rest]}
 
 
