@@ -3048,3 +3048,27 @@ def q107_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = _t(spark, sf_dir, "events")
     return hopping_event_rollup(events)
+
+
+@register(
+    "q108_identifier_linkage",
+    oracle="""
+    WITH c AS (SELECT DISTINCT c_name FROM customer)
+    SELECT a.c_name AS name_a, b.c_name AS name_b
+    FROM c a JOIN c b ON a.c_name < b.c_name
+      AND abs(length(a.c_name) - length(b.c_name)) <= 1
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc="record linkage: every DISTINCT customer-name pair within ONE "
+    "edit (identifier-typo candidates), recall 1.0 via the deletion-"
+    "neighborhood equi-join (SymSpell blocking — operators/linkage.py; "
+    "prefix blocking collapses here: every name shares 'Customer#'). "
+    "Spark joins 64-bit variant hashes and verifies with the built-in "
+    "levenshtein; the DuckDB twin brute-forces all pairs, so a hash "
+    "match certifies candidate completeness",
+)
+def q108_identifier_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.linkage import edit_distance_join
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    return edit_distance_join(customer, "c_name", max_dist=1)

@@ -100,11 +100,11 @@ _CHECK_FIRST = [
     "q51_train_val_test_split",
     "q52_merge_upsert",
     "q53_customer_sample_topk",
-    "q54_part_sample_topk",
-    # q55-q63 keep their r2/r3/r4 rows — the new-surface queries
-    # q103-q107 took the tail window slots: never-recorded code outranks
+    # q54-q63 keep their r2/r3/r4 rows — the new-surface queries
+    # q103-q108 took the tail window slots: never-recorded code outranks
     # stale-but-green rows.
     "q107_hopping_window",
+    "q108_identifier_linkage",
 ]
 
 
