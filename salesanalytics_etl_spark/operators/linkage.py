@@ -70,10 +70,18 @@ def edit_distance_join(
     v = deletion_variants(names, col)
     a = v.select(F.col("name").alias("name_a"), "vh")
     b = v.select(F.col("name").alias("name_b"), "vh")
-    cands = (
+    # verify BEFORE distinct: levenshtein is a codegen'd filter on the
+    # joined stream, so the distinct's shuffle carries only true-pair
+    # multiplicity instead of every variant-sharing candidate (lev-2
+    # coincidences, hash collisions). Wall-time-neutral at sf0.1 (the
+    # local join is small either way); at 100 TB the distinct IS a
+    # shuffle and its input size is the cost.
+    return (
         a.join(b, "vh")
-        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.levenshtein("name_a", "name_b") <= max_dist)
+        )
         .select("name_a", "name_b")
         .distinct()
     )
-    return cands.filter(F.levenshtein("name_a", "name_b") <= max_dist)
