@@ -141,6 +141,20 @@ def run_pipeline(
         for name, df in final.items():
             dst = os.path.join(target_dir, name)
             stage = dst + ".__stage__"
+            old = dst + ".__old__"
+            # Crash recovery BEFORE writing: a failure between
+            # rename(dst, old) and rename(stage, dst) leaves dst missing
+            # with the previous table stranded in .__old__ (and possibly a
+            # complete .__stage__). Restore visibility first — prefer the
+            # staged (newer) copy if one exists, else roll .__old__ back —
+            # so an interrupted swap never silently loses the table.
+            stage_complete = os.path.exists(os.path.join(stage, "_SUCCESS"))
+            if not os.path.exists(dst):
+                if stage_complete:
+                    os.rename(stage, dst)
+                elif os.path.exists(old):
+                    os.rename(old, dst)
+            shutil.rmtree(stage, ignore_errors=True)
             df.write.mode("overwrite").parquet(stage)
             old = dst + ".__old__"
             shutil.rmtree(old, ignore_errors=True)

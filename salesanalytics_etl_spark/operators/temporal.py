@@ -75,9 +75,10 @@ def asof_join(
     left_keyed = left.withColumn("_lid", F.monotonically_increasing_id())
     rcols = right_cols or [c for c in right.columns if c != on]
     # the pick window orders by asof_<right_ts>, so the projection must
-    # carry it even when the caller's right_cols omits it — otherwise the
-    # orderBy references an unresolved column
-    if right_ts not in rcols:
+    # carry it even when the caller's right_cols omits it — but the output
+    # schema honors the requested projection, so drop it again afterwards
+    ts_requested = right_ts in rcols
+    if not ts_requested:
         rcols = [*rcols, right_ts]
     lo = F.expr(f"INTERVAL {horizon}")
     joined = (
@@ -100,8 +101,11 @@ def asof_join(
         F.col(f"asof_{c}").desc_nulls_last() for c in (tiebreakers or [])
     ]
     w = Window.partitionBy("_lid").orderBy(*order)
-    return (
+    picked = (
         joined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_lid")
     )
+    if not ts_requested:
+        picked = picked.drop(f"asof_{right_ts}")
+    return picked
