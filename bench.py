@@ -39,7 +39,8 @@ def main() -> None:
     # qNN prefixes must be unique (they become the compact JSON keys) —
     # fail BEFORE the multi-minute sweep, not after it
     prefixes = {n.split("_", 1)[0] for n in queries}
-    assert len(prefixes) == len(queries), "duplicate qNN prefix in query names"
+    if len(prefixes) != len(queries):  # not `assert` — must survive python -O
+        raise ValueError("duplicate qNN prefix in query names")
 
     # Warm the JVM with the flagship once, then touch every table's
     # parquet footers + pages so first-scan penalties (footer parse, OS
@@ -58,21 +59,54 @@ def main() -> None:
     spark.range(256).repartition(int(spark.sparkContext.defaultParallelism)) \
         .mapInPandas(lambda it: it, schema="id long").count()
 
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    jvm_gc = spark._jvm.System.gc  # noqa: SLF001
-    for name in sorted(queries):
+    def time_one(name: str) -> float:
         # Collect garbage BETWEEN queries: single-JVM sweeps otherwise
         # attribute one query's accumulated heap to a random successor's
         # mid-run GC pause (the round-4 q08 "8x regression" was exactly
         # this — isolated runs showed 1x).
         jvm_gc()
         t0 = time.perf_counter()
+        queries[name](spark, sf_dir).toPandas()
+        return round(time.perf_counter() - t0, 3)
+
+    jvm_gc = spark._jvm.System.gc  # noqa: SLF001
+
+    # `bench.py --isolate <qNN-or-name> [n]`: time ONE query n (default 3)
+    # times in a warm session and print each run + the min — the triage
+    # tool for "is this sweep delta real or neighbor noise".
+    if len(sys.argv) > 1 and sys.argv[1] == "--isolate":
+        target = sys.argv[2]
+        n = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+        matches = [q for q in queries if q == target or q.startswith(target)]
+        if len(matches) != 1:
+            raise SystemExit(f"--isolate {target!r}: matches {matches}")
+        runs = [time_one(matches[0]) for _ in range(n)]
+        print(json.dumps({"query": matches[0], "runs": runs, "min": min(runs),
+                          "sf": sf}, separators=(",", ":")))
+        return
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in sorted(queries):
         try:
-            queries[name](spark, sf_dir).toPandas()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            timings[name] = time_one(name)
         except Exception as ex:  # one broken query must not zero the round
             errors[name] = f"{type(ex).__name__}: {ex}"[:200]
+
+    # Second pass, REVERSED order, over every query the sweep charged
+    # ≥0.5 s: a sweep attributes neighbor effects (JIT warmup order, heap
+    # pressure, OS cache state) to whichever query happens to run there —
+    # two passes in opposite orders mostly cancel that, and min(a, b) is
+    # the noise-floor estimate. This is what proved the round-4 "q08 8×
+    # regression" was sweep noise; now it's measured every round instead
+    # of litigated after the fact.
+    retime: dict[str, float] = {}
+    for name in sorted(timings, reverse=True):
+        if timings[name] >= 0.5:
+            try:
+                retime[name] = min(timings[name], time_one(name))
+            except Exception:
+                pass
 
     # The driver parses this line from a bounded tail of stdout (~2000
     # chars), so the line must stay short: keys are compacted to the qNN
@@ -82,11 +116,26 @@ def main() -> None:
     short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
     # qNN prefixes must be unique or two queries silently share one slot
     assert len(short) == len(timings), "duplicate qNN prefix in query names"
+    # Isolated-floor totals ride along without blowing the ~2000-char
+    # stdout-tail budget: "value_min" (sweep total with each ≥0.5s query
+    # replaced by its two-pass min) is one number, and "qmin" lists ONLY
+    # the queries where the floor is materially below the sweep figure
+    # (>0.15s and >20% faster) — i.e. exactly the entries a regression
+    # triage would otherwise have to re-measure by hand.
+    floor = dict(timings)
+    floor.update(retime)
+    qmin = {
+        name.split("_", 1)[0]: round(t, 2)
+        for name, t in retime.items()
+        if timings[name] - t > max(0.15, 0.2 * timings[name])
+    }
     out = {
         "metric": "total_query_wall_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "value_min": round(sum(floor.values()), 3),
         "queries": short,
+        "qmin": qmin,
         "sf": sf,
     }
     if errors:
@@ -94,7 +143,10 @@ def main() -> None:
             name.split("_", 1)[0]: msg[:40] for name, msg in list(errors.items())[:5]
         }
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:  # last-resort guard: drop per-query detail, keep total
+    if len(line) > 1900:  # last-resort guard: drop floor detail first
+        out.pop("qmin", None)
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # then per-query detail, keeping the totals
         out.pop("queries", None)
         line = json.dumps(out, separators=(",", ":"))
     print(line)

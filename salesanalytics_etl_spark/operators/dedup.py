@@ -24,9 +24,10 @@ xxhash64/array_*), zero UDFs.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from salesanalytics_etl_spark.operators.text import normalize_text
@@ -324,18 +325,34 @@ N_SIM_BITS = 63  # bits 0..62: keeping the sign bit clear avoids signed-
 # long overflow juggling and loses almost nothing for the sketch
 
 
-def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+def md5_token_hash(tok: Column) -> Column:
+    """60-bit token hash from the md5 hex prefix — the ENGINE-PORTABLE hash
+    family: DuckDB computes the identical value via
+    ``CAST('0x'||substr(md5(tok),1,15) AS BIGINT)``, which is what lets the
+    driver oracle-check an exact SimHash twin (q26). xxhash64 stays the
+    production default (one JVM op vs md5's digest + hex parse)."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    token_hash: Callable[[Column], Column] | None = None,
+) -> DataFrame:
     """63-bit SimHash per doc from distinct-token hashes.
 
     explode tokens → one xxhash64 per token → groupBy(doc) with 63
     conditional-sum "bit votes" (map-side combinable) → fold votes into a
     single long. One shuffle on doc_id, each token hashed once.
+    ``token_hash`` swaps the hash family (md5_token_hash for the
+    oracle-portable twin); the SimHash algorithm itself is unchanged.
     """
+    hash_fn = token_hash or (lambda c: F.xxhash64(c))
     toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), r"\s+"))
     exploded = (
         spread_partitions(df.select("doc_id", F.col(text_col)))
         .select("doc_id", F.explode(toks).alias("tok"))
-        .select("doc_id", F.xxhash64("tok").alias("h"))
+        .select("doc_id", hash_fn(F.col("tok")).alias("h"))
     )
     votes = [
         F.sum(
@@ -364,6 +381,7 @@ def simhash_near_dupes(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int = MAX_BUCKET,
+    token_hash: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -371,8 +389,13 @@ def simhash_near_dupes(
     (pigeonhole: Hamming ≤ 3 ⇒ ≥1 chunk identical) — an equi-join, not a
     cross join; degenerate chunk buckets capped like the MinHash path;
     exact Hamming check on candidates via bit_count(xor).
+
+    With ``max_bucket >= n_docs`` no bucket is ever dropped, so the
+    pigeonhole guarantee makes this path EXACT (recall 1.0) for
+    Hamming ≤ 3 — which is how the q26 driver twin gets oracle-checked
+    against DuckDB's all-pairs ``bit_count(xor(...))``.
     """
-    sigs = simhash_signatures(df, text_col)
+    sigs = simhash_signatures(df, text_col, token_hash=token_hash)
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -661,14 +684,14 @@ def duplicate_spans(
     ).select(
         "doc_id",
         F.md5(F.expr(f"concat_ws(' ', slice(w, i, {n}))")).alias("span_fp"),
-    )
+    ).persist()  # consumed twice: the dup aggregate and the flag join-back
     dup = (
         spans.groupBy("span_fp")
         .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
         .where(F.col("_mn") != F.col("_mx"))
         .select("span_fp", F.lit(1).alias("_dup"))
     )
-    return (
+    out = (
         spans.join(dup, "span_fp", "left")
         .groupBy("doc_id")
         .agg(
@@ -684,4 +707,7 @@ def duplicate_spans(
                 "dup_ratio"
             ),
         )
+        .localCheckpoint()
     )
+    spans.unpersist()
+    return out

@@ -333,14 +333,57 @@ def q25_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q26_simhash_neardup",
-    oracle=None,
-    doc="SimHash(63-bit) near-dups, Hamming ≤ 3, 16-bit-chunk banding",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents WHERE doc_id < 2000
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tok FROM docs
+    ),
+    th AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, b.b AS b,
+             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM th CROSS JOIN (SELECT unnest(range(0, 63)) AS b) b
+      GROUP BY doc_id, b.b
+    ),
+    sigs AS (
+      SELECT doc_id,
+             SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b)
+                      ELSE 0::BIGINT END) AS sig
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+    doc="SimHash(63-bit) near-dups, Hamming ≤ 3, 16-bit-chunk banding — "
+    "EXACT mode for the driver gate: bucket cap lifted (pigeonhole ⇒ "
+    "recall 1.0) and the engine-portable md5 token hash, so DuckDB "
+    "recomputes the identical signatures all-pairs (q49 twin pattern). "
+    "Bounded doc_id<2000 (inert at the sf0.01 gate) because exact-mode "
+    "banding on this shared-template corpus is ~2.4M candidates at sf0.1; "
+    "the unbounded production path keeps xxhash64 + the MAX_BUCKET cap "
+    "(recall<1 by design) and is pinned by banded-vs-exact unit tests",
 )
 def q26_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from salesanalytics_etl_spark.operators.dedup import simhash_near_dupes
+    from salesanalytics_etl_spark.operators.dedup import (
+        md5_token_hash,
+        simhash_near_dupes,
+    )
 
     (documents,) = _t(spark, sf_dir, "documents")
-    return simhash_near_dupes(documents, max_hamming=3)
+    return simhash_near_dupes(
+        documents.filter(F.col("doc_id") < 2000),
+        max_hamming=3,
+        max_bucket=1 << 20,
+        token_hash=md5_token_hash,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -513,9 +556,65 @@ def q27_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q28_ann_cosine_lsh",
-    oracle=None,
-    doc="approximate top-5 via random-hyperplane LSH buckets (recall<1 → "
-    "rows-only check); the 100 TB path: equi-join on bucket, no cross product",
+    # The LSH hyperplanes come from a fixed LCG (similarity.py:
+    # _deterministic_planes), so the WHOLE approximate pipeline — plane
+    # generation, sign-bit bucketing, bucket equi-join, exact rescoring —
+    # is replayed verbatim in DuckDB: a recursive CTE advances the same
+    # x_{k+1} = (A*x_k + C) mod 2^63 stream in HUGEINT, and the driver
+    # hash-checks the *approximate* result itself (stronger than the
+    # planned recall-audit row — recall<1 no longer means unverifiable,
+    # because the randomness is deterministic and engine-portable).
+    oracle=r"""
+    WITH RECURSIVE lcg(t, step, x) AS (
+      SELECT t.t, 0, CAST(88172645463325252 + 7919 * t.t AS HUGEINT)
+      FROM (SELECT unnest(range(0, 8)) AS t) t
+      UNION ALL
+      SELECT t, step + 1,
+             (x * 2685821657736338717::HUGEINT + 3037000499)
+               % 9223372036854775808::HUGEINT
+      FROM lcg WHERE step < 256
+    ),
+    plane_vals AS (
+      SELECT t, (step - 1) // 64 AS p, (step - 1) % 64 AS d,
+             CAST(x AS DOUBLE) / 9223372036854775808.0 * 2.0 - 1.0 AS v
+      FROM lcg WHERE step >= 1
+    ),
+    planes AS (
+      SELECT t, p, list(v ORDER BY d) AS plane FROM plane_vals GROUP BY t, p
+    ),
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    projs AS (
+      SELECT v.vec_id, pl.t, pl.p, list_dot_product(v.emb, pl.plane) AS proj
+      FROM vecs v CROSS JOIN planes pl
+    ),
+    buckets AS (
+      SELECT vec_id, t,
+             t * 16 + SUM(CASE WHEN proj > 0 THEN (1::BIGINT << p)
+                               ELSE 0::BIGINT END) AS bucket
+      FROM projs GROUP BY vec_id, t
+    ),
+    qb AS (SELECT vec_id AS query_id, bucket FROM buckets WHERE vec_id < 10),
+    cb AS (SELECT vec_id AS neighbor_id, bucket FROM buckets),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.neighbor_id
+      FROM qb q JOIN cb c USING (bucket)
+      WHERE c.neighbor_id != q.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND(list_cosine_similarity(qv.emb, cv.emb), 6) AS cosine_sim
+      FROM cand
+      JOIN vecs qv ON qv.vec_id = cand.query_id
+      JOIN vecs cv ON cv.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) <= 5
+    """,
+    doc="approximate top-5 via random-hyperplane LSH buckets — the 100 TB "
+    "path: equi-join on bucket, no cross product. Oracle-backed: the "
+    "deterministic LCG planes are regenerated inside DuckDB (recursive "
+    "CTE), so the approximate output itself is hash-checked",
 )
 def q28_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from salesanalytics_etl_spark.operators.similarity import cosine_topk_lsh

@@ -40,71 +40,71 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-# Round-5 rotation: every query has at least one driver row after r04
-# (r02 ∪ r03 ∪ r04 = all 100), so this prefix now prioritizes (a) the
-# surface that CHANGED this round and must re-record green — q66 (postings
-# became a joined string after its r4 canonicalizer ERR), q49/q31/q45/q46
-# (rows-only → oracle-backed this round), q25 (6×5 banding), q94 (scd2
-# duplicate-update guard) — then (b) staleness: the core reference surface
-# q01-q19 and q35-q62, whose last driver rows are r02/r03-era, re-recorded
-# on the current code. q59-q63 and the remaining rows-only queries keep
-# their r03/r04 rows. Every name here is also swept locally by
-# tests/test_queries.py + tests/strict_gate.py against the same oracles,
-# so reordering changes what the driver RECORDS, never what is verified.
+# Round-6 rotation (driver records the FIRST 50 entries): leads with the
+# 14 queries whose latest driver rows are r03-era (q20-q24, q26-q28,
+# q54-q56, q61-q63 — code under several changed since: by-name CSV
+# conformance under q56, FIFO cache eviction, portable rounding; q26/q28
+# were CONVERTED to oracle-backed this round and must record their first
+# hash-checked rows), then the r04-era rows stalest-first. Deferred to r7:
+# the five no_oracle sketch/ANN rows (q34/q64/q82/q85/q89 — a rows-only
+# driver row re-stamp is low-value; their planted/property unit tests run
+# every session) and q96/q98/q99 (static single-agg SQL untouched since
+# r4). Every name here is also swept locally by tests/test_queries.py +
+# tests/strict_gate.py against the same oracles, so reordering changes
+# what the driver RECORDS, never what is verified.
 _CHECK_FIRST = [
-    "q66_inverted_index",
-    "q49_dedup_clusters",
-    "q31_media_features",
-    "q45_media_resize",
-    "q46_media_frame_sample",
-    "q25_minhash_neardup",
-    "q94_scd2_customers",
-    "q101_heavy_hitter_shingles",
-    "q102_exact_jaccard_join",
-    "q103_duplicate_spans",
-    "q104_unigram_surprisal",
-    "q105_cluster_representatives",
-    "q106_token_budget_mixture",
-    "q01_table_counts",
-    "q02_orders_sample_topk",
-    "q03_sales_by_day",
-    "q04_sales_by_month",
-    "q05_top_products",
-    "q06_top_customers",
-    "q07_status_histogram",
-    "q08_avg_order_value",
-    "q09_parts_no_sales",
-    "q10_customers_no_orders",
-    "q11_last_order_details",
-    "q12_order_totals",
-    "q13_order_reconciliation",
-    "q14_sales_daterange",
-    "q15_dedupe_keep_last",
-    "q16_fk_violations",
-    "q17_view_sales_by_day_sql",
-    "q18_running_daily_sales",
-    "q19_top_parts_per_type",
-    "q35_sales_rollup",
-    "q36_status_pivot",
-    "q37_order_value_percentiles",
-    "q38_repeat_customers_intersect",
-    "q39_events_json_props",
-    "q40_churned_customers_except",
-    "q41_part_name_search",
-    "q42_purchases_with_prior_views",
-    "q43_purchase_asof_signup",
-    "q44_docs_rolling_fingerprint",
-    "q47_docs_chunking",
-    "q48_pricing_summary",
-    "q50_curation_sample",
-    "q51_train_val_test_split",
-    "q52_merge_upsert",
-    "q53_customer_sample_topk",
-    # q54-q63 keep their r2/r3/r4 rows — the new-surface queries
-    # q103-q108 took the tail window slots: never-recorded code outranks
-    # stale-but-green rows.
-    "q107_hopping_window",
-    "q108_identifier_linkage",
+    # --- r03-era rows: stalest first ---
+    "q20_docs_fingerprint",
+    "q21_docs_exact_dedupe",
+    "q22_docs_token_stats",
+    "q23_docs_quality",
+    "q24_docs_langid",
+    "q26_simhash_neardup",
+    "q27_ann_cosine_topk",
+    "q28_ann_cosine_lsh",
+    "q54_part_sample_topk",
+    "q55_lineitem_sample_topk",
+    "q56_conformance_coercion",
+    "q61_small_quantity_revenue",
+    "q62_check_violations",
+    "q63_sales_cube",
+    # --- r04-era oracle-backed rows ---
+    "q29_events_hourly",
+    "q30_events_sessionize",
+    "q32_embedding_neardup",
+    "q33_token_frequencies",
+    "q57_ngram_jaccard_pairs",
+    "q58_mom_sales_growth",
+    "q59_salted_event_rollup",
+    "q60_winnowing_fingerprints",
+    "q65_tfidf_top_terms",
+    "q67_pii_redaction",
+    "q68_segment_percentiles",
+    "q69_repetition_filter",
+    "q70_benchmark_decontamination",
+    "q71_sequence_packing",
+    "q72_language_rebalance",
+    "q73_embedding_quantization",
+    "q74_source_overlap",
+    "q75_curation_pipeline",
+    "q76_incremental_dedupe",
+    "q77_label_centroids",
+    "q78_regional_supplier_revenue",
+    "q79_rolling_7day_sales",
+    "q80_event_funnel",
+    "q81_bigram_merge_candidates",
+    "q83_sentence_dedup_stats",
+    "q84_split_leakage_check",
+    "q86_bm25_search",
+    "q87_stratified_cap_sample",
+    "q88_lang_metadata_agreement",
+    "q90_weighted_priority_sample",
+    "q91_cohort_retention",
+    "q92_part_cooccurrence",
+    "q93_customer_rfm",
+    "q95_sentence_split_udtf",
+    "q97_daily_sales_anomalies",
+    "q100_etl_dataflow",
 ]
 
 
