@@ -21,9 +21,89 @@ hint broadcast when the batch is provably small; AQE decides otherwise.
 from __future__ import annotations
 
 import os
+import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer tried to MERGE into a table that another live
+    process is already writing. The parquet MERGE/CDC sinks are
+    SINGLE-WRITER by contract: two interleaved stage-and-swap /
+    dynamic-partition-overwrite sequences can each clobber the other's
+    partitions with a pre-merge snapshot (lost update). This guard makes
+    the second writer fail loudly instead; multi-writer tables need a
+    transaction log with optimistic concurrency (Delta/Iceberg), which is
+    the documented production route."""
+
+
+@contextmanager
+def single_writer_lock(path: str, owner: str = ""):
+    """Advisory single-writer lock for a parquet table directory.
+
+    ``O_CREAT|O_EXCL`` on a sibling ``<path>.__writer_lock__`` file is the
+    atomic acquire (works on POSIX local/NFS-v3+ paths — the local-mode
+    and single-driver cluster case; object stores lack atomic create and
+    need the Delta route). The lock records ``pid host owner``; a lock
+    whose pid is dead *on this host* is reclaimed via atomic ``rename``
+    (only one contender's rename succeeds), so a crashed writer never
+    wedges the table, while a LIVE holder raises
+    :class:`ConcurrentWriterError`.
+    """
+    import socket
+
+    lock = path.rstrip("/") + ".__writer_lock__"
+    payload = f"{os.getpid()} {socket.gethostname()} {owner} {time.time()}"
+
+    def _try_acquire() -> int | None:
+        try:
+            return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return None
+
+    fd = _try_acquire()
+    if fd is None:
+        try:
+            with open(lock) as fh:
+                held_pid, held_host = fh.read().split()[:2]
+        except (OSError, ValueError):  # holder mid-write or just released
+            held_pid, held_host = "", ""
+        holder_dead = False
+        if held_host == socket.gethostname() and held_pid.isdigit():
+            try:
+                os.kill(int(held_pid), 0)
+            except ProcessLookupError:
+                holder_dead = True
+            except PermissionError:
+                pass  # alive, different user
+        if holder_dead:
+            # atomic steal: exactly one contender wins the rename; the
+            # loser falls through to the live-holder error on retry
+            try:
+                os.rename(lock, lock + f".stale.{os.getpid()}")
+                os.remove(lock + f".stale.{os.getpid()}")
+            except FileNotFoundError:
+                pass
+            fd = _try_acquire()
+        if fd is None:
+            raise ConcurrentWriterError(
+                f"table {path!r} is locked by writer [pid host owner ts = "
+                f"{held_pid} {held_host} ...]; concurrent MERGE writers "
+                "would interleave stage-and-swap and lose updates. Wait for "
+                "the holder, or use a transactional table format for "
+                "multi-writer."
+            )
+    try:
+        os.write(fd, payload.encode())
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
 
 
 def merge_upsert(
@@ -81,14 +161,31 @@ def merge_upsert_partitioned(
     caller's data model, so it is stated here.
 
     Returns the number of partitions rewritten.
+
+    SINGLE-WRITER: the table is advisory-locked for the duration (see
+    :func:`single_writer_lock`); a concurrent merge raises
+    :class:`ConcurrentWriterError` instead of silently losing updates.
     """
+    missing = [c for c in partition_by if c not in incoming.columns]
+    if missing:
+        raise ValueError(f"incoming lacks partition columns: {missing}")
+    with single_writer_lock(path, owner="merge_upsert_partitioned"):
+        return _merge_upsert_partitioned_locked(
+            spark, path, incoming, keys, partition_by
+        )
+
+
+def _merge_upsert_partitioned_locked(
+    spark,
+    path: str,
+    incoming: DataFrame,
+    keys: list[str],
+    partition_by: list[str],
+) -> int:
     import shutil
     from functools import reduce
     from operator import and_, or_
 
-    missing = [c for c in partition_by if c not in incoming.columns]
-    if missing:
-        raise ValueError(f"incoming lacks partition columns: {missing}")
     if not os.path.exists(path):  # first load
         incoming.write.partitionBy(*partition_by).parquet(path)
         return incoming.select(*partition_by).distinct().count()

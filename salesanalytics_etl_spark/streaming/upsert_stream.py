@@ -83,17 +83,29 @@ class ParquetUpsertSink:
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         import shutil
 
-        target = self.current()
-        merged = merge_upsert(target, self._dedupe_batch(batch), self.keys)
-        nxt = self.generation + 1
-        merged.write.mode("overwrite").parquet(self._gen_path(nxt))
-        prev = self.generation
-        self.generation = nxt
-        # GC superseded generations (each holds a FULL table copy; a
-        # steady stream would otherwise grow storage linearly with batch
-        # count). Keep exactly one predecessor for in-flight readers.
-        for g in range(prev):
-            shutil.rmtree(self._gen_path(g), ignore_errors=True)
+        from salesanalytics_etl_spark.operators.upsert import (
+            single_writer_lock,
+        )
+
+        # SINGLE-WRITER: two streams (or a stream + a batch job) merging
+        # into one table would each read a generation, merge, and write the
+        # next — last writer silently dropping the other's keys. The
+        # advisory lock turns that into a loud ConcurrentWriterError.
+        with single_writer_lock(self.path, owner=f"ParquetUpsertSink:{batch_id}"):
+            # re-resolve under the lock: another writer may have advanced
+            # the generation while we waited to acquire
+            self.generation = max(self.generation, self._latest_gen())
+            target = self.current()
+            merged = merge_upsert(target, self._dedupe_batch(batch), self.keys)
+            nxt = self.generation + 1
+            merged.write.mode("overwrite").parquet(self._gen_path(nxt))
+            prev = self.generation
+            self.generation = nxt
+            # GC superseded generations (each holds a FULL table copy; a
+            # steady stream would otherwise grow storage linearly with batch
+            # count). Keep exactly one predecessor for in-flight readers.
+            for g in range(prev):
+                shutil.rmtree(self._gen_path(g), ignore_errors=True)
 
     def attach(self, stream: DataFrame, checkpoint: str):
         """Start the stream writing through this sink (availableNow)."""

@@ -389,3 +389,52 @@ def test_label_propagation_raises_on_nonconvergence(spark):
     # and converges fine with budget >= diameter
     ok = _label_propagation(chain, "doc_a", "doc_b", max_iter=15)
     assert ok.agg(F.countDistinct("component")).collect()[0][0] == 1
+
+
+def test_concurrent_merge_writer_fails_loudly(spark, tmp_path):
+    """Single-writer contract: a second merge against a table whose
+    advisory lock is held by a LIVE process must raise — never interleave
+    stage-and-swap with the holder (lost update)."""
+    import subprocess
+    import sys
+
+    from salesanalytics_etl_spark.operators.upsert import (
+        ConcurrentWriterError,
+        merge_upsert_partitioned,
+        single_writer_lock,
+    )
+
+    path = str(tmp_path / "locked_t")
+    seed = spark.createDataFrame([(1, "d1", "a")], ["k", "dt", "v"])
+    merge_upsert_partitioned(spark, path, seed, ["k"], ["dt"])
+
+    # a LIVE holder (this very process) blocks the second writer
+    with single_writer_lock(path, owner="test-holder"):
+        batch = spark.createDataFrame([(2, "d1", "b")], ["k", "dt", "v"])
+        try:
+            merge_upsert_partitioned(spark, path, batch, ["k"], ["dt"])
+            raise AssertionError("second writer did not fail")
+        except ConcurrentWriterError:
+            pass
+    # lock released on exit -> the same merge now succeeds
+    assert merge_upsert_partitioned(spark, path, batch, ["k"], ["dt"]) == 1
+
+    # a lock abandoned by a DEAD pid (crashed writer) is reclaimed, not
+    # a permanent wedge: forge one with a real-but-exited process's pid
+    dead = subprocess.run(
+        [sys.executable, "-c", "import os; print(os.getpid())"],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.strip()
+    import socket
+
+    with open(path + ".__writer_lock__", "w") as fh:
+        fh.write(f"{dead} {socket.gethostname()} crashed 0.0")
+    batch2 = spark.createDataFrame([(3, "d1", "c")], ["k", "dt", "v"])
+    assert merge_upsert_partitioned(spark, path, batch2, ["k"], ["dt"]) == 1
+
+    # nested sanity: lock file is gone after successful merges
+    import os
+
+    assert not os.path.exists(path + ".__writer_lock__")
