@@ -24,11 +24,14 @@ xxhash64/array_*), zero UDFs.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 from salesanalytics_etl_spark.operators.text import normalize_text
 
@@ -450,6 +453,7 @@ def exact_jaccard_join(
     text_col: str = "text",
     threshold: float = 0.5,
     unit: str = "char",
+    candidate_budget: int | None = 5_000_000,
 ) -> DataFrame:
     """ALL pairs with exact shingle-Jaccard >= ``threshold`` — recall 1.0.
 
@@ -581,7 +585,33 @@ def exact_jaccard_join(
         .distinct()
         .persist()  # consumed by docs_in_pairs and the verify pair join
     )
-    cands.count()
+    n_cands = cands.count()
+    _LOG.info(
+        "exact_jaccard_join(unit=%s, t=%s): %d candidate pairs after "
+        "prefix/length/positional filtering",
+        unit,
+        threshold,
+        n_cands,
+    )
+    if candidate_budget is not None and n_cands > candidate_budget:
+        # An EXACT join cannot drop candidates without breaking its
+        # recall-1.0 contract, so a degenerate corpus (uniformly shared
+        # vocabulary -> every prefix element high-df -> candidates trend
+        # toward all-pairs) must fail LOUDLY, not grind quadratically.
+        # The char-5-gram unit on shared-template corpora is the known
+        # offender (~20s isolated at sf0.1); word shingles or the MinHash
+        # path (recall<1, capped buckets) are the escape hatches.
+        cands.unpersist()
+        pref.unpersist()
+        sets_rows.unpersist()
+        raise RuntimeError(
+            f"exact_jaccard_join: {n_cands} candidate pairs exceed the "
+            f"budget ({candidate_budget}); the corpus is degenerating "
+            "toward all-pairs under exact prefix filtering. Raise "
+            "candidate_budget to proceed anyway, use unit='word', or "
+            "switch to the MinHash path (minhash_near_dupes) if "
+            "recall < 1 is acceptable."
+        )
     docs_in_pairs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))

@@ -139,3 +139,19 @@ def test_exact_boundary_pair_survives_float_hostile_sizes(spark):
     df = _docs(spark, [(1, a), (2, b)])
     got = exact_jaccard_join(df, threshold=0.8, unit="word").collect()
     assert [(r.doc_a, r.doc_b, r.jaccard) for r in got] == [(1, 2, 0.8)]
+
+
+def test_candidate_budget_fails_loudly_on_degenerate_corpus(spark):
+    """Exact joins can't drop candidates (recall contract), so a corpus
+    whose candidates exceed the budget must raise, not grind quadratic."""
+    # five near-identical docs -> every pair is a candidate (10 pairs)
+    docs = _docs(
+        spark,
+        [(i, "shared shingle text common to all docs variant " + "pad " * 6)
+         for i in range(5)],
+    )
+    with pytest.raises(RuntimeError, match="candidate_budget"):
+        exact_jaccard_join(docs, threshold=0.1, candidate_budget=3)
+    # same corpus under the default budget: succeeds, all pairs verified
+    got = exact_jaccard_join(docs, threshold=0.1)
+    assert got.count() == 10
