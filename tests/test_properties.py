@@ -224,3 +224,70 @@ def test_merge_upsert_partitioned_matches_full_merge(
         for r in merge_upsert(seed_df, batch_df, ["k"]).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Connected components: distributed label propagation at its dispatch gate
+# ---------------------------------------------------------------------------
+
+_edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=24),
+        st.integers(min_value=0, max_value=24),
+    ).map(lambda p: (min(p), max(p))).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=40,
+)
+
+_CC_SETTINGS = settings(
+    max_examples=5,  # each example runs 2-5 distributed label-prop rounds
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@_CC_SETTINGS
+@given(_edges_strategy)
+def test_label_propagation_agrees_with_union_find_at_gate(spark, edges):
+    """Force the DISPATCH through the distributed path by lowering
+    DRIVER_CC_MAX_EDGES to 0 (every r5-era test exercised the path only by
+    calling _label_propagation directly, never the gate) and assert it
+    matches driver union-find on arbitrary graphs — including multi-edges,
+    reversed duplicates, and star/chain mixtures hypothesis cooks up."""
+    from salesanalytics_etl_spark.operators import graph
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    want = sorted(
+        map(tuple, graph._driver_union_find(df, "doc_a", "doc_b").collect())
+    )
+    old = graph.DRIVER_CC_MAX_EDGES
+    graph.DRIVER_CC_MAX_EDGES = 0
+    try:
+        got = sorted(map(tuple, graph.connected_components(df).collect()))
+    finally:
+        graph.DRIVER_CC_MAX_EDGES = old
+    assert got == want
+
+
+def test_gate_nonconvergence_raises_through_public_entry(spark):
+    """A diameter-11 chain with the gate lowered and max_iter=3 must hit
+    the loud non-convergence raise THROUGH connected_components (the
+    r5-era test called _label_propagation directly, so the gate branch
+    to the raise was never covered)."""
+    import pytest as _pytest
+
+    from salesanalytics_etl_spark.operators import graph
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["doc_a", "doc_b"]
+    )
+    old = graph.DRIVER_CC_MAX_EDGES
+    graph.DRIVER_CC_MAX_EDGES = 0
+    try:
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            graph.connected_components(chain, max_iter=3)
+        # and with an adequate budget the same dispatch converges
+        got = graph.connected_components(chain, max_iter=15)
+        assert {r.component for r in got.collect()} == {0}
+    finally:
+        graph.DRIVER_CC_MAX_EDGES = old
