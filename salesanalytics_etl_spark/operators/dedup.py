@@ -320,6 +320,128 @@ def minhash_near_dupes(
     return out
 
 
+def _portable_perm_constants(n: int = N_HASHES) -> list[int]:
+    """The twin's n xor-mask 'permutation' constants, derived from md5 so
+    the DuckDB oracle regenerates the identical values with
+    ``CAST('0x'||substr(md5('perm-'||i),1,15) AS BIGINT)``. XOR with a
+    constant is a bijection on the 60-bit hash space — a valid (if
+    weaker-than-random-permutation) min-wise family, standard practice
+    where speed/portability beat the last few percent of estimator
+    variance."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"perm-{i}".encode()).hexdigest()[:15], 16)
+        for i in range(n)
+    ]
+
+
+def minhash_near_dupes_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """The full MinHash+LSH pipeline in ENGINE-PORTABLE form — every stage
+    (shingle hash, xor-mask min-wise signatures, banding, the bucket-size
+    cap, exact verification) is reproducible in ANSI SQL, so the DuckDB
+    oracle replays the approximation itself and the driver hash-checks the
+    approximate output (the q28 trick applied to MinHash — recall<1 stops
+    implying unverifiable once the randomness is deterministic and
+    portable).
+
+    Differences from the production :func:`minhash_near_dupes`, all forced
+    by portability, none structural: md5-prefix shingle hashes instead of
+    xxhash64; xor-mask permutations instead of xxhash64 re-hashes; band
+    keys are md5 of the joined signature slice instead of xxhash64; bucket
+    membership via size-filter + self-join instead of the truncating
+    collect_list (identical drop semantics: a bucket of m docs pairs iff
+    2 <= m <= max_bucket); no estimate filter (a performance pruner,
+    budget-gated off at gate scale in production too). Shuffle shape is
+    unchanged: signature groupBy on doc_id, candidate equi-join on
+    (band_id, band_key), verify joins on doc ids.
+    """
+    t_bp = int(round(threshold * 10000))
+    perms = _portable_perm_constants()
+    hs = (
+        shingle_rows(df, text_col)
+        .select("doc_id", md5_token_hash(F.col("sh")).alias("h"))
+        .distinct()
+        .persist()  # consumed by signatures AND both verify sides
+    )
+    hs.count()
+    sigs = hs.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h").bitwiseXOR(F.lit(perms[i]))).alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{i}")
+                    for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+                ],
+            )
+        )
+        for b in range(N_BANDS)
+    ]
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*band_keys)).alias("band_id", "band_key"),
+    ).persist()  # bucket sizing + both sides of the pair self-join
+    banded.count()
+    ok = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter((F.col("m") >= 2) & (F.col("m") <= max_bucket))
+        .select("band_id", "band_key")
+    )
+    member = banded.join(ok, ["band_id", "band_key"], "left_semi")
+    cands = (
+        member.select("band_id", "band_key", F.col("doc_id").alias("doc_a"))
+        .join(
+            member.select(
+                "band_id", "band_key", F.col("doc_id").alias("doc_b")
+            ),
+            ["band_id", "band_key"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ha = hs.select(F.col("doc_id").alias("doc_a"), "h")
+    hb = hs.select(F.col("doc_id").alias("doc_b"), "h")
+    ov_rows = (
+        cands.join(ha, "doc_a")
+        .join(hb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ov"))
+    )
+    out = (
+        cands.join(ov_rows, ["doc_a", "doc_b"], "left")
+        .na.fill({"ov": 0})
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("ov"))
+        .filter(F.col("ov") * 10000 >= F.lit(t_bp) * F.col("uni"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("ov") / F.col("uni"), 4).alias("jaccard"),
+        )
+        .localCheckpoint()
+    )
+    banded.unpersist()
+    hs.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

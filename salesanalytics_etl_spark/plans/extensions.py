@@ -3171,3 +3171,82 @@ def q108_identifier_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (customer,) = _t(spark, sf_dir, "customer")
     return edit_distance_join(customer, "c_name", max_dist=1)
+
+
+@register(
+    "q109_minhash_lsh_replay",
+    # The q28 trick applied to MinHash: with a portable deterministic hash
+    # family (md5-prefix shingle hashes, xor-mask min-wise permutations
+    # whose constants both engines derive from md5('perm-'||i)), DuckDB
+    # replays the ENTIRE approximate pipeline — signatures, 6x5 banding,
+    # the <=64 bucket cap, exact Jaccard verification — so the driver
+    # hash-checks the approximate output itself. q25 stays the production
+    # (xxhash64) path; this row certifies the LSH banding/cap/verify LOGIC
+    # end to end against an independent engine.
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 5)),
+                                  1, 15)) AS BIGINT) AS h
+      FROM docs, UNNEST(range(1, GREATEST(len(t) - 4, 1) + 1)) AS u(i)
+    ),
+    perms AS (
+      SELECT i, CAST(('0x' || substr(md5('perm-' || i), 1, 15)) AS BIGINT) AS a
+      FROM (SELECT unnest(range(0, 32)) AS i)
+    ),
+    sigvals AS (
+      SELECT s.doc_id, p.i, MIN(xor(s.h, p.a)) AS mh
+      FROM sh s CROSS JOIN perms p
+      GROUP BY s.doc_id, p.i
+    ),
+    banded AS (
+      SELECT doc_id, i // 5 AS band_id,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_key
+      FROM sigvals WHERE i < 30
+      GROUP BY doc_id, i // 5
+    ),
+    bsize AS (SELECT band_id, band_key, COUNT(*) AS m FROM banded GROUP BY 1, 2),
+    member AS (
+      SELECT b.doc_id, b.band_id, b.band_key
+      FROM banded b JOIN bsize s USING (band_id, band_key)
+      WHERE s.m BETWEEN 2 AND 64
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM member x JOIN member y USING (band_id, band_key)
+      WHERE x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    ovl AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS ov
+      FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(COALESCE(o.ov, 0) AS DOUBLE)
+                 / (sa.sz + sb.sz - COALESCE(o.ov, 0)), 4) AS jaccard
+    FROM cand c
+    LEFT JOIN ovl o USING (doc_a, doc_b)
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE COALESCE(o.ov, 0) * 10000
+          >= 5000 * (sa.sz + sb.sz - COALESCE(o.ov, 0))
+    """,
+    doc="MinHash+LSH near-dup pairs (J >= 0.5, 6x5 banding, bucket cap 64) "
+    "in engine-portable form: DuckDB regenerates the identical md5-derived "
+    "hash family and replays signatures -> banding -> cap -> exact verify, "
+    "hash-checking the approximate pipeline itself (q28 pattern; q25 "
+    "remains the production xxhash64 path)",
+)
+def q109_minhash_lsh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import (
+        minhash_near_dupes_portable,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return minhash_near_dupes_portable(documents)

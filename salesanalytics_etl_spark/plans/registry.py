@@ -48,7 +48,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # hash-checked rows), then the r04-era rows stalest-first. Deferred to r7:
 # the five no_oracle sketch/ANN rows (q34/q64/q82/q85/q89 — a rows-only
 # driver row re-stamp is low-value; their planted/property unit tests run
-# every session) and q96/q98/q99 (static single-agg SQL untouched since
+# every session) and q96/q97/q98/q99 (static single-agg SQL untouched since
 # r4). Every name here is also swept locally by tests/test_queries.py +
 # tests/strict_gate.py against the same oracles, so reordering changes
 # what the driver RECORDS, never what is verified.
@@ -68,6 +68,8 @@ _CHECK_FIRST = [
     "q61_small_quantity_revenue",
     "q62_check_violations",
     "q63_sales_cube",
+    # --- NEW this round (never recorded) ---
+    "q109_minhash_lsh_replay",
     # --- r04-era oracle-backed rows ---
     "q29_events_hourly",
     "q30_events_sessionize",
@@ -103,7 +105,6 @@ _CHECK_FIRST = [
     "q92_part_cooccurrence",
     "q93_customer_rfm",
     "q95_sentence_split_udtf",
-    "q97_daily_sales_anomalies",
     "q100_etl_dataflow",
 ]
 

@@ -166,3 +166,36 @@ def test_connected_components_paths_agree(spark):
     b = sorted(map(tuple, _label_propagation(edges, "doc_a", "doc_b", 20).collect()))
     assert a == b
     assert (1, 1) in a and (3, 1) in a and (4, 4) in a and (5, 4) in a
+
+
+def test_portable_minhash_matches_production_semantics(docs):
+    """The engine-portable twin (md5 hashes + xor-mask permutations) must
+    find the same planted structure the production path finds: exact dups
+    at J=1, near-dups above threshold, distinct docs unpaired — the hash
+    FAMILY differs, the pipeline semantics must not."""
+    from salesanalytics_etl_spark.operators.dedup import (
+        minhash_near_dupes_portable,
+    )
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_near_dupes_portable(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.6
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_portable_minhash_bucket_cap_drops_degenerate_buckets(spark):
+    """With max_bucket=1 every bucket of >=2 members is dropped, so even
+    exact duplicates must produce no pairs — pinning that the SQL-replayed
+    size filter has the production drop semantics (2 <= m <= cap)."""
+    from salesanalytics_etl_spark.operators.dedup import (
+        minhash_near_dupes_portable,
+    )
+
+    txt = "identical text for every document here " * 3
+    df = spark.createDataFrame([(i, txt) for i in range(4)], ["doc_id", "text"])
+    assert minhash_near_dupes_portable(df, max_bucket=1).count() == 0
+    got = minhash_near_dupes_portable(df, max_bucket=64)
+    assert got.count() == 6  # all C(4,2) exact-dup pairs at J=1
