@@ -1,0 +1,91 @@
+"""Engine-portable sketches: a classic HyperLogLog built from Spark
+built-ins whose every step is reproducible in ANSI SQL.
+
+Why this exists next to ``approx_count_distinct`` (q64): Spark's HLL++ is
+the production path, but its register layout and bias tables live inside
+the JVM — the driver gate can only rows-check it. This implementation
+(classic Flajolet et al. HLL, m=2^p registers, md5-derived hash) computes
+the identical estimate in DuckDB, so the sketch itself is hash-checked
+against an independent engine (q110) — the q28/q109 determinism trick
+applied to cardinality estimation.
+
+Scale shape (unchanged from the production sketch): one scan computes
+(key, bucket, rho) rows; ``groupBy(key, bucket).max(rho)`` combines
+map-side, so the exchange carries at most ``keys × m`` register rows
+regardless of data size; the final per-key fold is over ≤ m rows. The
+register MAX is mergeable by construction — the same two-level groupBy IS
+the distributed merge.
+
+Determinism notes (what makes the oracle twin possible):
+- hash = md5-prefix 60-bit (``md5_token_hash``) — portable, uniform.
+- the accumulator sum(2^-rho) is kept as the EXACT integer
+  sum(2^(52-rho)) (rho ≤ 52, ≤ 512·2^51 < 2^63) — order-insensitive
+  under any partitioning, unlike a double sum.
+- doubles appear only in the final scalar expression, written with the
+  same literals/associativity on both engines (IEEE mul/div are exactly
+  specified). The linear-counting branch's ``ln`` is the one libm call;
+  engines may differ in the last ulp, which survives the FLOOR unless the
+  true value sits within an ulp of an integer — a transcendental value,
+  so effectively never.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from salesanalytics_etl_spark.operators.dedup import md5_token_hash
+
+HLL_P = 9  # 2^9 = 512 registers → rsd ≈ 1.04/√512 ≈ 4.6%
+_M = 1 << HLL_P
+_WBITS = 60 - HLL_P  # md5_token_hash yields 60 bits; top p pick the bucket
+_ALPHA = 0.7213 / (1.0 + 1.079 / _M)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Per-group approximate COUNT(DISTINCT value_col), classic HLL.
+
+    Returns one row per group: ``group_cols + [out_col]`` with the
+    floored estimate as a long. Linear counting below 2.5·m with empty
+    registers, raw harmonic estimate above — the classic two-regime
+    estimator (no HLL++ bias tables; document 4.6% rsd at m=512).
+    """
+    h = md5_token_hash(
+        F.concat_ws("-", F.lit("hll"), F.col(value_col).cast("string"))
+    )
+    w = h.bitwiseAND(F.lit((1 << _WBITS) - 1))
+    rho = F.when(w == 0, F.lit(_WBITS + 1)).otherwise(
+        _WBITS + 1 - F.length(F.bin(w))
+    )
+    regs = (
+        df.select(
+            *group_cols,
+            F.shiftright(h, _WBITS).alias("_bucket"),
+            rho.alias("_rho"),
+        )
+        .groupBy(*group_cols, "_bucket")
+        .agg(F.max("_rho").alias("_mx"))
+    )
+    sk = regs.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_WBITS + 1} - _mx AS INT))")
+        ).alias("_s1"),
+        F.count(F.lit(1)).alias("_present"),
+    )
+    z = F.lit(_M) - F.col("_present")
+    stot = (F.col("_s1") + z.cast("long") * F.lit(1 << (_WBITS + 1))).cast(
+        "double"
+    )
+    raw = F.lit(_ALPHA * float(_M) * float(_M) * float(1 << (_WBITS + 1))) / stot
+    est = F.when(
+        (raw <= 2.5 * _M) & (z > 0),
+        F.lit(float(_M)) * F.log(F.lit(float(_M)) / z.cast("double")),
+    ).otherwise(raw)
+    return sk.select(
+        *group_cols, F.floor(est).cast("long").alias(out_col)
+    )

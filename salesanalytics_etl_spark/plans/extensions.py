@@ -3250,3 +3250,67 @@ def q109_minhash_lsh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = _t(spark, sf_dir, "documents")
     return minhash_near_dupes_portable(documents)
+
+
+@register(
+    "q110_hll_distinct_replay",
+    # Classic HLL with md5-derived hashing (operators/sketches.py) — the
+    # q28/q109 determinism trick applied to cardinality estimation: DuckDB
+    # rebuilds the identical 512 registers and the identical two-regime
+    # estimate, so the driver hash-checks the SKETCH itself, not just its
+    # error bound. q64 stays the production HLL++ (rows-only by nature).
+    oracle=r"""
+    WITH hb AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(concat_ws('-', 'hll',
+                                    CAST(user_id AS VARCHAR))), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    regs AS (
+      SELECT event_type, h >> 51 AS bucket,
+             MAX(CASE WHEN (h & ((1::BIGINT << 51) - 1)) = 0 THEN 52
+                      ELSE 52 - length(bin(h & ((1::BIGINT << 51) - 1))) END)
+               AS mx
+      FROM hb GROUP BY 1, 2
+    ),
+    sk AS (
+      SELECT event_type, SUM(1::BIGINT << (52 - mx)) AS s1,
+             COUNT(*) AS present
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type,
+             (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+               * 4503599627370496.0
+               / CAST(s1 + (512 - present) * (1::BIGINT << 52) AS DOUBLE)
+               AS raw,
+             512 - present AS z
+      FROM sk
+    )
+    SELECT e.event_type,
+           CAST(FLOOR(CASE WHEN raw <= 1280.0 AND z > 0
+                           THEN 512.0 * ln(512.0 / CAST(z AS DOUBLE))
+                           ELSE raw END) AS BIGINT) AS approx_users,
+           x.exact_users
+    FROM est e
+    JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+          FROM events GROUP BY 1) x USING (event_type)
+    """,
+    doc="per-event-type approximate COUNT(DISTINCT user_id) via the "
+    "engine-portable classic HLL (m=512, md5 hashing, exact-integer "
+    "register accumulator) joined against the exact count — DuckDB "
+    "replays the whole sketch, so approx AND its error are hash-checked; "
+    "register exchange is <= keys x 512 rows at any data size",
+)
+def q110_hll_distinct_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.sketches import hll_distinct
+
+    (events,) = _t(spark, sf_dir, "events")
+    approx = hll_distinct(
+        events, ["event_type"], "user_id", out_col="approx_users"
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return approx.join(exact, "event_type")

@@ -438,3 +438,22 @@ def test_concurrent_merge_writer_fails_loudly(spark, tmp_path):
     import os
 
     assert not os.path.exists(path + ".__writer_lock__")
+
+
+def test_hll_distinct_error_bound_and_partition_invariance(spark):
+    """m=512 classic HLL: rsd ~= 4.6%, so 15% (>3 sigma) bounds all three
+    cardinality regimes (linear counting, threshold, raw). The estimate
+    must also be IDENTICAL under different partitionings — the register
+    max/sum accumulators are order-insensitive by construction."""
+    from pyspark.sql import functions as F
+
+    from salesanalytics_etl_spark.operators.sketches import hll_distinct
+
+    for n in (100, 1_000, 20_000):
+        df = spark.range(n * 3).select(
+            F.lit("k").alias("g"), (F.col("id") % n).alias("v")
+        )
+        est = hll_distinct(df, ["g"], "v").collect()[0].approx_distinct
+        assert abs(est - n) / n < 0.15, (n, est)
+        est2 = hll_distinct(df.repartition(7), ["g"], "v").collect()[0]
+        assert est2.approx_distinct == est  # partitioning-insensitive
