@@ -363,14 +363,18 @@ def minhash_near_dupes_portable(
     """
     t_bp = int(round(threshold * 10000))
     perms = _portable_perm_constants()
-    hs = (
-        shingle_rows(df, text_col)
-        .select("doc_id", md5_token_hash(F.col("sh")).alias("h"))
-        .distinct()
-        .persist()  # consumed by signatures AND both verify sides
+    # raw (doc_id, h) shingle-hash rows are NOT deduplicated or persisted
+    # here: min-aggregation is duplicate-insensitive, so the signature
+    # stage consumes the codegen'd explode stream directly (map-side
+    # combine, no distinct shuffle of the largest dataset in the
+    # pipeline). The distinct() only matters for set semantics in the
+    # verify stage, which sees the rows AFTER the candidate semi-join —
+    # same staging as the production path (a full-corpus distinct was
+    # the single hottest stage of the first cut: 9.1s → see ROUND6.md).
+    raw = shingle_rows(df, text_col).select(
+        "doc_id", md5_token_hash(F.col("sh")).alias("h")
     )
-    hs.count()
-    sigs = hs.groupBy("doc_id").agg(
+    sigs = raw.groupBy("doc_id").agg(
         *[
             F.min(F.col("h").bitwiseXOR(F.lit(perms[i]))).alias(f"mh{i}")
             for i in range(N_HASHES)
@@ -411,7 +415,23 @@ def minhash_near_dupes_portable(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .persist()  # consumed by docs_in_pairs and the verify joins
     )
+    cands.count()
+    docs_in_pairs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # set semantics (distinct) applied only to candidate docs' rows —
+    # candidates ≪ corpus at scale, so this shuffle is proportional to
+    # the near-dup tail, not the data
+    hs = (
+        raw.join(docs_in_pairs, "doc_id", "left_semi")
+        .distinct()
+        .persist()  # sizes + both verify sides
+    )
+    hs.count()
     sizes = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     ha = hs.select(F.col("doc_id").alias("doc_a"), "h")
     hb = hs.select(F.col("doc_id").alias("doc_b"), "h")
@@ -438,6 +458,7 @@ def minhash_near_dupes_portable(
         .localCheckpoint()
     )
     banded.unpersist()
+    cands.unpersist()
     hs.unpersist()
     return out
 
