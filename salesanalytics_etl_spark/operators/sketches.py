@@ -89,3 +89,75 @@ def hll_distinct(
     return sk.select(
         *group_cols, F.floor(est).cast("long").alias(out_col)
     )
+
+
+HDR_MANTISSA_BITS = 5  # bucket width ratio 33/32 → ≤ ~3.1% value error
+
+
+def hdr_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    cents_col: str,
+    percents: list[int] = (50, 95, 99),
+) -> DataFrame:
+    """Approximate per-group percentiles via an HDR-histogram sketch over
+    POSITIVE integer cents — every step exact integer arithmetic, so the
+    estimate is bit-identical on any engine and under any partitioning
+    (the property Spark's GK `percentile_approx`, q82, cannot offer the
+    oracle gate).
+
+    Bucketing (HdrHistogram's exponent+mantissa scheme): a value keeps its
+    top ``1 + HDR_MANTISSA_BITS`` significant bits — small values (≤ 6
+    bits) are exact, larger ones land in buckets whose bounds are
+    consecutive in those top bits, bounding relative error by
+    2^-HDR_MANTISSA_BITS ≈ 3.1%. Bit positions come from
+    ``length(bin(v))`` (no logarithms, no libm, no ulp hazards — the
+    reason this replays where DDSketch's ``ceil(ln v / ln γ)`` wouldn't).
+
+    The percentile estimate is the nearest-rank bucket's LOWER BOUND in
+    cents / 100.0. Counts per (group, bucket) combine map-side; the
+    exchange carries at most ``groups × (64 - m) × 2^m`` bucket rows
+    (~1.9k per group here) at any data size, and the sketch is mergeable
+    by construction (bucket-count sum).
+    """
+    mb = HDR_MANTISSA_BITS
+    # lower = (v >> s) << s with s = max(bitlen(v) - (mb+1), 0) — the
+    # SQL-expr form because shiftleft/shiftright need column bit counts
+    lower = F.expr(
+        f"shiftleft(shiftright({cents_col}, CAST(greatest("
+        f"length(bin({cents_col})) - {mb + 1}, 0) AS INT)), CAST(greatest("
+        f"length(bin({cents_col})) - {mb + 1}, 0) AS INT))"
+    )
+    buckets = (
+        df.select(*group_cols, lower.alias("_lower"))
+        .groupBy(*group_cols, "_lower")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_lower")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = buckets.withColumn("_cum", F.sum("_cnt").over(w)).withColumn(
+        "_n", F.sum("_cnt").over(Window.partitionBy(*group_cols))
+    )
+    aggs = [F.max("_n").alias("n_rows")]
+    for p in percents:
+        # nearest-rank: rank = ceil(p% · n) in exact integers
+        rank = F.expr(f"(_n * {p} + 99) div 100")
+        aggs.append(
+            F.min(
+                F.when(F.col("_cum") >= rank, F.col("_lower"))
+            ).alias(f"_p{p}c")
+        )
+    out = cum.groupBy(*group_cols).agg(*aggs)
+    return out.select(
+        *group_cols,
+        "n_rows",
+        *[
+            (F.col(f"_p{p}c") / F.lit(100.0)).alias(f"p{p}_approx")
+            for p in percents
+        ],
+    )

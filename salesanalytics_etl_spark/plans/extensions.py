@@ -3314,3 +3314,82 @@ def q110_hll_distinct_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("exact_users")
     )
     return approx.join(exact, "event_type")
+
+
+@register(
+    "q111_hdr_percentile_replay",
+    # HDR-histogram quantile sketch (operators/sketches.py) — the sketch
+    # keeps each order-total's top 6 significant BITS (exponent+mantissa,
+    # via length(bin(cents)) — integer-exact, no logarithms), so both
+    # engines build identical bucket counts and identical nearest-rank
+    # picks. q82 stays the production GK sketch (rows-only by nature);
+    # this row hash-certifies the approximate-quantile ALGORITHM class.
+    oracle=r"""
+    WITH per_order AS (
+      SELECT o.o_orderkey, c.c_mktsegment,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT c_mktsegment,
+             (cents >> GREATEST(length(bin(cents)) - 6, 0))
+               << GREATEST(length(bin(cents)) - 6, 0) AS lower
+      FROM per_order
+    ),
+    counts AS (
+      SELECT c_mktsegment, lower, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT c_mktsegment, lower, cnt,
+             SUM(cnt) OVER (PARTITION BY c_mktsegment ORDER BY lower) AS cum,
+             SUM(cnt) OVER (PARTITION BY c_mktsegment) AS n
+      FROM counts
+    )
+    SELECT c_mktsegment, CAST(MAX(n) AS BIGINT) AS n_rows,
+           MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN lower END) / 100.0
+             AS p50_approx,
+           MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN lower END) / 100.0
+             AS p95_approx,
+           MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lower END) / 100.0
+             AS p99_approx
+    FROM cum GROUP BY 1
+    """,
+    doc="approximate p50/p95/p99 of per-order totals per market segment "
+    "via an engine-portable HDR-histogram sketch: exponent+mantissa "
+    "bucketing on integer cents (<= ~3.1%% value error), exact-integer "
+    "counts and nearest-rank picks, mergeable by bucket-count sum; the "
+    "exchange carries <= segments x ~1.9k bucket rows at any data size. "
+    "DuckDB rebuilds the identical sketch, so the APPROXIMATE quantiles "
+    "are hash-checked (q68 = exact twin, q82 = production GK path)",
+)
+def q111_hdr_percentile_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182
+    from salesanalytics_etl_spark.operators.sketches import hdr_percentiles
+
+    customer, orders, lineitem = _t(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    per_order = (
+        lineitem.select("l_orderkey", "l_extendedprice")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(
+            (F.sum(dec182("l_extendedprice")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return hdr_percentiles(
+        per_order, ["c_mktsegment"], "cents", percents=[50, 95, 99]
+    )

@@ -457,3 +457,28 @@ def test_hll_distinct_error_bound_and_partition_invariance(spark):
         assert abs(est - n) / n < 0.15, (n, est)
         est2 = hll_distinct(df.repartition(7), ["g"], "v").collect()[0]
         assert est2.approx_distinct == est  # partitioning-insensitive
+
+
+def test_hdr_percentiles_error_bound_vs_exact(spark):
+    """Exponent+mantissa bucketing keeps the top 6 significant bits, so
+    the reported bucket lower bound is within 2^-5 (3.125%) BELOW the true
+    nearest-rank value; small values (<= 6 bits) are exact."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from salesanalytics_etl_spark.operators.sketches import hdr_percentiles
+
+    rng = list(range(1, 5001))  # cents 1..5000
+    df = spark.createDataFrame(
+        [("g", c) for c in rng], ["g", "cents"]
+    )
+    got = hdr_percentiles(df, ["g"], "cents").collect()[0]
+    assert got.n_rows == 5000
+    for p, val in ((50, got.p50_approx), (95, got.p95_approx), (99, got.p99_approx)):
+        exact = float(np.sort(rng)[int(np.ceil(p / 100 * 5000)) - 1]) / 100.0
+        assert val <= exact + 1e-9, (p, val, exact)
+        assert val >= exact * (1 - 2 ** -5) - 1e-9, (p, val, exact)
+    # partitioning-insensitive: identical under a different layout
+    got2 = hdr_percentiles(df.repartition(13), ["g"], "cents").collect()[0]
+    assert got2 == got
