@@ -202,3 +202,104 @@ def assign_clusters(
     return corpus.withColumn("_a", assign(F.col(vec_col))).select(
         *corpus.columns, "_a.cluster", "_a.centroid_sim"
     )
+
+
+def cosine_topk_ivf_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe-N ANN with a DETERMINISTIC data-sampled quantizer — every
+    stage replayable in ANSI SQL, so the approximate output itself is
+    oracle-checkable (the q28/q109 pattern applied to IVF).
+
+    The quantizer: ``n_cells`` anchor vectors picked as the corpus rows
+    with the smallest md5-derived keys (a deterministic uniform sample —
+    k-means|| seeding without the iterations; "IVF over sampled centroids"
+    is the standard quality baseline the trained quantizer, q34, is
+    measured against). Assignment/probing/rescoring are the REAL IVF
+    mechanics: every vector joins its nearest anchor's cell, a query
+    probes its ``n_probe`` nearest cells, exact rescoring runs only inside
+    probed cells — candidate fraction ≈ n_probe/n_cells of the corpus.
+
+    All similarity comparisons order by the ROUNDED (6dp) cosine with the
+    anchor/neighbor id as tiebreak — the cross-engine-stable total order
+    (raw doubles can differ in final ulps across engines; rounded ones
+    are proven identical on this surface — q27/q32).
+
+    Scale: anchors are a bounded broadcast (n_cells rows); assignment is
+    one broadcast nested-loop over the corpus scan (n_cells sims/row,
+    no shuffle); the candidate join is an equi-join on cell id.
+    """
+    from salesanalytics_etl_spark.operators.dedup import md5_token_hash
+
+    h = md5_token_hash(
+        F.concat_ws("-", F.lit("anchor"), F.col(id_col).cast("string"))
+    )
+    anchors = (
+        corpus.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("a_vec"),
+            h.alias("_h"),
+        )
+        .orderBy("_h", "anchor_id")
+        .limit(n_cells)
+        .drop("_h")
+    )
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+    asg = c.join(F.broadcast(anchors)).select(
+        "cid",
+        "anchor_id",
+        F.round(cosine(F.col("c_vec"), F.col("a_vec")), 6).alias("s"),
+    )
+    wc = Window.partitionBy("cid").orderBy(F.desc("s"), F.asc("anchor_id"))
+    cells = (
+        asg.withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") == 1)
+        .select("cid", F.col("anchor_id").alias("cell"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    qsim = q.join(F.broadcast(anchors)).select(
+        "query_id",
+        "anchor_id",
+        F.round(cosine(F.col("q_vec"), F.col("a_vec")), 6).alias("s"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("s"), F.asc("anchor_id")
+    )
+    probes = (
+        qsim.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", F.col("anchor_id").alias("cell"))
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("cid") != F.col("query_id"))
+        .select("query_id", F.col("cid").alias("neighbor_id"))
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c.withColumnRenamed("cid", "neighbor_id"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

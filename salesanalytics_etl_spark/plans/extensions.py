@@ -3393,3 +3393,66 @@ def q111_hdr_percentile_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdr_percentiles(
         per_order, ["c_mktsegment"], "cents", percents=[50, 95, 99]
     )
+
+
+@register(
+    "q112_ivf_replay",
+    # IVF with a deterministic data-sampled quantizer (operators/ivf.py:
+    # cosine_topk_ivf_portable) — assignment, probe-4, and rescore are the
+    # real IVF mechanics, and with md5-sampled anchors instead of trained
+    # KMeans centroids every stage replays in SQL, so the APPROXIMATE
+    # answer is hash-checked (q34 keeps the trained quantizer, rows-only).
+    oracle="""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    anchors AS (
+      SELECT vec_id AS anchor_id, emb AS a_vec
+      FROM vecs
+      ORDER BY CAST(('0x' || substr(md5(concat_ws('-', 'anchor',
+                     CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT), vec_id
+      LIMIT 16
+    ),
+    cells AS (
+      SELECT v.vec_id AS cid, a.anchor_id AS cell
+      FROM vecs v CROSS JOIN anchors a
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY ROUND(list_cosine_similarity(v.emb, a.a_vec), 6) DESC,
+                 a.anchor_id) = 1
+    ),
+    probes AS (
+      SELECT v.vec_id AS query_id, a.anchor_id AS cell
+      FROM vecs v CROSS JOIN anchors a
+      WHERE v.vec_id < 10
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY ROUND(list_cosine_similarity(v.emb, a.a_vec), 6) DESC,
+                 a.anchor_id) <= 4
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, c.cid AS neighbor_id
+      FROM probes p JOIN cells c USING (cell)
+      WHERE c.cid != p.query_id
+    )
+    SELECT cand.query_id, cand.neighbor_id,
+           ROUND(list_cosine_similarity(q.emb, n.emb), 6) AS cosine_sim
+    FROM cand
+    JOIN vecs q ON q.vec_id = cand.query_id
+    JOIN vecs n ON n.vec_id = cand.neighbor_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY cand.query_id
+      ORDER BY ROUND(list_cosine_similarity(q.emb, n.emb), 6) DESC,
+               cand.neighbor_id) <= 5
+    """,
+    doc="approximate top-5 via IVF probe-4 over 16 deterministic "
+    "md5-sampled anchor cells: anchors broadcast (bounded), assignment is "
+    "n_cells sims per row on the scan (no shuffle), candidates via cell "
+    "equi-join, exact rescore inside probed cells only (candidate "
+    "fraction ~ n_probe/n_cells). DuckDB replays quantizer/assign/probe/"
+    "rescore, hash-checking the approximate answer; q34 keeps the "
+    "trained-KMeans quantizer (rows-only, recall-probed in unit tests)",
+)
+def q112_ivf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.ivf import cosine_topk_ivf_portable
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    return cosine_topk_ivf_portable(embeddings, queries, k=5)

@@ -199,3 +199,32 @@ def test_portable_minhash_bucket_cap_drops_degenerate_buckets(spark):
     assert minhash_near_dupes_portable(df, max_bucket=1).count() == 0
     got = minhash_near_dupes_portable(df, max_bucket=64)
     assert got.count() == 6  # all C(4,2) exact-dup pairs at J=1
+
+
+def test_ivf_portable_candidates_subset_of_exact_and_recall(spark, sf_dir):
+    """The portable IVF (deterministic md5-sampled anchors) must return a
+    subset of the exact brute-force scores (same rounded values for any
+    pair it reports) with reasonable recall at probe-4-of-16."""
+    from pyspark.sql import functions as F
+
+    from salesanalytics_etl_spark.operators.ivf import cosine_topk_ivf_portable
+    from salesanalytics_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in cosine_topk_ivf_portable(emb, queries, k=5).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    # scores agree exactly wherever both report the pair
+    for pair, sim in approx.items():
+        if pair in exact:
+            assert sim == exact[pair]
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.3, recall  # probe-4/16 with untrained anchors
