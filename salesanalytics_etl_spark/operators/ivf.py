@@ -204,6 +204,57 @@ def assign_clusters(
     )
 
 
+def _portable_anchors(
+    corpus: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """``n_cells`` anchor vectors = the corpus rows with the smallest
+    md5-derived keys — a deterministic uniform sample both engines can
+    reproduce (k-means|| seeding without the iterations)."""
+    from salesanalytics_etl_spark.operators.dedup import md5_token_hash
+
+    h = md5_token_hash(
+        F.concat_ws("-", F.lit("anchor"), F.col(id_col).cast("string"))
+    )
+    return (
+        corpus.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("a_vec"),
+            h.alias("_h"),
+        )
+        .orderBy("_h", "anchor_id")
+        .limit(n_cells)
+        .drop("_h")
+    )
+
+
+def portable_cell_assignment(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, cell, cell_sim): each vector's nearest deterministic anchor
+    by ROUNDED cosine (6dp, anchor id tiebreak — the cross-engine-stable
+    total order). The shared quantizer stage of the portable IVF (q112)
+    and the cell-statistics report (q113): one broadcast of n_cells
+    anchors, n_cells sims per row on the scan, no shuffle."""
+    anchors = _portable_anchors(corpus, n_cells, id_col, vec_col)
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+    asg = c.join(F.broadcast(anchors)).select(
+        "cid",
+        "anchor_id",
+        F.round(cosine(F.col("c_vec"), F.col("a_vec")), 6).alias("cell_sim"),
+    )
+    wc = Window.partitionBy("cid").orderBy(
+        F.desc("cell_sim"), F.asc("anchor_id")
+    )
+    return (
+        asg.withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") == 1)
+        .select("cid", F.col("anchor_id").alias("cell"), "cell_sim")
+    )
+
+
 def cosine_topk_ivf_portable(
     corpus: DataFrame,
     queries: DataFrame,
@@ -235,33 +286,11 @@ def cosine_topk_ivf_portable(
     one broadcast nested-loop over the corpus scan (n_cells sims/row,
     no shuffle); the candidate join is an equi-join on cell id.
     """
-    from salesanalytics_etl_spark.operators.dedup import md5_token_hash
-
-    h = md5_token_hash(
-        F.concat_ws("-", F.lit("anchor"), F.col(id_col).cast("string"))
-    )
-    anchors = (
-        corpus.select(
-            F.col(id_col).alias("anchor_id"),
-            F.col(vec_col).alias("a_vec"),
-            h.alias("_h"),
-        )
-        .orderBy("_h", "anchor_id")
-        .limit(n_cells)
-        .drop("_h")
-    )
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
-    asg = c.join(F.broadcast(anchors)).select(
-        "cid",
-        "anchor_id",
-        F.round(cosine(F.col("c_vec"), F.col("a_vec")), 6).alias("s"),
+    cells = portable_cell_assignment(corpus, n_cells, id_col, vec_col).select(
+        "cid", "cell"
     )
-    wc = Window.partitionBy("cid").orderBy(F.desc("s"), F.asc("anchor_id"))
-    cells = (
-        asg.withColumn("_rn", F.row_number().over(wc))
-        .filter(F.col("_rn") == 1)
-        .select("cid", F.col("anchor_id").alias("cell"))
-    )
+    anchors = _portable_anchors(corpus, n_cells, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )

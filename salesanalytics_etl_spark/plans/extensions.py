@@ -3456,3 +3456,62 @@ def q112_ivf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     queries = embeddings.filter(F.col("vec_id") < 10)
     return cosine_topk_ivf_portable(embeddings, queries, k=5)
+
+
+@register(
+    "q113_cell_stats_replay",
+    # Cluster-statistics report over the deterministic quantizer cells
+    # (q112's assignment stage) — the portable twin of q89's KMeans
+    # cluster stats: trained centroids aren't engine-portable, but the
+    # cell-stats MECHANISM (assign -> per-cell count / similarity
+    # dispersion) is, and the mean is exact-integer-accumulated
+    # (micro-units) so it is partitioning-insensitive and hash-stable.
+    oracle="""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    anchors AS (
+      SELECT vec_id AS anchor_id, emb AS a_vec
+      FROM vecs
+      ORDER BY CAST(('0x' || substr(md5(concat_ws('-', 'anchor',
+                     CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT), vec_id
+      LIMIT 16
+    ),
+    cells AS (
+      SELECT v.vec_id AS cid, a.anchor_id AS cell,
+             ROUND(list_cosine_similarity(v.emb, a.a_vec), 6) AS cell_sim
+      FROM vecs v CROSS JOIN anchors a
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY ROUND(list_cosine_similarity(v.emb, a.a_vec), 6) DESC,
+                 a.anchor_id) = 1
+    )
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CAST(FLOOR(cell_sim * 1000000 + 0.5) AS BIGINT))
+                AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_sim,
+           MIN(cell_sim) AS min_sim,
+           MAX(cell_sim) AS max_sim
+    FROM cells GROUP BY cell
+    """,
+    doc="per-cell membership stats over the deterministic anchor "
+    "quantizer (q112's assignment): count, mean member-to-anchor cosine "
+    "(exact micro-unit integer accumulation - order-insensitive), min/"
+    "max. The portable twin of the KMeans cluster-stats report (q89): "
+    "one bounded anchor broadcast, assignment on the scan, a 16-group "
+    "aggregate - no shuffle wider than the cell ids at any data size",
+)
+def q113_cell_stats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.ivf import portable_cell_assignment
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    cells = portable_cell_assignment(embeddings)
+    micro = F.floor(F.col("cell_sim") * 1000000 + F.lit(0.5)).cast("long")
+    return cells.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (
+            F.sum(micro).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0)
+        ).alias("mean_sim"),
+        F.min("cell_sim").alias("min_sim"),
+        F.max("cell_sim").alias("max_sim"),
+    )

@@ -228,3 +228,22 @@ def test_ivf_portable_candidates_subset_of_exact_and_recall(spark, sf_dir):
             assert sim == exact[pair]
     recall = len(set(approx) & set(exact)) / len(exact)
     assert recall >= 0.3, recall  # probe-4/16 with untrained anchors
+
+
+def test_cell_stats_cover_corpus_and_sane_bounds(spark, sf_dir):
+    """Every corpus vector lands in exactly one cell; per-cell stats obey
+    min <= mean <= max and memberships sum to the corpus size."""
+    from salesanalytics_etl_spark.operators.ivf import portable_cell_assignment
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    cells = portable_cell_assignment(emb).collect()
+    assert len(cells) == n
+    assert len({r.cid for r in cells}) == n
+    from collections import defaultdict
+    agg = defaultdict(list)
+    for r in cells:
+        agg[r.cell].append(r.cell_sim)
+    for sims in agg.values():
+        assert min(sims) <= sum(sims) / len(sims) <= max(sims) + 1e-9
+    assert sum(len(v) for v in agg.values()) == n
