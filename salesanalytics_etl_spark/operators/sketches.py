@@ -91,6 +91,97 @@ def hll_distinct(
     )
 
 
+BLOOM_M = 1 << 14  # filter bits
+BLOOM_K = 7  # hash functions; at ~11 bits/key this gives FPR ≈ 1%
+
+
+def _bloom_positions(key: Column, m: int = BLOOM_M, k: int = BLOOM_K) -> Column:
+    """Array of k bit positions for ``key`` — md5-derived, so DuckDB
+    computes the identical positions (integer mod, no engine RNG)."""
+    return F.array(
+        *[
+            md5_token_hash(
+                F.concat_ws("-", F.lit("bloom"), F.lit(i), key.cast("string"))
+            )
+            % m
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_membership_audit(
+    members: DataFrame,
+    probes: DataFrame,
+    member_key: str,
+    probe_key: str,
+) -> DataFrame:
+    """Build a Bloom filter over ``members`` and audit it against the
+    exact membership of ``probes`` — returns ONE row:
+    (n_probed, n_members, bloom_positives, false_positives,
+    false_negatives, fpr_bp).
+
+    The 100 TB use: pre-filtering a huge probe stream before an expensive
+    join (ship the ≤ 2^14-row bit-position table as a broadcast instead
+    of shuffling the probe side against the full member set). The audit
+    row certifies the structure's contract in-band: ``false_negatives``
+    must be 0 (a Bloom filter never drops a member) and ``fpr_bp`` is the
+    measured false-positive rate in integer basis points.
+
+    Engine-portable by construction — md5-derived bit positions, integer
+    mod, exact counts — so the driver hash-checks the filter's behavior
+    (q114), unlike Spark's internal BloomFilter aggregate whose murmur
+    layout never leaves the JVM.
+
+    Scale shape: the filter build is ``distinct positions`` over
+    members×k rows (bounded output: ≤ m rows regardless of member
+    count); the probe pass is explode(k)+broadcast-join+count — one
+    shuffle on the probe key, partials combined map-side.
+    """
+    mpos = (
+        members.select(
+            F.explode(_bloom_positions(F.col(member_key))).alias("pos")
+        )
+        .distinct()  # ≤ BLOOM_M rows — the filter itself
+    )
+    ppos = probes.select(
+        F.col(probe_key).alias("pk"),
+        F.explode(_bloom_positions(F.col(probe_key))).alias("pos"),
+    )
+    hits = (
+        ppos.join(F.broadcast(mpos), "pos")
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+        .filter(F.col("nhit") == BLOOM_K)
+        .select("pk")
+    )
+    truth = members.select(F.col(member_key).alias("pk")).distinct()
+    audit = (
+        probes.select(F.col(probe_key).alias("pk"))
+        .distinct()
+        .join(hits.withColumn("_pos", F.lit(1)), "pk", "left")
+        .join(truth.withColumn("_mem", F.lit(1)), "pk", "left")
+    )
+    return audit.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.coalesce("_mem", F.lit(0))).alias("n_members"),
+        F.sum(F.coalesce("_pos", F.lit(0))).alias("bloom_positives"),
+        F.sum(
+            F.when(F.col("_pos").isNotNull() & F.col("_mem").isNull(), 1)
+            .otherwise(0)
+        ).alias("false_positives"),
+        F.sum(
+            F.when(F.col("_mem").isNotNull() & F.col("_pos").isNull(), 1)
+            .otherwise(0)
+        ).alias("false_negatives"),
+        F.expr(
+            "CAST(sum(CASE WHEN _pos IS NOT NULL AND _mem IS NULL THEN 1 "
+            "ELSE 0 END) * 10000 div "
+            "greatest(sum(CASE WHEN _mem IS NULL THEN 1 ELSE 0 END), 1) "
+            "AS BIGINT)"
+        ).alias("fpr_bp"),
+    )
+
+
 HDR_MANTISSA_BITS = 5  # bucket width ratio 33/32 → ≤ ~3.1% value error
 
 

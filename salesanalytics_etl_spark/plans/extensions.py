@@ -3515,3 +3515,85 @@ def q113_cell_stats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cell_sim").alias("min_sim"),
         F.max("cell_sim").alias("max_sim"),
     )
+
+
+@register(
+    "q114_bloom_membership_audit",
+    # Engine-portable Bloom filter (operators/sketches.py) — md5-derived
+    # bit positions, integer mod, exact counts — audited in-band against
+    # exact membership. The 100 TB use is join pre-filtering: broadcast
+    # the <=2^14-row bit table instead of shuffling the probe stream
+    # against the member set. false_negatives is structurally 0 (the
+    # Bloom contract) and the oracle hash-checks that along with the
+    # measured FPR.
+    oracle="""
+    WITH members AS (SELECT DISTINCT o_custkey AS mk FROM orders),
+    probes AS (
+      SELECT DISTINCT pk FROM (
+        SELECT c_custkey AS pk FROM customer
+        UNION ALL
+        SELECT c_custkey + 100000000 FROM customer  -- guaranteed absent
+      )
+    ),
+    hashes AS (SELECT unnest(range(0, 7)) AS i),
+    mpos AS (
+      SELECT DISTINCT
+        CAST(('0x' || substr(md5(concat_ws('-', 'bloom',
+               CAST(i AS VARCHAR), CAST(mk AS VARCHAR))), 1, 15))
+             AS BIGINT) % 16384 AS pos
+      FROM members, hashes
+    ),
+    ppos AS (
+      SELECT pk,
+        CAST(('0x' || substr(md5(concat_ws('-', 'bloom',
+               CAST(i AS VARCHAR), CAST(pk AS VARCHAR))), 1, 15))
+             AS BIGINT) % 16384 AS pos
+      FROM probes, hashes
+    ),
+    hits AS (
+      SELECT pk FROM ppos JOIN mpos USING (pos)
+      GROUP BY pk HAVING COUNT(*) = 7
+    ),
+    audit AS (
+      SELECT p.pk,
+             CASE WHEN h.pk IS NOT NULL THEN 1 ELSE 0 END AS pos_f,
+             CASE WHEN m.mk IS NOT NULL THEN 1 ELSE 0 END AS mem_f
+      FROM probes p
+      LEFT JOIN hits h ON h.pk = p.pk
+      LEFT JOIN members m ON m.mk = p.pk
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(mem_f) AS BIGINT) AS n_members,
+           CAST(SUM(pos_f) AS BIGINT) AS bloom_positives,
+           CAST(SUM(CASE WHEN pos_f = 1 AND mem_f = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_positives,
+           CAST(SUM(CASE WHEN mem_f = 1 AND pos_f = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_negatives,
+           CAST(SUM(CASE WHEN pos_f = 1 AND mem_f = 0 THEN 1 ELSE 0 END)
+                * 10000 // GREATEST(SUM(CASE WHEN mem_f = 0 THEN 1
+                                             ELSE 0 END), 1)
+                AS BIGINT) AS fpr_bp
+    FROM audit
+    """,
+    doc="Bloom-filter membership pre-filter audited against exact truth: "
+    "build the filter over customers-with-orders (distinct o_custkey), "
+    "probe every customer, report probed/members/positives/FP/FN and the "
+    "FPR in integer basis points. false_negatives must be 0 (the Bloom "
+    "no-drop contract, certified in-band). Portable md5 bit positions "
+    "mean DuckDB rebuilds the identical filter; at scale the <=2^14-row "
+    "bit table broadcasts while the probe stream never shuffles against "
+    "the member set",
+)
+def q114_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.sketches import (
+        bloom_membership_audit,
+    )
+
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    # every customer has orders in this data, so half the probe set is
+    # synthetic guaranteed-absent keys — without them the audit would
+    # never exercise the false-positive path it exists to measure
+    probes = customer.select(F.col("c_custkey")).unionByName(
+        customer.select((F.col("c_custkey") + 100000000).alias("c_custkey"))
+    )
+    return bloom_membership_audit(orders, probes, "o_custkey", "c_custkey")

@@ -48,7 +48,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # hash-checked rows), then the r04-era rows stalest-first. Deferred to r7:
 # the five no_oracle sketch/ANN rows (q34/q64/q82/q85/q89 — a rows-only
 # driver row re-stamp is low-value; their planted/property unit tests run
-# every session) and q90, q92, q93, q95-q99 (static paths untouched since
+# every session) and q90-q93, q95-q99 (static paths untouched since
 # r4). Every name here is also swept locally by tests/test_queries.py +
 # tests/strict_gate.py against the same oracles, so reordering changes
 # what the driver RECORDS, never what is verified.
@@ -74,6 +74,7 @@ _CHECK_FIRST = [
     "q111_hdr_percentile_replay",
     "q112_ivf_replay",
     "q113_cell_stats_replay",
+    "q114_bloom_membership_audit",
     # --- r04-era oracle-backed rows ---
     "q29_events_hourly",
     "q30_events_sessionize",
@@ -104,7 +105,6 @@ _CHECK_FIRST = [
     "q86_bm25_search",
     "q87_stratified_cap_sample",
     "q88_lang_metadata_agreement",
-    "q91_cohort_retention",
     "q100_etl_dataflow",
 ]
 

@@ -482,3 +482,19 @@ def test_hdr_percentiles_error_bound_vs_exact(spark):
     # partitioning-insensitive: identical under a different layout
     got2 = hdr_percentiles(df.repartition(13), ["g"], "cents").collect()[0]
     assert got2 == got
+
+
+def test_bloom_membership_no_false_negatives_and_bounded_fpr(spark):
+    """Bloom contract on planted data: zero false negatives always; FPR
+    near the design point (~1% at 11 bits/key, k=7) — allow 3% headroom."""
+    from salesanalytics_etl_spark.operators.sketches import (
+        bloom_membership_audit,
+    )
+
+    members = spark.range(0, 2000).selectExpr("id AS mk")
+    probes = spark.range(0, 6000).selectExpr("id AS pk")  # 4000 absent
+    row = bloom_membership_audit(members, probes, "mk", "pk").collect()[0]
+    assert row.n_probed == 6000 and row.n_members == 2000
+    assert row.false_negatives == 0
+    assert row.bloom_positives == row.n_members + row.false_positives
+    assert row.fpr_bp <= 300, row.fpr_bp
