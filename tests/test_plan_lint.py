@@ -75,6 +75,17 @@ _PLAN_PINS = {
     # recount join would drag the full shingle domain through an
     # exchange, the exact thing the operator exists to avoid
     "q101_heavy_hitter_shingles": ["BroadcastHashJoin"],
+    # round-6 portable replays: the scale-critical shapes must survive
+    # refactors. q110/q111: register/bucket counts fold map-side (partial
+    # aggregation) so the exchange carries sketch rows, not data rows.
+    # q112/q113: the anchor quantizer is a bounded BROADCAST (assignment
+    # must never shuffle the corpus). q114: the bit-position table
+    # broadcasts (the probe stream must never shuffle against members).
+    "q110_hll_distinct_replay": ["partial_max"],
+    "q111_hdr_percentile_replay": ["partial_count"],
+    "q112_ivf_replay": ["BroadcastNestedLoopJoin"],
+    "q113_cell_stats_replay": ["BroadcastNestedLoopJoin", "partial_count"],
+    "q114_bloom_membership_audit": ["BroadcastHashJoin"],
 }
 
 
