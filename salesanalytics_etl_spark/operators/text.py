@@ -372,6 +372,78 @@ def compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def portable_compressibility(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Engine-portable compressibility estimate — the algorithm-class twin
+    of :func:`compression_ratio` (deflate = LZ77 match elimination +
+    Huffman entropy coding), re-expressed so BOTH halves are exact
+    integer arithmetic a SQL oracle can replay bit-for-bit:
+
+    - **Entropy-coder half** (``entropy_bp``): per document of N chars,
+      each character with count n is priced at
+      ``length(bin(N div n))`` bits — an integer ceiling-ish bound on
+      ``-log2(n/N)`` (within 1 bit of the Shannon/Huffman length, no
+      logarithms, so no cross-engine libm ulp hazard). ``est_bits`` is
+      the per-doc sum; ``entropy_bp = est_bits*10000 div (8*N)`` is the
+      estimated compressed/raw byte ratio in basis points.
+    - **LZ77 half** (``dup8_bp``): fraction of the doc's overlapping
+      8-char grams that are duplicates of an earlier gram — the
+      long-range-repetition signal deflate's match finder exploits, as
+      integer basis points over ``greatest(N-7, 0)`` total grams.
+
+    Both signals are computed entirely map-side with array higher-order
+    functions (split → array_distinct/filter/aggregate): zero shuffle,
+    zero Python, one scan of (doc_id, text). Per-row work is
+    O(distinct_chars × N + N) — bounded by the document length, so the
+    operator scales linearly with splits at any corpus size (chunk first
+    via chunk_documents for multi-MB documents).
+
+    q85 (zlib at pinned level 6) stays the production signal; this twin
+    makes the compressibility FAMILY driver-hash-checkable like the
+    other replay queries (q109-q113).
+    """
+    norm = normalize_text(F.col(text_col))
+    base = (
+        df.select("doc_id", norm.alias("norm"))
+        .where(F.col("norm").isNotNull() & (F.length("norm") > 0))
+        .select(
+            "doc_id",
+            "norm",
+            F.length("norm").cast("long").alias("n_chars"),
+            F.split("norm", "").alias("_chars"),
+        )
+    )
+    return (
+        base.select(
+            "doc_id",
+            "n_chars",
+            F.expr(
+                "aggregate(transform(array_distinct(_chars),"
+                "  c -> size(filter(_chars, x -> x = c))),"
+                " 0L, (acc, cnt) -> acc + cnt * length(bin(n_chars div cnt)))"
+            ).alias("est_bits"),
+            F.greatest(F.col("n_chars") - 7, F.lit(0)).alias("_g8"),
+            F.expr(
+                "size(array_distinct(transform("
+                "  sequence(1, greatest(cast(n_chars as int) - 7, 0)),"
+                "  i -> substring(norm, i, 8))))"
+            ).cast("long")
+            .alias("_d8"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "est_bits",
+            F.expr("est_bits * 10000 div (8 * n_chars)").alias("entropy_bp"),
+            F.expr(
+                "case when _g8 > 0 then (_g8 - _d8) * 10000 div _g8"
+                " else 0L end"
+            ).alias("dup8_bp"),
+        )
+    )
+
+
 def unigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document unigram cross-entropy (bits/token) under the corpus's
     own unigram language model — the classic LM-based quality filter

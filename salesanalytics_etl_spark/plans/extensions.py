@@ -3597,3 +3597,68 @@ def q114_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.select((F.col("c_custkey") + 100000000).alias("c_custkey"))
     )
     return bloom_membership_audit(orders, probes, "o_custkey", "c_custkey")
+
+
+@register(
+    "q115_compressibility_replay",
+    # Engine-portable twin of q85 (zlib deflate compressibility, the one
+    # remaining twin-less no_oracle row): deflate = LZ77 + Huffman, and
+    # both halves are replayed with exact integer arithmetic — the
+    # Huffman half as a per-char code-length bound length(bin(N div n))
+    # (within 1 bit of -log2(n/N), no logarithms → no libm ulp hazard),
+    # the LZ77 half as the duplicate-8-gram fraction. All basis-point
+    # integers, so DuckDB rebuilds the estimate bit-for-bit.
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+               AS norm
+      FROM documents
+    ), b AS (
+      SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars
+      FROM n WHERE norm IS NOT NULL AND length(norm) > 0
+    ), chars AS (
+      SELECT b.doc_id, c.ch, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b, UNNEST(string_split(b.norm, '')) AS c(ch)
+      GROUP BY 1, 2
+    ), ent AS (
+      SELECT c.doc_id,
+             CAST(SUM(c.cnt * length(bin(b.n_chars // c.cnt))) AS BIGINT)
+               AS est_bits
+      FROM chars c JOIN b ON c.doc_id = b.doc_id
+      GROUP BY 1
+    ), g AS (
+      SELECT b.doc_id,
+             CAST(GREATEST(b.n_chars - 7, 0) AS BIGINT) AS g8,
+             CAST(COUNT(DISTINCT substr(b.norm, CAST(i.i AS INT), 8))
+                  AS BIGINT) AS d8
+      FROM b, UNNEST(generate_series(1, GREATEST(b.n_chars - 7, 0)))
+               AS i(i)
+      GROUP BY 1, 2
+    )
+    SELECT b.doc_id, b.n_chars, e.est_bits,
+           CAST(e.est_bits * 10000 // (8 * b.n_chars) AS BIGINT)
+             AS entropy_bp,
+           CAST(CASE WHEN g.g8 > 0 THEN (g.g8 - g.d8) * 10000 // g.g8
+                     ELSE 0 END AS BIGINT) AS dup8_bp
+    FROM b
+    JOIN ent e ON b.doc_id = e.doc_id
+    LEFT JOIN g ON b.doc_id = g.doc_id
+    """,
+    doc="engine-portable compressibility estimate per document: a "
+    "Huffman-bound entropy half (integer bit-length pricing, no "
+    "logarithms) and an LZ77 half (duplicate overlapping-8-gram "
+    "fraction), both in exact basis points — the algorithm-class twin "
+    "of q85's zlib signal, computed entirely map-side with array "
+    "higher-order functions (zero shuffle, zero Python); with this the "
+    "LAST no_oracle family (compressibility) gains a hash-checked "
+    "driver row (operators/text.py:portable_compressibility)",
+)
+def q115_compressibility_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.text import (
+        portable_compressibility,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return portable_compressibility(documents)

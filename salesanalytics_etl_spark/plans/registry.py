@@ -75,6 +75,7 @@ _CHECK_FIRST = [
     "q112_ivf_replay",
     "q113_cell_stats_replay",
     "q114_bloom_membership_audit",
+    "q115_compressibility_replay",
     # --- r04-era oracle-backed rows ---
     "q29_events_hourly",
     "q30_events_sessionize",

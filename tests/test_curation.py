@@ -218,6 +218,35 @@ def test_compression_ratio_separates_boilerplate_from_entropy(spark):
     assert out[1].compress_ratio == want
 
 
+def test_portable_compressibility_tracks_zlib_signal(spark):
+    """The q115 replay must order documents the same way zlib does:
+    repetitive boilerplate scores low on BOTH halves, high-entropy text
+    high — and the planted values are exact integers a reader can check
+    by hand."""
+    from salesanalytics_etl_spark.operators.text import (
+        portable_compressibility,
+    )
+
+    rep = "spam " * 400                      # long-range repetition
+    uniq = " ".join(f"tok{i}x{i * 7 % 13}" for i in range(400))
+    rows = [(1, rep), (2, uniq), (3, "aaaaaaaaaaab"), (4, None), (5, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in portable_compressibility(df).collect()}
+    # null/empty docs drop (same rows as the oracle's WHERE clause)
+    assert set(out) == {1, 2, 3}
+    # boilerplate: almost every 8-gram repeats; unique text: almost none
+    assert out[1].dup8_bp > 9900 and out[2].dup8_bp < 500
+    # entropy half orders the same way as zlib's ratio
+    assert out[1].entropy_bp < out[2].entropy_bp
+    # hand-checkable planted doc: 'a'*11 + 'b', N=12
+    #   a: 11 chars at length(bin(12 div 11)) = 1 bit -> 11
+    #   b:  1 char  at length(bin(12 div  1)) = 4 bits -> 4
+    assert out[3].est_bits == 15
+    assert out[3].entropy_bp == 15 * 10000 // (8 * 12)
+    # 8-grams of doc 3: positions 1..5 -> {aaaaaaaa x4, aaaaaaab}
+    assert out[3].dup8_bp == 3 * 10000 // 5
+
+
 def test_compression_ratio_null_text_propagates(spark):
     from salesanalytics_etl_spark.operators.text import compression_ratio
 

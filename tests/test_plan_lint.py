@@ -97,6 +97,18 @@ def test_plan_pins(spark, sf_dir, name):
         assert needle in plan, f"{name}: expected {needle!r} in physical plan"
 
 
+def test_q115_is_map_only(spark, sf_dir):
+    """q115's whole point at scale: per-doc signals computed with array
+    expressions in ONE projection over ONE scan — a refactor that
+    reintroduces a per-char explode+groupBy (or the self-join an early
+    draft had) would shuffle |corpus-chars| rows."""
+    df = all_queries()["q115_compressibility_replay"](spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert "Exchange" not in plan, "q115 must stay shuffle-free"
+    tree = plan.split("\n\n")[0]  # tree section; node details repeat names
+    assert tree.count("Scan parquet") == 1, "q115 must scan documents once"
+
+
 # Two-level aggregation family (per-order rollup → global stats): the
 # correct shape is partial+final HashAggregate pairs around exactly TWO
 # exchanges (hash on the group key, then SinglePartition for the global
