@@ -423,32 +423,45 @@ def minhash_near_dupes_portable(
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    # set semantics (distinct) applied only to candidate docs' rows —
+    # set semantics (collect_set) applied only to candidate docs' rows —
     # candidates ≪ corpus at scale, so this shuffle is proportional to
-    # the near-dup tail, not the data
-    hs = (
-        raw.join(docs_in_pairs, "doc_id", "left_semi")
-        .distinct()
-        .persist()  # sizes + both verify sides
-    )
-    hs.count()
-    sizes = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    ha = hs.select(F.col("doc_id").alias("doc_a"), "h")
-    hb = hs.select(F.col("doc_id").alias("doc_b"), "h")
-    ov_rows = (
-        cands.join(ha, "doc_a")
-        .join(hb, ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("ov"))
+    # the near-dup tail, not the data. Re-shingle FROM THE SOURCE after
+    # semi-joining the documents themselves: a semi-join on the raw
+    # hash stream would re-run the shingle explode + md5 over the FULL
+    # corpus before filtering (the join can't push below the explode).
+    # Verify staging matches the production path (jaccard_verify):
+    # bounded per-doc hash-set arrays + native array_intersect on the
+    # pair rows, NOT a per-hash-row expansion join — the expansion
+    # shuffles |pairs| × |doc set| rows where this joins |pairs| rows
+    # carrying two bounded arrays (measured ~2× on the verify stage).
+    # The threshold compare stays exact integer basis points.
+    cand_docs = df.join(docs_in_pairs, "doc_id", "left_semi")
+    sh_sets = (
+        shingle_rows(cand_docs, text_col)
+        .select("doc_id", md5_token_hash(F.col("sh")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hset"))
     )
     out = (
-        cands.join(ov_rows, ["doc_a", "doc_b"], "left")
-        .na.fill({"ov": 0})
-        .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                           F.col("sz").alias("sz_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                           F.col("sz").alias("sz_b")), "doc_b")
-        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("ov"))
+        cands.join(
+            sh_sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("hset").alias("hs_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sh_sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("hset").alias("hs_b")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "ov", F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
+        )
+        .withColumn(
+            "uni",
+            F.size("hs_a").cast("long") + F.size("hs_b") - F.col("ov"),
+        )
         .filter(F.col("ov") * 10000 >= F.lit(t_bp) * F.col("uni"))
         .select(
             "doc_a",
@@ -459,7 +472,6 @@ def minhash_near_dupes_portable(
     )
     banded.unpersist()
     cands.unpersist()
-    hs.unpersist()
     return out
 
 

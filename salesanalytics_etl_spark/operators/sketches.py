@@ -31,7 +31,7 @@ Determinism notes (what makes the oracle twin possible):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from salesanalytics_etl_spark.operators.dedup import md5_token_hash

@@ -393,11 +393,15 @@ def portable_compressibility(
       integer basis points over ``greatest(N-7, 0)`` total grams.
 
     Both signals are computed entirely map-side with array higher-order
-    functions (split → array_distinct/filter/aggregate): zero shuffle,
-    zero Python, one scan of (doc_id, text). Per-row work is
-    O(distinct_chars × N + N) — bounded by the document length, so the
-    operator scales linearly with splits at any corpus size (chunk first
-    via chunk_documents for multi-MB documents).
+    functions: zero shuffle, zero Python, one scan of (doc_id, text).
+    HOF lambdas are interpreted per element (the shingle_rows lesson),
+    so the char counting sorts once (native array_sort) and run-length
+    encodes with O(N) interpreted steps instead of the O(N × distinct)
+    filter-per-distinct-char formulation (measured 1.8× on the entropy
+    half at sf0.1, value-identical on every doc). Per-row work is
+    O(N log N) — bounded by the document length, so the operator scales
+    linearly with splits at any corpus size (chunk first via
+    chunk_documents for multi-MB documents).
 
     q85 (zlib at pinned level 6) stays the production signal; this twin
     makes the compressibility FAMILY driver-hash-checkable like the
@@ -411,17 +415,28 @@ def portable_compressibility(
             "doc_id",
             "norm",
             F.length("norm").cast("long").alias("n_chars"),
-            F.split("norm", "").alias("_chars"),
+            F.array_sort(F.split("norm", "")).alias("_s"),
         )
     )
+    # run boundaries in the sorted char array: 1-based positions i where
+    # a run ends (least() keeps element_at in bounds — no reliance on OR
+    # short-circuit, which ANSI mode would turn into an index error)
+    ends = (
+        "filter(sequence(1, cast(n_chars as int)),"
+        " i -> i = cast(n_chars as int)"
+        " OR element_at(_s, i) != element_at(_s,"
+        "      least(i + 1, cast(n_chars as int))))"
+    )
+    run_j = "(element_at(_ends, j) - if(j = 1, 0, element_at(_ends, j - 1)))"
     return (
-        base.select(
+        base.withColumn("_ends", F.expr(ends))
+        .select(
             "doc_id",
             "n_chars",
             F.expr(
-                "aggregate(transform(array_distinct(_chars),"
-                "  c -> size(filter(_chars, x -> x = c))),"
-                " 0L, (acc, cnt) -> acc + cnt * length(bin(n_chars div cnt)))"
+                "aggregate(sequence(1, size(_ends)), 0L,"
+                f" (acc, j) -> acc + {run_j}"
+                f" * length(bin(n_chars div {run_j})))"
             ).alias("est_bits"),
             F.greatest(F.col("n_chars") - 7, F.lit(0)).alias("_g8"),
             F.expr(
