@@ -54,6 +54,43 @@ def clean_table(raw: DataFrame, name: str) -> DataFrame:
     return dedupe_keep_last(df, DEDUPE_KEYS[name])
 
 
+def recover_interrupted_swap(target_dir: str) -> list[str]:
+    """Restore table directories left invisible by a crash mid
+    stage-and-swap (between ``rename(dst, old)`` and
+    ``rename(stage, dst)``): prefer a COMPLETE staged copy (newer, has
+    ``_SUCCESS``), else roll the ``.__old__`` snapshot back.
+
+    Public and idempotent — a caller restarting an incremental run must
+    invoke this (or ``run_pipeline`` with the same ``target_dir``, which
+    calls it first) BEFORE reading prior state from ``target_dir``;
+    recovery inside the write loop alone would be too late for a caller
+    whose ``spark.read.parquet`` of the missing table path fails first.
+    Returns the table names restored.
+    """
+    restored: list[str] = []
+    if not os.path.isdir(target_dir):
+        return restored
+    bases = set()
+    for entry in os.listdir(target_dir):
+        for suffix in (".__old__", ".__stage__"):
+            if entry.endswith(suffix):
+                bases.add(entry[: -len(suffix)])
+    for base in sorted(bases):
+        dst = os.path.join(target_dir, base)
+        if os.path.exists(dst):
+            continue  # swap completed; leftovers are cleaned on next write
+        stage = dst + ".__stage__"
+        old = dst + ".__old__"
+        if os.path.exists(os.path.join(stage, "_SUCCESS")):
+            os.rename(stage, dst)  # staged copy is complete and newer
+        elif os.path.exists(old):
+            os.rename(old, dst)  # roll back to the pre-swap snapshot
+        else:
+            continue  # partial stage of a first-ever write: nothing to save
+        restored.append(base)
+    return restored
+
+
 def run_pipeline(
     spark: SparkSession,
     data_dir: str,
@@ -138,22 +175,14 @@ def run_pipeline(
         # also being read from"). Write beside, then swap directories.
         import shutil
 
+        # Crash recovery BEFORE writing (see recover_interrupted_swap):
+        # an interrupted swap never silently loses a table. Callers
+        # restarting an incremental run should call it themselves before
+        # reading prior state.
+        recover_interrupted_swap(target_dir)
         for name, df in final.items():
             dst = os.path.join(target_dir, name)
             stage = dst + ".__stage__"
-            old = dst + ".__old__"
-            # Crash recovery BEFORE writing: a failure between
-            # rename(dst, old) and rename(stage, dst) leaves dst missing
-            # with the previous table stranded in .__old__ (and possibly a
-            # complete .__stage__). Restore visibility first — prefer the
-            # staged (newer) copy if one exists, else roll .__old__ back —
-            # so an interrupted swap never silently loses the table.
-            stage_complete = os.path.exists(os.path.join(stage, "_SUCCESS"))
-            if not os.path.exists(dst):
-                if stage_complete:
-                    os.rename(stage, dst)
-                elif os.path.exists(old):
-                    os.rename(old, dst)
             shutil.rmtree(stage, ignore_errors=True)
             df.write.mode("overwrite").parquet(stage)
             old = dst + ".__old__"

@@ -177,3 +177,63 @@ def test_details_rejected_when_all_orders_fail_fk(spark, tmp_path):
     assert r.counts["orders"] == 0
     assert r.counts["order_details"] == 0  # orphan detail must NOT pass
     assert r.reject_counts["order_details"] == 1
+
+
+def test_recover_interrupted_swap_rolls_back_old(spark, data_dir, tmp_path):
+    """Crash window between rename(dst, old) and rename(stage, dst):
+    the table path is missing and the snapshot is stranded in .__old__ —
+    recovery must roll it back (no staged copy to prefer)."""
+    import shutil
+
+    from salesanalytics_etl_spark.etl.pipeline import (
+        recover_interrupted_swap,
+        run_pipeline,
+    )
+
+    t = str(tmp_path / "warehouse")
+    r1 = run_pipeline(
+        spark, data_dir, rejects_dir=str(tmp_path / "rej"), target_dir=t
+    )
+    dst = os.path.join(t, "customers")
+    os.rename(dst, dst + ".__old__")  # simulate the crash
+    assert recover_interrupted_swap(t) == ["customers"]
+    assert spark.read.parquet(dst).count() == r1.counts["customers"]
+    # idempotent: nothing left to restore
+    assert recover_interrupted_swap(t) == []
+
+    # crash window with a COMPLETE staged copy: recovery must prefer it
+    # (it is the newer state) over the .__old__ snapshot
+    stage = dst + ".__stage__"
+    shutil.copytree(dst, stage)
+    os.rename(dst, dst + ".__old__")
+    assert recover_interrupted_swap(t) == ["customers"]
+    assert os.path.exists(dst) and not os.path.exists(stage)
+    assert spark.read.parquet(dst).count() == r1.counts["customers"]
+
+    # a restarted incremental run over the recovered warehouse works
+    # end-to-end (run_pipeline also recovers internally before writing)
+    r2 = run_pipeline(
+        spark,
+        data_dir,
+        rejects_dir=str(tmp_path / "rej2"),
+        target_dir=t,
+        existing={
+            name: spark.read.parquet(os.path.join(t, name))
+            for name in r1.tables
+        },
+    )
+    assert r2.counts == r1.counts
+
+
+def test_recover_interrupted_swap_ignores_partial_first_write(tmp_path):
+    """A first-ever write that crashed mid-stage (no dst, no .__old__,
+    stage without _SUCCESS) has nothing to restore — recovery must not
+    promote the incomplete directory."""
+    from salesanalytics_etl_spark.etl.pipeline import recover_interrupted_swap
+
+    t = tmp_path / "warehouse"
+    stage = t / "orders.__stage__"
+    stage.mkdir(parents=True)
+    (stage / "part-00000.parquet").write_bytes(b"partial")
+    assert recover_interrupted_swap(str(t)) == []
+    assert not (t / "orders").exists()
