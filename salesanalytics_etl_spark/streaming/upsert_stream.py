@@ -51,7 +51,14 @@ class ParquetUpsertSink:
         gens = [
             int(d.split("-", 1)[1])
             for d in os.listdir(self.path)
-            if d.startswith("gen-") and d.split("-", 1)[1].isdigit()
+            if d.startswith("gen-")
+            and d.split("-", 1)[1].isdigit()
+            # only COMMITTED generations count: a write killed mid-flight
+            # leaves a partial gen dir without _SUCCESS, and resuming on
+            # it would silently merge the replayed batch against
+            # incomplete data (the overwrite of the replay then clears
+            # the partial dir)
+            and os.path.exists(os.path.join(self.path, d, "_SUCCESS"))
         ]
         return max(gens, default=0)
 
@@ -60,7 +67,9 @@ class ParquetUpsertSink:
 
     def current(self) -> DataFrame | None:
         p = self._gen_path(self.generation)
-        if not os.path.exists(p):
+        # _SUCCESS required for the same reason as _latest_gen: a partial
+        # gen-0 from a crashed FIRST write must read as "no table yet"
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
             return None
         return self.spark.read.parquet(p)
 

@@ -140,3 +140,31 @@ def test_sink_dedupes_batch_and_gcs_generations(spark, tmp_path):
     )
     gens = sorted(d for d in os.listdir(path) if d.startswith("gen-"))
     assert len(gens) <= 2  # superseded generations GC'd (1 predecessor kept)
+
+
+def test_sink_resume_skips_uncommitted_partial_generation(spark, tmp_path):
+    """A write killed mid-flight leaves a gen dir WITHOUT _SUCCESS; a
+    restarted sink must resume from the last COMMITTED generation (the
+    replayed batch's overwrite then clears the partial dir) — counting
+    the partial dir would merge the replay against incomplete data."""
+    import os
+
+    path = str(tmp_path / "partial_t")
+    s1 = ParquetUpsertSink(spark, path, keys=["k"])
+    s1.process_batch(spark.createDataFrame([(1, "a")], "k long, v string"), 0)
+    committed = s1.generation
+    # simulate the crashed write of the NEXT generation: dir exists,
+    # partial data file, no _SUCCESS marker
+    partial = os.path.join(path, f"gen-{committed + 1}")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.parquet"), "wb") as f:
+        f.write(b"partial garbage")
+
+    s2 = ParquetUpsertSink(spark, path, keys=["k"])  # restart
+    assert s2.generation == committed  # partial gen not resumed
+    assert {r.k for r in s2.current().collect()} == {1}
+    # the replayed batch overwrites the partial dir and commits cleanly
+    s2.process_batch(spark.createDataFrame([(2, "b")], "k long, v string"), 1)
+    got = {r.k: r.v for r in s2.current().collect()}
+    assert got == {1: "a", 2: "b"}
+    assert os.path.exists(os.path.join(partial, "_SUCCESS"))
