@@ -336,6 +336,94 @@ def _portable_perm_constants(n: int = N_HASHES) -> list[int]:
     ]
 
 
+def _portable_banded(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, band_id, band_key) rows of the PORTABLE MinHash pipeline:
+    md5-prefix shingle hashes → xor-mask min-wise signatures → md5 band
+    keys (N_BANDS × ROWS_PER_BAND). Shared by the q109 replay join and
+    the q116 bucket audit so both see the identical banding.
+
+    The raw (doc_id, h) shingle-hash rows are NOT deduplicated or
+    persisted: min-aggregation is duplicate-insensitive, so the signature
+    stage consumes the codegen'd explode stream directly (map-side
+    combine, no distinct shuffle of the largest dataset in the pipeline
+    — a full-corpus distinct was the single hottest stage of the first
+    cut: 9.1s, see ROUND6.md).
+    """
+    perms = _portable_perm_constants()
+    raw = shingle_rows(df, text_col).select(
+        "doc_id", md5_token_hash(F.col("sh")).alias("h")
+    )
+    sigs = raw.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h").bitwiseXOR(F.lit(perms[i]))).alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{i}")
+                    for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+                ],
+            )
+        )
+        for b in range(N_BANDS)
+    ]
+    return sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*band_keys)).alias("band_id", "band_key"),
+    )
+
+
+def lsh_bucket_audit(
+    df: DataFrame, text_col: str = "text", max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """Per-band accounting of what the LSH bucket cap keeps and DROPS —
+    the "no silent caps" audit for the MinHash pipeline (portable hash
+    family, so the driver oracle replays it bit-for-bit, q116).
+
+    One row per band: total buckets, singletons (no pair work), pair
+    buckets (2 ≤ m ≤ cap), capped buckets (m > cap), and the candidate
+    pairs each class represents (m·(m−1)/2, exact integers). A capped
+    boilerplate cluster stops being invisible: ``dropped_pairs`` is the
+    exact candidate volume the cap refused to generate, the number to
+    check before trusting the near-dup tail (exact_dedupe still catches
+    J=1 duplicates regardless).
+
+    Scale: one groupBy on (band_id, band_key) with map-side partial
+    counts — the SAME exchange the candidate pipeline already does —
+    then a 6-row aggregate. No pair expansion anywhere, so the audit is
+    safe to run on a corpus whose caps WOULD explode the pair join.
+    """
+    bsize = (
+        _portable_banded(df, text_col)
+        .groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    pairs = F.expr("m * (m - 1) div 2")
+    kept = (F.col("m") >= 2) & (F.col("m") <= max_bucket)
+    over = F.col("m") > max_bucket
+    return (
+        bsize.groupBy(F.col("band_id").cast("long").alias("band_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.when(F.col("m") == 1, 1).otherwise(0)).alias(
+                "n_singletons"
+            ),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_pair_buckets"),
+            F.sum(F.when(over, 1).otherwise(0)).alias("n_capped_buckets"),
+            F.sum(F.when(kept, pairs).otherwise(F.lit(0).cast("long"))).alias(
+                "kept_pairs"
+            ),
+            F.sum(F.when(over, pairs).otherwise(F.lit(0).cast("long"))).alias(
+                "dropped_pairs"
+            ),
+        )
+    )
+
+
 def minhash_near_dupes_portable(
     df: DataFrame,
     text_col: str = "text",
@@ -362,40 +450,8 @@ def minhash_near_dupes_portable(
     (band_id, band_key), verify joins on doc ids.
     """
     t_bp = int(round(threshold * 10000))
-    perms = _portable_perm_constants()
-    # raw (doc_id, h) shingle-hash rows are NOT deduplicated or persisted
-    # here: min-aggregation is duplicate-insensitive, so the signature
-    # stage consumes the codegen'd explode stream directly (map-side
-    # combine, no distinct shuffle of the largest dataset in the
-    # pipeline). The distinct() only matters for set semantics in the
-    # verify stage, which sees the rows AFTER the candidate semi-join —
-    # same staging as the production path (a full-corpus distinct was
-    # the single hottest stage of the first cut: 9.1s → see ROUND6.md).
-    raw = shingle_rows(df, text_col).select(
-        "doc_id", md5_token_hash(F.col("sh")).alias("h")
-    )
-    sigs = raw.groupBy("doc_id").agg(
-        *[
-            F.min(F.col("h").bitwiseXOR(F.lit(perms[i]))).alias(f"mh{i}")
-            for i in range(N_HASHES)
-        ]
-    )
-    band_keys = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"mh{i}")
-                    for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
-                ],
-            )
-        )
-        for b in range(N_BANDS)
-    ]
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(F.array(*band_keys)).alias("band_id", "band_key"),
-    ).persist()  # bucket sizing + both sides of the pair self-join
+    banded = _portable_banded(df, text_col).persist()
+    # bucket sizing + both sides of the pair self-join consume `banded`
     banded.count()
     ok = (
         banded.groupBy("band_id", "band_key")

@@ -3662,3 +3662,66 @@ def q115_compressibility_replay(
 
     (documents,) = _t(spark, sf_dir, "documents")
     return portable_compressibility(documents)
+
+
+@register(
+    "q116_lsh_bucket_audit",
+    # "No silent caps": the MinHash bucket cap (q25/q109) DROPS degenerate
+    # buckets by design — this query makes that drop a first-class,
+    # driver-verified number instead of an invisible recall effect. Same
+    # portable banding as q109 (shared _portable_banded helper), so DuckDB
+    # rebuilds the identical buckets and the audit hash-checks exactly.
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 5)),
+                                  1, 15)) AS BIGINT) AS h
+      FROM docs, UNNEST(range(1, GREATEST(len(t) - 4, 1) + 1)) AS u(i)
+    ),
+    perms AS (
+      SELECT i, CAST(('0x' || substr(md5('perm-' || i), 1, 15)) AS BIGINT) AS a
+      FROM (SELECT unnest(range(0, 32)) AS i)
+    ),
+    sigvals AS (
+      SELECT s.doc_id, p.i, MIN(xor(s.h, p.a)) AS mh
+      FROM sh s CROSS JOIN perms p
+      GROUP BY s.doc_id, p.i
+    ),
+    banded AS (
+      SELECT doc_id, i // 5 AS band_id,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_key
+      FROM sigvals WHERE i < 30
+      GROUP BY doc_id, i // 5
+    ),
+    bsize AS (SELECT band_id, band_key, COUNT(*) AS m FROM banded GROUP BY 1, 2)
+    SELECT CAST(band_id AS BIGINT) AS band_id,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons,
+           CAST(SUM(CASE WHEN m BETWEEN 2 AND 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pair_buckets,
+           CAST(SUM(CASE WHEN m > 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped_buckets,
+           CAST(SUM(CASE WHEN m BETWEEN 2 AND 64 THEN m * (m - 1) // 2
+                         ELSE 0 END) AS BIGINT) AS kept_pairs,
+           CAST(SUM(CASE WHEN m > 64 THEN m * (m - 1) // 2 ELSE 0 END)
+                AS BIGINT) AS dropped_pairs
+    FROM bsize GROUP BY 1
+    """,
+    doc="per-band audit of the MinHash LSH bucket cap: buckets, "
+    "singletons, pair buckets, CAPPED buckets, and the exact candidate "
+    "pairs each class represents — the cap's recall cost as a "
+    "driver-hash-checked number (no silent caps); one (band, key) "
+    "groupBy with map-side partials + a 6-row aggregate, no pair "
+    "expansion, so it is safe on corpora whose caps exist for a reason "
+    "(operators/dedup.py:lsh_bucket_audit)",
+)
+def q116_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import lsh_bucket_audit
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return lsh_bucket_audit(documents)

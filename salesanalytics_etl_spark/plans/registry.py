@@ -76,6 +76,7 @@ _CHECK_FIRST = [
     "q113_cell_stats_replay",
     "q114_bloom_membership_audit",
     "q115_compressibility_replay",
+    "q116_lsh_bucket_audit",
     # --- r04-era oracle-backed rows ---
     "q29_events_hourly",
     "q30_events_sessionize",

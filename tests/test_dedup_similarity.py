@@ -247,3 +247,26 @@ def test_cell_stats_cover_corpus_and_sane_bounds(spark, sf_dir):
     for sims in agg.values():
         assert min(sims) <= sum(sims) / len(sims) <= max(sims) + 1e-9
     assert sum(len(v) for v in agg.values()) == n
+
+
+def test_lsh_bucket_audit_accounts_for_cap(spark):
+    """The audit must report EXACTLY what the cap drops: 5 identical docs
+    form one size-5 bucket per band; with cap 3 that bucket is capped and
+    its 10 candidate pairs show up as dropped_pairs, while the two
+    distinct docs stay singletons."""
+    from salesanalytics_etl_spark.operators.dedup import lsh_bucket_audit
+
+    rows = [(i, "the same boilerplate text repeated verbatim") for i in range(5)]
+    rows += [(10, "a completely different document about spark"),
+             (11, "yet another unrelated piece of text entirely")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = lsh_bucket_audit(df, max_bucket=3).collect()
+    assert len(out) == 6  # one row per band
+    for r in out:
+        assert r.n_capped_buckets == 1 and r.dropped_pairs == 10
+        assert r.n_singletons == 2 and r.kept_pairs == 0
+        assert r.n_buckets == r.n_singletons + r.n_pair_buckets + r.n_capped_buckets
+    # with the cap lifted the same bucket is a pair bucket instead
+    out2 = lsh_bucket_audit(df, max_bucket=64).collect()
+    for r in out2:
+        assert r.n_capped_buckets == 0 and r.kept_pairs == 10
