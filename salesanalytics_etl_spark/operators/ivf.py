@@ -236,22 +236,38 @@ def portable_cell_assignment(
     """(cid, cell, cell_sim): each vector's nearest deterministic anchor
     by ROUNDED cosine (6dp, anchor id tiebreak — the cross-engine-stable
     total order). The shared quantizer stage of the portable IVF (q112)
-    and the cell-statistics report (q113): one broadcast of n_cells
-    anchors, n_cells sims per row on the scan, no shuffle."""
-    anchors = _portable_anchors(corpus, n_cells, id_col, vec_col)
+    and the cell-statistics report (q113).
+
+    The anchors are collected (BOUNDED: n_cells rows — the sanctioned
+    sketch-sized collect) and inlined as literal arrays, so the argmax
+    is n_cells struct comparisons INSIDE one projection over the corpus
+    scan — strictly map-side. The previous join+window form shuffled
+    n_cells × corpus rows through the row_number exchange, the exact
+    cost quantizer assignment exists to avoid at 100 TB. greatest() over
+    (sim, -anchor_id) structs reproduces the (desc sim, asc id) total
+    order, so the output is value-identical (float32 anchor components
+    lift to the same doubles either way).
+    """
+    rows = _portable_anchors(corpus, n_cells, id_col, vec_col).collect()
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
-    asg = c.join(F.broadcast(anchors)).select(
+    cands = [
+        F.struct(
+            F.round(
+                cosine(
+                    F.col("c_vec"),
+                    F.array(*[F.lit(float(x)) for x in r.a_vec]),
+                ),
+                6,
+            ).alias("s"),
+            F.lit(-int(r.anchor_id)).cast("long").alias("nid"),
+        )
+        for r in rows
+    ]
+    best = cands[0] if len(cands) == 1 else F.greatest(*cands)
+    return c.withColumn("_b", best).select(
         "cid",
-        "anchor_id",
-        F.round(cosine(F.col("c_vec"), F.col("a_vec")), 6).alias("cell_sim"),
-    )
-    wc = Window.partitionBy("cid").orderBy(
-        F.desc("cell_sim"), F.asc("anchor_id")
-    )
-    return (
-        asg.withColumn("_rn", F.row_number().over(wc))
-        .filter(F.col("_rn") == 1)
-        .select("cid", F.col("anchor_id").alias("cell"), "cell_sim")
+        (-F.col("_b.nid")).cast("long").alias("cell"),
+        F.col("_b.s").alias("cell_sim"),
     )
 
 

@@ -83,8 +83,11 @@ _PLAN_PINS = {
     # broadcasts (the probe stream must never shuffle against members).
     "q110_hll_distinct_replay": ["partial_max"],
     "q111_hdr_percentile_replay": ["partial_count"],
+    # q112: the query-side probe still joins the bounded anchor frame
+    # by broadcast; corpus-side assignment is literal-anchor argmax in a
+    # projection (see test_q113_assignment_is_map_side)
     "q112_ivf_replay": ["BroadcastNestedLoopJoin"],
-    "q113_cell_stats_replay": ["BroadcastNestedLoopJoin", "partial_count"],
+    "q113_cell_stats_replay": ["partial_count"],
     "q114_bloom_membership_audit": ["BroadcastHashJoin"],
 }
 
@@ -95,6 +98,18 @@ def test_plan_pins(spark, sf_dir, name):
     plan = _formatted_plan(df)
     for needle in _PLAN_PINS[name]:
         assert needle in plan, f"{name}: expected {needle!r} in physical plan"
+
+
+def test_q113_assignment_is_map_side(spark, sf_dir):
+    """Quantizer assignment must be literal-anchor argmax inside ONE
+    projection over ONE scan — the earlier join+window form shuffled
+    n_cells × corpus rows through a row_number exchange. The only
+    allowed exchange is the ≤ n_cells-group stats aggregate."""
+    df = all_queries()["q113_cell_stats_replay"](spark, sf_dir)
+    plan = _formatted_plan(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, "only the cell-stats agg may shuffle"
+    assert tree.count("Scan parquet") == 1, "one corpus scan"
 
 
 def test_q115_is_map_only(spark, sf_dir):
