@@ -221,30 +221,16 @@ def cosine_topk_bruteforce(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
     )
-    # Two-phase top-k: a single window partitioned by query_id funnels
-    # ALL |corpus|×|queries| scored rows into |queries| tasks — one
-    # straggler task per query sorting a corpus-sized spill at scale.
-    # Phase 1 keeps k rows per (query, input partition) — a superset of
-    # the global top-k for ANY partition layout, so the result is
-    # partition-independent — and the final window sees ≤ k × partitions
-    # rows per query instead of the corpus. Same total order both
-    # phases, so ties resolve identically to the single-window form.
-    w1 = Window.partitionBy("query_id", "_p").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    partial = (
-        scored.withColumn("_p", F.spark_partition_id())
-        .withColumn("_rk", F.row_number().over(w1))
-        .filter(F.col("_rk") <= k)
-        .drop("_rk", "_p")
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        partial.withColumn("_rk", F.row_number().over(w2))
-        .filter(F.col("_rk") <= k)
-        .drop("_rk")
+    # Two-phase top-k (operators/skew.py): a single window partitioned
+    # by query_id would funnel ALL |corpus|×|queries| scored rows into
+    # |queries| straggler tasks at scale.
+    from salesanalytics_etl_spark.operators.skew import topk_per_group
+
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("cosine_sim"), F.asc("neighbor_id")],
+        k,
     )
 
 

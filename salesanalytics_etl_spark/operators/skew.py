@@ -95,3 +95,39 @@ def salted_join(
     )
     out = salted.join(replicated, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Two-phase top-k per group — the window analogue of salted_agg.
+
+    A single ``row_number`` window partitioned by a LOW-cardinality group
+    key funnels every input row into |groups| tasks: one straggler sort
+    per group at scale. Phase 1 keeps k rows per (group, input
+    partition) — a superset of the global top-k under ANY partition
+    layout — so the final window ranks ≤ k × partitions rows per group.
+
+    ``order_cols`` must be a TOTAL order (ties tie-broken) or the result
+    is nondeterministic — same contract as the single-window form, which
+    this reproduces row-for-row. ``rank_col`` keeps the final rank in
+    the output (1..k); None drops it.
+    """
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(*group_cols, "_p").orderBy(*order_cols)
+    partial = (
+        df.withColumn("_p", F.spark_partition_id())
+        .withColumn("_rk", F.row_number().over(w1))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk", "_p")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    out = partial.withColumn(rank_col or "_rk", F.row_number().over(w2)).filter(
+        F.col(rank_col or "_rk") <= k
+    )
+    return out if rank_col else out.drop("_rk")

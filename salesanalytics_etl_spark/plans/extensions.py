@@ -2111,18 +2111,21 @@ def q86_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order; the eval-set construction primitive",
 )
 def q87_stratified_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # two-phase pick (operators/skew.py): the |docs|-grain rows over a
+    # handful of sources would otherwise sort in |sources| tasks
+    from salesanalytics_etl_spark.operators.skew import topk_per_group
 
     (documents,) = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    return (
-        documents.select("source", "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 25)
-        .select("source", "doc_id")
-    )
+    return topk_per_group(
+        documents.select(
+            "source",
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("_hk"),
+        ),
+        ["source"],
+        [F.col("_hk"), F.col("doc_id")],
+        25,
+    ).select("source", "doc_id")
 
 
 @register(

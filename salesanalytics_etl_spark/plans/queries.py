@@ -564,12 +564,17 @@ def q19_top_parts_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type", "p_partkey", "p_name")
         .agg(money_out(F.sum(dec182("l_extendedprice"))).alias("revenue"))
     )
-    w = Window.partitionBy("p_type").orderBy(F.desc("revenue"), F.asc("p_partkey"))
-    return (
-        rev.withColumn("rank_in_type", F.row_number().over(w))
-        .filter(F.col("rank_in_type") <= 3)
-        .select("p_type", "p_partkey", "p_name", "revenue", "rank_in_type")
-    )
+    # two-phase pick (operators/skew.py): |part|-grain rows over a
+    # ~150-value p_type domain would otherwise sort in ~150 tasks
+    from salesanalytics_etl_spark.operators.skew import topk_per_group
+
+    return topk_per_group(
+        rev,
+        ["p_type"],
+        [F.desc("revenue"), F.asc("p_partkey")],
+        3,
+        rank_col="rank_in_type",
+    ).select("p_type", "p_partkey", "p_name", "revenue", "rank_in_type")
 
 
 # --------------------------------------------------------------------------
