@@ -248,21 +248,30 @@ def portable_cell_assignment(
     order, so the output is value-identical (float32 anchor components
     lift to the same doubles either way).
     """
+    import math
+
+    from salesanalytics_etl_spark.operators.similarity import _dot, _norm
+
     rows = _portable_anchors(corpus, n_cells, id_col, vec_col).collect()
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
-    cands = [
-        F.struct(
-            F.round(
-                cosine(
-                    F.col("c_vec"),
-                    F.array(*[F.lit(float(x)) for x in r.a_vec]),
-                ),
-                6,
-            ).alias("s"),
-            F.lit(-int(r.anchor_id)).cast("long").alias("nid"),
+    # cosine(c, a) = dot(c, a) / (|c|·|a|): |c| is hoisted to ONE
+    # aggregate per row (not n_cells), and |a| is computed in Python —
+    # the same left-to-right float64 accumulation + IEEE sqrt as the
+    # F.aggregate form, so the quotient is bit-identical while the
+    # expression tree shrinks ~3× (16 norm-aggregates of 64-literal
+    # arrays were pure compile/eval overhead)
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec")
+    ).withColumn("_cn", _norm(F.col("c_vec")))
+    cands = []
+    for r in rows:
+        anorm = math.sqrt(sum((float(x) * float(x) for x in r.a_vec), 0.0))
+        dot = _dot(F.col("c_vec"), F.array(*[F.lit(float(x)) for x in r.a_vec]))
+        cands.append(
+            F.struct(
+                F.round(dot / (F.col("_cn") * F.lit(anorm)), 6).alias("s"),
+                F.lit(-int(r.anchor_id)).cast("long").alias("nid"),
+            )
         )
-        for r in rows
-    ]
     best = cands[0] if len(cands) == 1 else F.greatest(*cands)
     return c.withColumn("_b", best).select(
         "cid",
