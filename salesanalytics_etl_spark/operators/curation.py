@@ -409,3 +409,78 @@ def export_shards(
         .partitionBy("_shard")
         .parquet(out_dir)
     )
+
+
+def quality_threshold_calibration(
+    df: DataFrame,
+    targets_bp: tuple[int, ...] = (2500, 5000, 7500),
+    text_col: str = "text",
+) -> DataFrame:
+    """Calibrate a quality-score cut per token-budget target: for each
+    target (basis points of total corpus TOKENS to keep), the HIGHEST
+    score cut whose kept-token mass reaches it — the filter-tuning
+    primitive behind "keep the best X% of tokens" curation policies.
+
+    Returns one row per target: (target_bp, cut_score_bp, kept_docs,
+    kept_tokens, total_tokens); keeping docs with
+    ``quality*10000 >= cut_score_bp`` yields exactly kept_tokens.
+
+    Exactness/portability: quality is 4-decimal-rounded, so the score
+    buckets are exact integer basis points (floor(q*10000 + 0.5) — the
+    engine-portable rounding formula); token sums, cumulative masses
+    and the threshold compare are all integer arithmetic.
+
+    Scale shape (the q111 trick): the corpus collapses to ≤ 10 001
+    (score_bp) buckets in one map-side-combinable groupBy; the
+    cumulative sweep and per-target pick run over the BOUNDED bucket
+    rows (single-partition window over ≤ 10 001 rows), never the
+    corpus. A naive global sort-and-cumsum over documents would funnel
+    the corpus into one task.
+    """
+    from salesanalytics_etl_spark.operators.text import quality_score
+
+    q = quality_score(df, text_col)
+    buckets = (
+        q.select(
+            F.expr("CAST(floor(quality * 10000 + 0.5) AS BIGINT)").alias(
+                "score_bp"
+            ),
+            F.col("n_tokens").cast("long").alias("tok"),
+        )
+        .groupBy("score_bp")
+        .agg(F.sum("tok").alias("btok"), F.count(F.lit(1)).alias("bdocs"))
+    )
+    wdesc = (
+        Window.orderBy(F.desc("score_bp"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = buckets.select(
+        "score_bp",
+        F.sum("btok").over(wdesc).alias("cum_tok"),
+        F.sum("bdocs").over(wdesc).alias("cum_docs"),
+        F.sum("btok").over(wall).alias("total_tok"),
+    )
+    targeted = cum.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(int(t)).cast("long") for t in targets_bp])
+        ).alias("target_bp"),
+    )
+    # first bucket (descending score) whose cumulative token mass
+    # reaches the target: cum_* are monotone along the descending
+    # sweep, so max(score_bp) and min(cum_*) pick the same row
+    return (
+        targeted.filter(
+            F.col("cum_tok") * 10000 >= F.col("target_bp") * F.col("total_tok")
+        )
+        .groupBy("target_bp")
+        .agg(
+            F.max("score_bp").alias("cut_score_bp"),
+            F.min("cum_docs").alias("kept_docs"),
+            F.min("cum_tok").alias("kept_tokens"),
+            F.min("total_tok").alias("total_tokens"),
+        )
+    )

@@ -3728,3 +3728,71 @@ def q116_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = _t(spark, sf_dir, "documents")
     return lsh_bucket_audit(documents)
+
+
+@register(
+    "q117_quality_threshold_calibration",
+    # "keep the best X% of tokens" filter tuning: for each token-budget
+    # target, the highest quality cut whose kept-token mass reaches it.
+    # The corpus collapses to <= 10001 integer score buckets (4-decimal
+    # quality -> exact bp via the portable floor-rounding), so the
+    # cumulative sweep runs over bounded bucket rows — the q111 shape —
+    # and every mass/compare is integer arithmetic.
+    oracle=r"""
+    WITH m AS (
+      SELECT length(text) AS n_chars,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+      FROM documents
+    ), scored AS (
+      SELECT CAST(floor(
+               ROUND(0.25 * (CASE WHEN n_chars BETWEEN 64 AND 8192
+                                  THEN 1.0 ELSE 0.0 END)
+                   + 0.5 * (CASE WHEN n_chars > 0
+                                 THEN CAST(n_alpha AS DOUBLE) / n_chars
+                                 ELSE 0.0 END)
+                   + 0.25 * (CASE WHEN n_tokens > 0
+                                  AND CAST(n_alpha AS DOUBLE) / n_tokens
+                                      BETWEEN 2 AND 12
+                                  THEN 1.0 ELSE 0.0 END), 4) * 10000 + 0.5
+             ) AS BIGINT) AS score_bp,
+             CAST(n_tokens AS BIGINT) AS tok
+      FROM m
+    ), buckets AS (
+      SELECT score_bp, SUM(tok) AS btok, COUNT(*) AS bdocs
+      FROM scored GROUP BY 1
+    ), cum AS (
+      SELECT score_bp,
+             SUM(btok) OVER (ORDER BY score_bp DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum_tok,
+             SUM(bdocs) OVER (ORDER BY score_bp DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum_docs,
+             SUM(btok) OVER () AS total_tok
+      FROM buckets
+    )
+    SELECT t.target_bp,
+           CAST(MAX(score_bp) AS BIGINT) AS cut_score_bp,
+           CAST(MIN(cum_docs) AS BIGINT) AS kept_docs,
+           CAST(MIN(cum_tok) AS BIGINT) AS kept_tokens,
+           CAST(MIN(total_tok) AS BIGINT) AS total_tokens
+    FROM cum, (SELECT UNNEST([2500, 5000, 7500]) AS target_bp) t
+    WHERE cum_tok * 10000 >= t.target_bp * total_tok
+    GROUP BY 1
+    """,
+    doc="quality-cut calibration per token-budget target (keep the best "
+    "25/50/75%% of corpus tokens): highest score cut reaching each "
+    "target, with kept doc/token masses — exact integer bucket sweep "
+    "over <= 10001 score buckets, never a corpus-grain sort "
+    "(operators/curation.py:quality_threshold_calibration)",
+)
+def q117_quality_threshold_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.curation import (
+        quality_threshold_calibration,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return quality_threshold_calibration(documents)

@@ -77,6 +77,7 @@ _CHECK_FIRST = [
     "q114_bloom_membership_audit",
     "q115_compressibility_replay",
     "q116_lsh_bucket_audit",
+    "q117_quality_threshold_calibration",
     # --- r04-era oracle-backed rows ---
     "q29_events_hourly",
     "q30_events_sessionize",

@@ -322,3 +322,37 @@ def test_export_shards_deterministic_and_complete(spark, sf_dir, tmp_path):
     ids_b = [i for f in d3 for i in pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()]
     assert sorted(ids_a) == sorted(ids_b)
     assert ids_a != ids_b  # new epoch permutation
+
+
+def test_quality_threshold_calibration_exact_masses(spark):
+    """Planted two-quality corpus: the cut must land on the exact bucket
+    whose cumulative token mass first reaches each target, and keeping
+    docs at quality >= cut must reproduce kept_tokens exactly."""
+    from salesanalytics_etl_spark.operators.curation import (
+        quality_threshold_calibration,
+    )
+    from salesanalytics_etl_spark.operators.text import quality_score
+
+    # ~100-token alpha docs (high quality) + digit-heavy docs (low)
+    good = " ".join(f"word{i}" for i in range(100))
+    bad = " ".join("1234567890" for _ in range(100))
+    rows = [(i, good) for i in range(3)] + [(10 + i, bad) for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.target_bp: r for r in quality_threshold_calibration(df).collect()}
+    assert set(out) == {2500, 5000, 7500}
+    scores = {
+        r.doc_id: (int(round(r.quality * 10000)), r.n_tokens)
+        for r in quality_score(df).collect()
+    }
+    total = sum(t for _, t in scores.values())
+    for target, r in out.items():
+        kept = [s for s in scores.values() if s[0] >= r.cut_score_bp]
+        assert sum(t for _, t in kept) == r.kept_tokens
+        assert len(kept) == r.kept_docs
+        assert r.total_tokens == total
+        assert r.kept_tokens * 10000 >= target * total
+        # minimality: one bucket lower in the sweep order would... the
+        # cut is the HIGHEST score reaching the target, so the kept set
+        # of any higher cut must miss it
+        higher = [s for s in scores.values() if s[0] > r.cut_score_bp]
+        assert sum(t for _, t in higher) * 10000 < target * total
