@@ -291,3 +291,47 @@ def test_gate_nonconvergence_raises_through_public_entry(spark):
         assert {r.component for r in got.collect()} == {0}
     finally:
         graph.DRIVER_CC_MAX_EDGES = old
+
+
+_topk_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # group: few → hot keys
+        st.integers(min_value=-50, max_value=50), # order value, with ties
+        st.integers(min_value=0, max_value=999),  # tiebreak id (may repeat)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(_topk_rows, st.integers(min_value=1, max_value=5),
+       st.integers(min_value=1, max_value=7))
+@_SETTINGS
+def test_topk_per_group_matches_single_window(spark, data, k, nparts):
+    """The two-phase pick must reproduce the single-window form row for
+    row under ANY repartitioning — the phase-1 superset argument is a
+    universal claim, so hypothesis drives the layout too."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from salesanalytics_etl_spark.operators.skew import topk_per_group
+
+    df = spark.createDataFrame(
+        [(g, v, i) for g, v, i in data], ["g", "v", "i"]
+    ).repartition(nparts)
+    order = [F.desc("v"), F.asc("i")]
+    got = sorted(
+        (r.g, r.v, r.i)
+        for r in topk_per_group(df, ["g"], order, k).collect()
+    )
+    w = Window.partitionBy("g").orderBy(*order)
+    want = sorted(
+        (r.g, r.v, r.i)
+        for r in df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+        .collect()
+    )
+    # (g, v, i) may not be unique — row_number ties on duplicate triples
+    # are arbitrary but the MULTISET of kept triples is determined
+    assert got == want
