@@ -484,3 +484,69 @@ def quality_threshold_calibration(
             F.min("total_tok").alias("total_tokens"),
         )
     )
+
+
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    threshold_bp: int = 2000,
+) -> DataFrame:
+    """Overlap-FRACTION decontamination: flag corpus docs whose distinct
+    token ``n``-grams overlap the benchmark's n-gram set by at least
+    ``threshold_bp`` basis points — the ratio criterion that catches
+    partially-contaminated docs (a paraphrase keeping many short chunks)
+    which the verbatim-13-gram containment check (:func:`decontaminate`)
+    misses by design.
+
+    Returns (doc_id, n_doc_ngrams, n_hit_ngrams, overlap_bp) for flagged
+    docs. Exact integer ratio; no floats anywhere.
+
+    Scale shape: the denominator (each doc's distinct n-gram count) is
+    computed MAP-SIDE with array expressions on the doc's own row — the
+    corpus n-gram stream is never shuffled for it. The numerator joins
+    the stream against the broadcast benchmark set FIRST (hits only) and
+    dedups after, so the only gram-grain shuffle is proportional to the
+    contamination hits, exactly like :func:`decontaminate`.
+    """
+    bench = F.broadcast(
+        ngram_rows(benchmark, n).select("ngram").distinct()
+    )
+    grams_expr = (
+        f"transform(sequence(1, size(_toks) - {n - 1}),"
+        f" i -> array_join(slice(_toks, i, {n}), ' '))"
+    )
+    denom = (
+        corpus.select(
+            "doc_id",
+            F.split(normalize_text(F.col("text")), r"\s+").alias("_toks"),
+        )
+        .filter(F.size("_toks") >= n)
+        .select(
+            "doc_id",
+            F.expr(f"size(array_distinct({grams_expr}))")
+            .cast("long")
+            .alias("n_doc_ngrams"),
+        )
+    )
+    hits = (
+        ngram_rows(corpus, n)
+        .join(bench, "ngram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("ngram").alias("n_hit_ngrams"))
+    )
+    return (
+        denom.join(hits, "doc_id")
+        .filter(
+            F.col("n_hit_ngrams") * 10000
+            >= F.lit(int(threshold_bp)) * F.col("n_doc_ngrams")
+        )
+        .select(
+            "doc_id",
+            "n_doc_ngrams",
+            "n_hit_ngrams",
+            F.expr("n_hit_ngrams * 10000 div n_doc_ngrams").alias(
+                "overlap_bp"
+            ),
+        )
+    )

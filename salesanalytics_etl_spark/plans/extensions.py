@@ -3796,3 +3796,66 @@ def q117_quality_threshold_calibration(
 
     (documents,) = _t(spark, sf_dir, "documents")
     return quality_threshold_calibration(documents)
+
+
+@register(
+    "q118_fuzzy_decontamination",
+    # Ratio-criterion decontamination: q70's verbatim-13-gram containment
+    # misses a paraphrase that keeps many SHORT chunks; this flags corpus
+    # docs whose distinct 5-gram overlap with the benchmark set reaches
+    # 20% (integer basis points). Denominator is computed map-side from
+    # each doc's own row; only contamination HITS shuffle at gram grain.
+    oracle=r"""
+    WITH nm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ), corp AS (
+      SELECT doc_id, toks FROM nm WHERE doc_id % 50 != 0 AND len(toks) >= 5
+    ), ben AS (
+      SELECT doc_id, toks FROM nm WHERE doc_id % 50 = 0 AND len(toks) >= 5
+    ), bgrams AS (
+      SELECT DISTINCT array_to_string(
+               list_slice(b.toks, CAST(i.i AS INT), CAST(i.i AS INT) + 4),
+               ' ') AS ngram
+      FROM ben b, UNNEST(generate_series(1, len(b.toks) - 4)) AS i(i)
+    ), cgrams AS (
+      SELECT c.doc_id,
+             array_to_string(
+               list_slice(c.toks, CAST(i.i AS INT), CAST(i.i AS INT) + 4),
+               ' ') AS ngram
+      FROM corp c, UNNEST(generate_series(1, len(c.toks) - 4)) AS i(i)
+    ), denom AS (
+      SELECT doc_id, CAST(COUNT(DISTINCT ngram) AS BIGINT) AS n_doc_ngrams
+      FROM cgrams GROUP BY 1
+    ), hits AS (
+      SELECT g.doc_id, CAST(COUNT(DISTINCT g.ngram) AS BIGINT)
+               AS n_hit_ngrams
+      FROM cgrams g JOIN bgrams USING (ngram)
+      GROUP BY 1
+    )
+    SELECT d.doc_id, d.n_doc_ngrams, h.n_hit_ngrams,
+           CAST(h.n_hit_ngrams * 10000 // d.n_doc_ngrams AS BIGINT)
+             AS overlap_bp
+    FROM denom d JOIN hits h USING (doc_id)
+    WHERE h.n_hit_ngrams * 10000 >= 2000 * d.n_doc_ngrams
+    """,
+    doc="overlap-fraction decontamination (distinct 5-gram overlap with "
+    "the benchmark set >= 20%%, exact integer basis points) — the ratio "
+    "criterion catching partially-contaminated docs the verbatim "
+    "13-gram check (q70) misses; denominator map-side per doc, only "
+    "hits shuffle at gram grain "
+    "(operators/curation.py:decontaminate_fuzzy)",
+)
+def q118_fuzzy_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.curation import (
+        decontaminate_fuzzy,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    bench = documents.filter(F.col("doc_id") % 50 == 0)
+    corpus = documents.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate_fuzzy(corpus, bench)

@@ -78,6 +78,7 @@ _CHECK_FIRST = [
     "q115_compressibility_replay",
     "q116_lsh_bucket_audit",
     "q117_quality_threshold_calibration",
+    "q118_fuzzy_decontamination",
     # --- r04-era oracle-backed rows ---
     "q29_events_hourly",
     "q30_events_sessionize",

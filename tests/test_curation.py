@@ -356,3 +356,31 @@ def test_quality_threshold_calibration_exact_masses(spark):
         # of any higher cut must miss it
         higher = [s for s in scores.values() if s[0] > r.cut_score_bp]
         assert sum(t for _, t in higher) * 10000 < target * total
+
+
+def test_decontaminate_fuzzy_ratio_semantics(spark):
+    """Planted overlap ratios: a doc half-built from benchmark chunks is
+    flagged with the exact basis-point ratio; a doc with one shared
+    5-gram out of many stays under the 20% bar; the verbatim check's
+    blind spot (no full 13-gram, high 5-gram overlap) is covered."""
+    from salesanalytics_etl_spark.operators.curation import (
+        decontaminate,
+        decontaminate_fuzzy,
+    )
+
+    bench_text = " ".join(f"b{i}" for i in range(10))  # 6 distinct 5-grams
+    # doc 1: benchmark 10 tokens + 10 unique tokens = 16 distinct 5-grams,
+    # 6 of them benchmark-sourced -> 3750 bp, flagged at 2000
+    d1 = bench_text + " " + " ".join(f"u{i}" for i in range(10))
+    # doc 2: one shared 5-gram in a 50-token doc -> far below 20%
+    d2 = " ".join(f"b{i}" for i in range(5)) + " " + " ".join(
+        f"w{i}" for i in range(45)
+    )
+    corpus = spark.createDataFrame([(1, d1), (2, d2)], ["doc_id", "text"])
+    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in decontaminate_fuzzy(corpus, bench).collect()}
+    assert set(out) == {1}
+    assert out[1].n_doc_ngrams == 16 and out[1].n_hit_ngrams == 6
+    assert out[1].overlap_bp == 6 * 10000 // 16
+    # the verbatim 13-gram check misses doc 1 entirely (no shared 13-gram)
+    assert decontaminate(corpus, bench).count() == 0
