@@ -114,8 +114,10 @@ def main() -> None:
     # full names for 90 queries → >2000 chars → the driver recorded
     # ``parsed: null``.)
     short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
-    # qNN prefixes must be unique or two queries silently share one slot
-    assert len(short) == len(timings), "duplicate qNN prefix in query names"
+    # qNN prefixes must be unique or two queries silently share one slot —
+    # real raise (not `assert`) so `python -O` can't strip the check
+    if len(short) != len(timings):
+        raise ValueError("duplicate qNN prefix in query names")
     # Isolated-floor totals ride along without blowing the ~2000-char
     # stdout-tail budget: "value_min" (sweep total with each ≥0.5s query
     # replaced by its two-pass min) is one number, and "qmin" lists ONLY

@@ -423,7 +423,11 @@ def quality_threshold_calibration(
 
     Returns one row per target: (target_bp, cut_score_bp, kept_docs,
     kept_tokens, total_tokens); keeping docs with
-    ``quality*10000 >= cut_score_bp`` yields exactly kept_tokens.
+    ``floor(quality*10000 + 0.5) >= cut_score_bp`` — the SAME integer
+    bucketing this function applies — yields exactly kept_tokens. (A raw
+    ``quality*10000 >= cut_score_bp`` float compare can land an epsilon
+    below the integer cut, e.g. 0.25*10000 = 2499.999…, and drop docs
+    the calibration counted as kept.)
 
     Exactness/portability: quality is 4-decimal-rounded, so the score
     buckets are exact integer basis points (floor(q*10000 + 0.5) — the

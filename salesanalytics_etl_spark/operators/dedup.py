@@ -596,6 +596,7 @@ def simhash_near_dupes(
     max_hamming: int = 3,
     max_bucket: int = MAX_BUCKET,
     token_hash: Callable[[Column], Column] | None = None,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -608,6 +609,13 @@ def simhash_near_dupes(
     pigeonhole guarantee makes this path EXACT (recall 1.0) for
     Hamming ≤ 3 — which is how the q26 driver twin gets oracle-checked
     against DuckDB's all-pairs ``bit_count(xor(...))``.
+
+    ``candidate_budget``: with the cap lifted for exact mode, a
+    shared-template corpus (many docs voting to near-identical
+    signatures) can make one chunk bucket quadratic. The budget counts
+    the candidate pairs FROM THE BUCKET SIZES — Σ m·(m−1)/2, exact
+    integers, no pair expansion (the q116 audit trick) — and raises
+    loudly when exceeded instead of grinding through the pair join.
     """
     sigs = simhash_signatures(df, text_col, token_hash=token_hash)
     chunks = sigs.select(
@@ -636,6 +644,25 @@ def simhash_near_dupes(
         )
         .filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
     )
+    if candidate_budget is not None:
+        buckets = buckets.persist()
+        n_cands = (
+            buckets.select(
+                F.sum(
+                    F.expr("size(members) * (size(members) - 1) div 2")
+                ).alias("n")
+            ).collect()[0].n
+            or 0
+        )
+        if n_cands > candidate_budget:
+            buckets.unpersist()
+            raise RuntimeError(
+                f"simhash_near_dupes: {n_cands} candidate pairs exceed the "
+                f"budget ({candidate_budget}); a degenerate chunk bucket is "
+                "going quadratic under the lifted cap. Raise "
+                "candidate_budget to proceed anyway, or restore a finite "
+                "max_bucket (recall < 1) for this corpus."
+            )
     pairs = (
         buckets.select(F.explode("members").alias("a"), "members")
         .select("a", F.explode("members").alias("b"))
@@ -649,9 +676,15 @@ def simhash_near_dupes(
         .distinct()
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+    out = pairs.select("doc_a", "doc_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+    if candidate_budget is not None:
+        # materialize the (bounded: within budget) result, then release
+        # the bucket cache — a lazy return would pin it indefinitely
+        out = out.localCheckpoint()
+        buckets.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -247,12 +247,23 @@ def portable_cell_assignment(
     (sim, -anchor_id) structs reproduces the (desc sim, asc id) total
     order, so the output is value-identical (float32 anchor components
     lift to the same doubles either way).
+
+    NB the anchor collect makes plan CONSTRUCTION eager: anchors are
+    frozen at build time, and an empty corpus (or n_cells <= 0) yields
+    zero anchors — returned as an empty result rather than letting
+    ``F.greatest()`` blow up with no arguments.
     """
     import math
 
     from salesanalytics_etl_spark.operators.similarity import _dot, _norm
 
     rows = _portable_anchors(corpus, n_cells, id_col, vec_col).collect()
+    if not rows:
+        return corpus.select(
+            F.col(id_col).alias("cid"),
+            F.lit(None).cast("long").alias("cell"),
+            F.lit(None).cast("double").alias("cell_sim"),
+        ).limit(0)
     # cosine(c, a) = dot(c, a) / (|c|·|a|): |c| is hoisted to ONE
     # aggregate per row (not n_cells), and |a| is computed in Python —
     # the same left-to-right float64 accumulation + IEEE sqrt as the

@@ -116,8 +116,22 @@ def topk_per_group(
     is nondeterministic — same contract as the single-window form, which
     this reproduces row-for-row. ``rank_col`` keeps the final rank in
     the output (1..k); None drops it.
+
+    The helper injects ``_p``/``_rk`` working columns; ``withColumn``
+    would SILENTLY overwrite same-named caller columns (and a colliding
+    ``rank_col`` would corrupt the rank filter), so collisions raise.
     """
     from pyspark.sql import Window
+
+    taken = set(df.columns)
+    clash = {"_p", "_rk"} & taken
+    if rank_col in taken:
+        clash.add(rank_col)
+    if clash:
+        raise ValueError(
+            f"topk_per_group: column(s) {sorted(clash)} already exist in the "
+            "input — rename them (withColumn would silently overwrite)"
+        )
 
     w1 = Window.partitionBy(*group_cols, "_p").orderBy(*order_cols)
     partial = (

@@ -40,7 +40,9 @@ class ConcurrentWriterError(RuntimeError):
 
 
 @contextmanager
-def single_writer_lock(path: str, owner: str = ""):
+def single_writer_lock(
+    path: str, owner: str = "", lease_seconds: float | None = None
+):
     """Advisory single-writer lock for a parquet table directory.
 
     ``O_CREAT|O_EXCL`` on a sibling ``<path>.__writer_lock__`` file is the
@@ -51,6 +53,17 @@ def single_writer_lock(path: str, owner: str = ""):
     (only one contender's rename succeeds), so a crashed writer never
     wedges the table, while a LIVE holder raises
     :class:`ConcurrentWriterError`.
+
+    The pid-liveness check is HOST-LOCAL; a writer that died on *another*
+    host would wedge the table until manual cleanup. ``lease_seconds``
+    closes that: a lock older than the lease (by file mtime — stamped
+    once at acquire, never refreshed) is reclaimable by ANY contender
+    through the same atomic rename, so exactly one steals it. Because
+    there is no heartbeat, a LIVE holder whose merge outlives the lease
+    could be stolen from — set the lease comfortably above the longest
+    expected merge (or leave it ``None``, the default, which preserves
+    pure live-holder semantics and routes foreign-host cleanup through
+    :func:`break_stale_lock`).
     """
     import socket
 
@@ -62,6 +75,15 @@ def single_writer_lock(path: str, owner: str = ""):
             return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             return None
+
+    def _steal() -> None:
+        # atomic steal: exactly one contender wins the rename; the
+        # loser falls through to the live-holder error on retry
+        try:
+            os.rename(lock, lock + f".stale.{os.getpid()}")
+            os.remove(lock + f".stale.{os.getpid()}")
+        except FileNotFoundError:
+            pass
 
     fd = _try_acquire()
     if fd is None:
@@ -78,22 +100,23 @@ def single_writer_lock(path: str, owner: str = ""):
                 holder_dead = True
             except PermissionError:
                 pass  # alive, different user
-        if holder_dead:
-            # atomic steal: exactly one contender wins the rename; the
-            # loser falls through to the live-holder error on retry
+        if not holder_dead and lease_seconds is not None:
             try:
-                os.rename(lock, lock + f".stale.{os.getpid()}")
-                os.remove(lock + f".stale.{os.getpid()}")
-            except FileNotFoundError:
-                pass
+                age = time.time() - os.stat(lock).st_mtime
+            except OSError:  # released between read and stat
+                age = 0.0
+            holder_dead = age > lease_seconds
+        if holder_dead:
+            _steal()
             fd = _try_acquire()
         if fd is None:
             raise ConcurrentWriterError(
                 f"table {path!r} is locked by writer [pid host owner ts = "
                 f"{held_pid} {held_host} ...]; concurrent MERGE writers "
                 "would interleave stage-and-swap and lose updates. Wait for "
-                "the holder, or use a transactional table format for "
-                "multi-writer."
+                "the holder, break a known-dead foreign-host lock with "
+                "break_stale_lock(), or use a transactional table format "
+                "for multi-writer."
             )
     try:
         os.write(fd, payload.encode())
@@ -104,6 +127,48 @@ def single_writer_lock(path: str, owner: str = ""):
             os.remove(lock)
         except FileNotFoundError:
             pass
+
+
+def break_stale_lock(path: str, min_age_seconds: float = 3600.0) -> bool:
+    """Explicitly break a writer lock abandoned by a dead writer on
+    another host (the one case :func:`single_writer_lock`'s host-local
+    pid check cannot reclaim automatically).
+
+    Refuses (returns False) when the lock is absent, younger than
+    ``min_age_seconds`` (could be a live writer), or held by a LIVE pid
+    on THIS host. The removal itself is the same atomic rename the lock's
+    dead-pid steal uses, so two concurrent breakers cannot both "succeed"
+    into a double-release. Returns True when the lock was removed.
+    """
+    import socket
+
+    lock = path.rstrip("/") + ".__writer_lock__"
+    try:
+        age = time.time() - os.stat(lock).st_mtime
+    except OSError:
+        return False
+    if age < min_age_seconds:
+        return False
+    try:
+        with open(lock) as fh:
+            held_pid, held_host = fh.read().split()[:2]
+    except (OSError, ValueError):
+        held_pid, held_host = "", ""
+    if held_host == socket.gethostname() and held_pid.isdigit():
+        try:
+            os.kill(int(held_pid), 0)
+            return False  # alive on this host — never break
+        except ProcessLookupError:
+            pass
+        except PermissionError:
+            return False  # alive, different user
+    grave = lock + f".stale.{os.getpid()}"
+    try:
+        os.rename(lock, grave)
+        os.remove(grave)
+    except FileNotFoundError:
+        return False  # another breaker won the rename
+    return True
 
 
 def merge_upsert(

@@ -368,8 +368,11 @@ def q25_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recomputes the identical signatures all-pairs (q49 twin pattern). "
     "Bounded doc_id<2000 (inert at the sf0.01 gate) because exact-mode "
     "banding on this shared-template corpus is ~2.4M candidates at sf0.1; "
-    "the unbounded production path keeps xxhash64 + the MAX_BUCKET cap "
-    "(recall<1 by design) and is pinned by banded-vs-exact unit tests",
+    "a 10M candidate budget (counted from bucket sizes, no pair "
+    "expansion) makes a pathological corpus INSIDE the bound fail loudly "
+    "instead of going quadratic. The unbounded production path keeps "
+    "xxhash64 + the MAX_BUCKET cap (recall<1 by design) and is pinned by "
+    "banded-vs-exact unit tests",
 )
 def q26_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from salesanalytics_etl_spark.operators.dedup import (
@@ -383,6 +386,7 @@ def q26_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=3,
         max_bucket=1 << 20,
         token_hash=md5_token_hash,
+        candidate_budget=10_000_000,
     )
 
 

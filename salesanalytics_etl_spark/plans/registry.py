@@ -40,76 +40,75 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-# Round-6 rotation (driver records the FIRST 50 entries): leads with the
-# 14 queries whose latest driver rows are r03-era (q20-q24, q26-q28,
-# q54-q56, q61-q63 — code under several changed since: by-name CSV
-# conformance under q56, FIFO cache eviction, portable rounding; q26/q28
-# were CONVERTED to oracle-backed this round and must record their first
-# hash-checked rows), then the r04-era rows stalest-first. Deferred to r7:
-# the five no_oracle sketch/ANN rows (q34/q64/q82/q85/q89 — a rows-only
-# driver row re-stamp is low-value; their planted/property unit tests run
-# every session) and q90-q93, q95-q99 (static paths untouched since
-# r4). Every name here is also swept locally by tests/test_queries.py +
-# tests/strict_gate.py against the same oracles, so reordering changes
-# what the driver RECORDS, never what is verified.
+# Round-7 rotation (driver records the FIRST 50 entries): leads with the
+# 18 queries whose latest driver rows are r04-era — the 13 oracle-backed
+# ones the r6 verdict named (q86-q88, q90-q93, q95-q100; two rounds of
+# churn sit under several: two-phase top-k under q87/q92-adjacent paths,
+# portable rounding under q93/q97) plus the five no_oracle sketch/ANN
+# rows (q34/q64/q82/q85/q89) so nothing r04-era remains anywhere. The
+# other 32 slots go to the r5-era rows sitting on the code churned most
+# recently: q52 (writer-lock lease r7), q19 (two-phase top-k r6 + skew
+# collision guard r7), q107 (CDC _SUCCESS gating r6/r7), q25/q102/q103
+# (dedup budgets), then numerically. Left at their green r5 rows:
+# q01-q14, q17, q18, q53, q66 (static paths, locally swept). Every name
+# here is also swept by tests/test_queries.py + tests/strict_gate.py
+# against the same oracles, so reordering changes what the driver
+# RECORDS, never what is verified.
 _CHECK_FIRST = [
-    # --- r03-era rows: stalest first ---
-    "q20_docs_fingerprint",
-    "q21_docs_exact_dedupe",
-    "q22_docs_token_stats",
-    "q23_docs_quality",
-    "q24_docs_langid",
-    "q26_simhash_neardup",
-    "q27_ann_cosine_topk",
-    "q28_ann_cosine_lsh",
-    "q54_part_sample_topk",
-    "q55_lineitem_sample_topk",
-    "q56_conformance_coercion",
-    "q61_small_quantity_revenue",
-    "q62_check_violations",
-    "q63_sales_cube",
-    # --- NEW this round (never recorded) ---
-    "q109_minhash_lsh_replay",
-    "q110_hll_distinct_replay",
-    "q111_hdr_percentile_replay",
-    "q112_ivf_replay",
-    "q113_cell_stats_replay",
-    "q114_bloom_membership_audit",
-    "q115_compressibility_replay",
-    "q116_lsh_bucket_audit",
-    "q117_quality_threshold_calibration",
-    "q118_fuzzy_decontamination",
-    # --- r04-era oracle-backed rows ---
-    "q29_events_hourly",
-    "q30_events_sessionize",
-    "q32_embedding_neardup",
-    "q33_token_frequencies",
-    "q57_ngram_jaccard_pairs",
-    "q58_mom_sales_growth",
-    "q59_salted_event_rollup",
-    "q60_winnowing_fingerprints",
-    "q65_tfidf_top_terms",
-    "q67_pii_redaction",
-    "q68_segment_percentiles",
-    "q69_repetition_filter",
-    "q70_benchmark_decontamination",
-    "q71_sequence_packing",
-    "q72_language_rebalance",
-    "q73_embedding_quantization",
-    "q74_source_overlap",
-    "q75_curation_pipeline",
-    "q76_incremental_dedupe",
-    "q77_label_centroids",
-    "q78_regional_supplier_revenue",
-    "q79_rolling_7day_sales",
-    "q80_event_funnel",
-    "q81_bigram_merge_candidates",
-    "q83_sentence_dedup_stats",
-    "q84_split_leakage_check",
+    # --- r04-era oracle-backed rows (the r6 verdict's item 1) ---
     "q86_bm25_search",
     "q87_stratified_cap_sample",
     "q88_lang_metadata_agreement",
+    "q90_weighted_priority_sample",
+    "q91_cohort_retention",
+    "q92_part_cooccurrence",
+    "q93_customer_rfm",
+    "q95_sentence_split_udtf",
+    "q96_event_transition_matrix",
+    "q97_daily_sales_anomalies",
+    "q98_supplier_type_share",
+    "q99_priority_sla",
     "q100_etl_dataflow",
+    # --- r04-era no_oracle rows (rows-only re-stamp on current code) ---
+    "q34_ann_cosine_ivf",
+    "q64_approx_distinct_sketch",
+    "q82_approx_percentile_sketch",
+    "q85_compression_quality",
+    "q89_embedding_cluster_stats",
+    # --- r5-era rows under r6/r7 code churn ---
+    "q52_merge_upsert",
+    "q19_top_parts_per_type",
+    "q107_hopping_window",
+    "q25_minhash_neardup",
+    "q102_exact_jaccard_join",
+    "q103_duplicate_spans",
+    # --- r5-era rows, stalest-first fill ---
+    "q15_dedupe_keep_last",
+    "q16_fk_violations",
+    "q31_media_features",
+    "q35_sales_rollup",
+    "q36_status_pivot",
+    "q37_order_value_percentiles",
+    "q38_repeat_customers_intersect",
+    "q39_events_json_props",
+    "q40_churned_customers_except",
+    "q41_part_name_search",
+    "q42_purchases_with_prior_views",
+    "q43_purchase_asof_signup",
+    "q44_docs_rolling_fingerprint",
+    "q45_media_resize",
+    "q46_media_frame_sample",
+    "q47_docs_chunking",
+    "q48_pricing_summary",
+    "q49_dedup_clusters",
+    "q50_curation_sample",
+    "q51_train_val_test_split",
+    "q94_scd2_customers",
+    "q101_heavy_hitter_shingles",
+    "q104_unigram_surprisal",
+    "q105_cluster_representatives",
+    "q106_token_budget_mixture",
+    "q108_identifier_linkage",
 ]
 
 

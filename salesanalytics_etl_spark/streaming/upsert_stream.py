@@ -108,6 +108,21 @@ class ParquetUpsertSink:
             merged = merge_upsert(target, self._dedupe_batch(batch), self.keys)
             nxt = self.generation + 1
             merged.write.mode("overwrite").parquet(self._gen_path(nxt))
+            # The committed-generation protocol above keys ENTIRELY off
+            # _SUCCESS markers; a deployment with the committer's marker
+            # disabled (mapreduce.fileoutputcommitter.marksuccessfuljobs=
+            # false) would make every committed generation read as absent
+            # and the NEXT batch silently merge against an empty target.
+            # Fail loudly here, at write time, instead.
+            if not os.path.exists(
+                os.path.join(self._gen_path(nxt), "_SUCCESS")
+            ):
+                raise RuntimeError(
+                    "ParquetUpsertSink: generation write committed without a "
+                    "_SUCCESS marker — is mapreduce.fileoutputcommitter."
+                    "marksuccessfuljobs disabled? This sink's crash-recovery "
+                    "protocol requires the marker; re-enable it."
+                )
             prev = self.generation
             self.generation = nxt
             # GC superseded generations (each holds a FULL table copy; a

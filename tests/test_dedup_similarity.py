@@ -62,6 +62,19 @@ def test_simhash_finds_exact_dup_and_separates_distinct(docs):
     assert (1, 4) not in pairs
 
 
+def test_simhash_candidate_budget_fails_loudly(spark):
+    """Exact mode (cap lifted) on a degenerate corpus must raise at the
+    budget — counted from bucket sizes BEFORE any pair expansion — and
+    succeed untruncated when the budget accommodates the pairs."""
+    rows = [(i, "identical boilerplate document body " * 4) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # 6 identical docs -> one size-6 bucket per chunk -> 15 distinct pairs
+    with pytest.raises(RuntimeError, match="candidate_budget|budget"):
+        simhash_near_dupes(df, max_bucket=1 << 20, candidate_budget=10)
+    got = simhash_near_dupes(df, max_bucket=1 << 20, candidate_budget=100)
+    assert got.count() == 15  # all C(6,2) pairs at hamming 0
+
+
 def test_connected_components_transitive_chain(spark):
     from salesanalytics_etl_spark.operators.graph import dedup_clusters
 

@@ -440,6 +440,68 @@ def test_concurrent_merge_writer_fails_loudly(spark, tmp_path):
     assert not os.path.exists(path + ".__writer_lock__")
 
 
+def test_foreign_host_stale_lock_lease_and_break(tmp_path):
+    """A writer that died on ANOTHER host leaves a lock the host-local pid
+    check can never reclaim. The lease path (lock older than
+    ``lease_seconds``) and the explicit ``break_stale_lock`` tool must
+    both reclaim it — and both must leave a LIVE/young holder alone, so
+    the single-writer guarantee survives the escape hatch."""
+    import os
+
+    from salesanalytics_etl_spark.operators.upsert import (
+        ConcurrentWriterError,
+        break_stale_lock,
+        single_writer_lock,
+    )
+
+    path = str(tmp_path / "t")
+    lock = path + ".__writer_lock__"
+
+    def forge_foreign_lock(age_seconds: float) -> None:
+        # pid 99999... on host "other-host" — unverifiable from here
+        with open(lock, "w") as fh:
+            fh.write("999999 other-host crashed 0.0")
+        old = time.time() - age_seconds
+        os.utime(lock, (old, old))
+
+    import time
+
+    # 1) no lease (default): foreign-host lock wedges — loud error
+    forge_foreign_lock(age_seconds=7200)
+    try:
+        with single_writer_lock(path):
+            raise AssertionError("foreign lock was stolen without a lease")
+    except ConcurrentWriterError:
+        pass
+
+    # 2) lease expired -> reclaimed; guarantee restored (lock removed after)
+    with single_writer_lock(path, lease_seconds=3600):
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)
+
+    # 3) lease NOT expired -> still a loud error (live foreign writer safe)
+    forge_foreign_lock(age_seconds=60)
+    try:
+        with single_writer_lock(path, lease_seconds=3600):
+            raise AssertionError("young foreign lock was stolen")
+    except ConcurrentWriterError:
+        pass
+
+    # 4) break_stale_lock: refuses young locks, breaks old ones
+    assert break_stale_lock(path, min_age_seconds=3600) is False
+    forge_foreign_lock(age_seconds=7200)
+    assert break_stale_lock(path, min_age_seconds=3600) is True
+    assert not os.path.exists(lock)
+    assert break_stale_lock(path, min_age_seconds=3600) is False  # absent
+
+    # 5) break_stale_lock never kills a LIVE same-host holder, however old
+    with single_writer_lock(path, owner="live-holder"):
+        old = time.time() - 7200
+        os.utime(lock, (old, old))
+        assert break_stale_lock(path, min_age_seconds=3600) is False
+        assert os.path.exists(lock)
+
+
 def test_hll_distinct_error_bound_and_partition_invariance(spark):
     """m=512 classic HLL: rsd ~= 4.6%, so 15% (>3 sigma) bounds all three
     cardinality regimes (linear counting, threshold, raw). The estimate

@@ -1,0 +1,298 @@
+"""Production-vs-twin agreement tests (r6 verdict item 2).
+
+Each rows-only production path has an oracle-backed algorithm-class twin
+the driver hash-checks (q25→q109, q34→q112, q64→q110, q82→q111, q85→q115,
+q89→q113). The twin proves the ALGORITHM; these tests pin the twin to the
+path production actually runs, on fixed data, in the dimension the twin
+verifies — so the two cannot silently drift apart (e.g. a banding-parameter
+change landing on one side only).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+    "behind distant mountains and rivers flow quietly through green valleys "
+    "carrying stories of ancient forests toward the open sea"
+)
+
+
+def _rand_text(seed: str, n_blocks: int = 12) -> str:
+    """Deterministic high-entropy text (hex stream, no repeated 8-grams)."""
+    return " ".join(
+        hashlib.md5(f"{seed}-{i}".encode()).hexdigest() for i in range(n_blocks)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 (minhash_near_dupes) vs q109 (minhash_near_dupes_portable)
+# ---------------------------------------------------------------------------
+def test_minhash_production_and_portable_agree_on_pairs(spark):
+    """Both pipelines share banding parameters (6×5 over 32 hashes), bucket
+    cap and exact verification but NOT code for the signature stage (xxhash
+    re-hashes vs md5+xor-mask). On a fixed corpus of exact dups, strong
+    near-dups and distinct docs, the VERIFIED PAIR SETS and the exact
+    jaccard values must be identical — the agreement dimension q109's
+    oracle certifies."""
+    from salesanalytics_etl_spark.operators.dedup import (
+        minhash_near_dupes,
+        minhash_near_dupes_portable,
+    )
+
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE.replace("quick", "swift")),  # strong near-dup of 1/2
+        (4, BASE + " and the tale ends here tonight"),  # strong near-dup
+        (10, _rand_text("a")),
+        (11, _rand_text("b")),
+        (12, _rand_text("c")),
+        (13, "short unrelated document about query engines and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    prod = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_near_dupes(df, threshold=0.5).collect()
+    }
+    twin = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_near_dupes_portable(df, threshold=0.5).collect()
+    }
+    assert set(prod) == set(twin), (sorted(prod), sorted(twin))
+    # exact-verify values agree too (both are true shingle Jaccard; the
+    # portable side computes it over collision-free 60-bit shingle hashes)
+    for pair, j in prod.items():
+        assert twin[pair] == j, (pair, j, twin[pair])
+    # and the structure is the planted one
+    assert prod[(1, 2)] == 1.0
+    assert (1, 3) in prod and (1, 4) in prod
+    assert not any(a >= 10 or b >= 10 for a, b in prod)
+
+
+# ---------------------------------------------------------------------------
+# q64 (approx_count_distinct) vs q110 (hll_distinct replay)
+# ---------------------------------------------------------------------------
+def test_hll_production_and_twin_estimate_same_cardinalities(spark):
+    """q64 runs Spark's HLL++ (rsd 2%), q110 the portable classic HLL
+    (m=512, rsd ~4.6%). Same fixed multiset → both must land within their
+    stated error of the SAME exact count, hence within ~21% of each other;
+    we assert the tighter per-side bounds (3σ each)."""
+    from salesanalytics_etl_spark.operators.sketches import hll_distinct
+
+    for n in (500, 5_000):
+        df = spark.range(n * 3).select(
+            F.lit("g").alias("grp"), (F.col("id") % n).alias("v")
+        )
+        prod = df.groupBy("grp").agg(
+            F.approx_count_distinct("v", rsd=0.02).alias("e")
+        ).collect()[0].e
+        twin = hll_distinct(df, ["grp"], "v").collect()[0].approx_distinct
+        assert abs(prod - n) / n <= 0.06, (n, prod)  # 3σ at rsd=2%
+        assert abs(twin - n) / n <= 0.15, (n, twin)  # 3σ at rsd=4.6%
+        assert abs(prod - twin) / n <= 0.21, (n, prod, twin)
+
+
+# ---------------------------------------------------------------------------
+# q82 (percentile_approx / Greenwald-Khanna) vs q111 (HDR histogram replay)
+# ---------------------------------------------------------------------------
+def test_percentile_production_and_twin_agree_within_stated_error(spark):
+    """Same fixed value set through both sketches: GK at accuracy 1000
+    (rank error ≤ 1e-3) and the HDR bucket histogram (value error ≤ ~3.2%,
+    always a lower bound — the estimate is the nearest-rank bucket's lower
+    bound). Each must sit within its stated band of the exact nearest-rank
+    percentile, which bounds their mutual disagreement too."""
+    from salesanalytics_etl_spark.operators.sketches import hdr_percentiles
+
+    n = 20_000
+    # skewed positive cents: id^1.3, deterministic, exact values known
+    df = spark.range(1, n + 1).select(
+        F.lit("s").alias("grp"),
+        F.expr("CAST(pow(id, 1.3) AS BIGINT) + 1").alias("cents"),
+    )
+    vals = sorted(int(i**1.3) + 1 for i in range(1, n + 1))
+
+    def exact_nearest_rank(p: int) -> int:
+        return vals[math.ceil(p / 100 * n) - 1]
+
+    twin = hdr_percentiles(df, ["grp"], "cents", [50, 95, 99]).collect()[0]
+    prod = df.select(
+        F.percentile_approx(
+            F.col("cents").cast("double") / 100.0, [0.5, 0.95, 0.99], 1000
+        ).alias("p")
+    ).collect()[0].p
+
+    for i, p in enumerate([50, 95, 99]):
+        exact = exact_nearest_rank(p) / 100.0
+        gk = prod[i]
+        hdr = float(twin[f"p{p}_approx"])
+        # GK: rank error 1e-3 → value between the exact p∓0.2% percentiles
+        lo = exact_nearest_rank(max(p - 1, 1)) / 100.0
+        hi = exact_nearest_rank(min(p + 1, 100)) / 100.0
+        assert lo <= gk <= hi, (p, gk, lo, hi)
+        # HDR: lower bound within 2^-5 relative error of the exact value
+        assert hdr <= exact + 1e-9, (p, hdr, exact)
+        assert hdr >= exact * (1 - 0.04), (p, hdr, exact)
+        # mutual: production and twin answer the same question
+        assert abs(gk - hdr) <= exact * 0.05 + hi - lo, (p, gk, hdr)
+
+
+# ---------------------------------------------------------------------------
+# q34 (trained-IVF assignment kernel) vs q112/q113 (portable assignment)
+# ---------------------------------------------------------------------------
+def test_ivf_assignment_kernels_agree_on_shared_quantizer(spark, sf_dir):
+    """The twin certifies the IVF *assignment* stage (argmax cosine over a
+    fixed quantizer, id tiebreak). Feed the SAME quantizer — the portable
+    md5-sampled anchors — through the production Arrow kernel
+    (_assign_udf, argmax dot over normalized vectors) and through
+    portable_cell_assignment: the resulting cell partitions must be
+    identical vector-for-vector."""
+    from salesanalytics_etl_spark.operators.ivf import (
+        _assign_udf,
+        _portable_anchors,
+        portable_cell_assignment,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = sorted(
+        _portable_anchors(emb, 16, "vec_id", "embedding").collect(),
+        key=lambda r: r.anchor_id,
+    )
+    cents = np.array([np.asarray(r.a_vec, dtype=np.float64) for r in anchors])
+    norms = np.sqrt((cents * cents).sum(axis=1, keepdims=True))
+    cents = cents / np.where(norms == 0, 1.0, norms)
+    # production kernel: argmax dot over unit vectors == argmax cosine;
+    # np.argsort ties break on the FIRST (lowest) index, and the anchor
+    # matrix is sorted by anchor_id, so the tiebreak matches the portable
+    # (desc sim, asc anchor_id) total order
+    assign = _assign_udf(cents, 1)
+    prod = {
+        r.vec_id: anchors[r.idx].anchor_id
+        for r in emb.select(
+            "vec_id", F.element_at(assign(F.col("embedding")), 1).alias("idx")
+        ).collect()
+    }
+    twin = {
+        r.cid: r.cell for r in portable_cell_assignment(emb, 16).collect()
+    }
+    assert prod == twin
+
+
+# ---------------------------------------------------------------------------
+# q85 (zlib compression_ratio) vs q115 (portable_compressibility replay)
+# ---------------------------------------------------------------------------
+def test_compressibility_production_and_twin_classify_alike(spark):
+    """zlib has no SQL twin, so q115 replays the algorithm CLASS (LZ77
+    duplicate-gram fraction + integer entropy bound). The drift guard:
+    on planted extremes, both signals must classify every doc the same way
+    — repetitive boilerplate flagged by production (low zlib ratio) iff
+    flagged by the twin (high duplicate-8-gram fraction)."""
+    from salesanalytics_etl_spark.operators.text import (
+        compression_ratio,
+        portable_compressibility,
+    )
+
+    rows = [
+        (1, "a" * 400, True),
+        (2, "spark etl " * 60, True),  # repeated phrase
+        (3, (BASE + " ") * 10, True),  # repeated paragraph
+        (4, BASE, False),  # plain prose
+        (5, _rand_text("x"), False),  # high entropy
+        (6, _rand_text("y"), False),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], ["doc_id", "text"]
+    )
+    planted = {i: rep for i, _, rep in rows}
+    prod = {
+        r.doc_id: r.compress_ratio <= 0.30
+        for r in compression_ratio(df).collect()
+    }
+    twin = {
+        r.doc_id: r.dup8_bp >= 5000
+        for r in portable_compressibility(df).collect()
+    }
+    assert prod == planted, prod
+    assert twin == planted, twin
+
+
+# ---------------------------------------------------------------------------
+# q89 (trained KMeans cluster stats) vs q113 (deterministic cell stats) —
+# plus the planted-cluster recovery the r6 verdict asked for (item 7)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def planted_clusters(spark):
+    """120 unit vectors in 3 well-separated clusters around orthogonal
+    axes (8-dim, fixed-seed noise), labelled by their planted cluster."""
+    rng = np.random.RandomState(7)
+    rows = []
+    for c, label in enumerate(["alpha", "beta", "gamma"]):
+        center = np.zeros(8)
+        center[c] = 1.0
+        for i in range(40):
+            v = center + 0.05 * rng.randn(8)
+            v = v / np.sqrt((v * v).sum())
+            rows.append((c * 100 + i, [float(x) for x in v], label))
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_trained_kmeans_recovers_planted_clusters(spark, planted_clusters):
+    """The q89 production path (sample-fit spherical KMeans at fixed seed)
+    must recover the planted partition exactly: each planted label maps to
+    one distinct cluster id, every vector lands with its label's cluster,
+    and centroid similarity is high — pinning the trained path's behavior
+    to the structure q113's deterministic twin certifies the stats shape
+    for."""
+    from salesanalytics_etl_spark.operators.ivf import assign_clusters
+
+    assigned = assign_clusters(
+        spark, "twin-agreement-planted", planted_clusters, n_clusters=3
+    ).collect()
+    by_label: dict[str, set[int]] = {}
+    for r in assigned:
+        by_label.setdefault(r.label, set()).add(r.cluster)
+        assert r.centroid_sim > 0.95, (r.vec_id, r.centroid_sim)
+    # each planted cluster → exactly one kmeans cluster, all distinct
+    assert all(len(cl) == 1 for cl in by_label.values()), by_label
+    assert len({next(iter(cl)) for cl in by_label.values()}) == 3
+
+
+def test_cluster_stats_shapes_agree_between_trained_and_twin(
+    spark, planted_clusters
+):
+    """q89 aggregates (n_vecs, mean centroid sim, dominant label) over the
+    trained assignment; q113 certifies that aggregation shape over the
+    deterministic quantizer. Run BOTH aggregations on the planted corpus:
+    memberships must each cover the corpus exactly once, and the trained
+    path's dominant labels must be the planted ones."""
+    from salesanalytics_etl_spark.operators.ivf import (
+        assign_clusters,
+        portable_cell_assignment,
+    )
+
+    n = planted_clusters.count()
+    trained = assign_clusters(
+        spark, "twin-agreement-stats", planted_clusters, n_clusters=3
+    )
+    stats = (
+        trained.groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sum(r.n for r in stats) == n
+    # purity 1.0: one (cluster, label) row per cluster
+    assert len(stats) == 3 and {r.label for r in stats} == {
+        "alpha",
+        "beta",
+        "gamma",
+    }
+    cells = portable_cell_assignment(
+        planted_clusters, n_cells=3
+    ).groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert sum(r.n for r in cells) == n  # partition, not a multi-cover
