@@ -171,6 +171,168 @@ def _token_rows(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).filter(F.length("term") > 0)
 
 
+def bigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document bigram cross-entropy (bits per transition) under the
+    corpus's own bigram language model — the CCNet-style perplexity
+    filter one order up from :func:`unigram_surprisal`: a document whose
+    token TRANSITIONS are systematically improbable under the corpus
+    model (word salad, shuffled boilerplate, keyword stuffing) scores
+    high even when its individual tokens are common, which the unigram
+    model cannot see.
+
+    Model: MLE without smoothing — P(cur|prev) = c(prev,cur)/c(prev,·)
+    with the denominator counted over TRANSITIONS (prev as a non-final
+    token). No smoothing is needed because the corpus is its own
+    training set: every scored transition was observed at least once,
+    so the estimate is defined everywhere.
+
+    Returns (doc_id, n_transitions, bits_per_transition) for every doc
+    with >= 2 tokens. Cross-engine determinism (the q104 discipline):
+    per-bigram surprisal ``-log2(c2/c1)`` is rounded to 6 decimals ONCE
+    and accumulated as DECIMAL(18,6) — the per-doc sum is exact integer
+    arithmetic, order-insensitive; only the final divide is floating
+    point.
+
+    Scale shape: transitions are built MAP-SIDE with one array
+    ``transform`` over the token list (no window, no self-join — a lag
+    window per doc would sort every doc's tokens through the window
+    machinery for what is a positional zip); the bigram vocab is one
+    map-side-combinable groupBy, context counts re-aggregate the vocab
+    (never the transition stream), and the scoring join is
+    per-doc-tf ⋈ vocab on the bigram key (Zipf-small once aggregated).
+    """
+    from salesanalytics_etl_spark.operators.dedup import spread_partitions
+
+    w = F.split(normalize_text(F.col(text_col)), r"\s+")
+    base = (
+        spread_partitions(df.select("doc_id", F.col(text_col)))
+        .select("doc_id", w.alias("w"))
+        .filter((F.size("w") >= 2) & (F.element_at("w", 1) != ""))
+    )
+    trans = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> named_struct('prev', element_at(w, i),"
+                "                   'cur', element_at(w, i + 1)))"
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.prev", "t.cur")
+    bf = trans.groupBy("doc_id", "prev", "cur").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    # persist the bigram vocab: context counts and per-bigram bits both
+    # derive from it (same double-consumer shape as unigram_surprisal)
+    c2 = bf.groupBy("prev", "cur").agg(F.sum("tf").alias("c2")).persist()
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    bits = c2.join(c1, "prev").select(
+        "prev",
+        "cur",
+        F.round(F.log2(F.col("c1")) - F.log2(F.col("c2")), 6)
+        .cast("decimal(18,6)")
+        .alias("bits"),
+    )
+    out = (
+        bf.join(bits, ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_transitions"),
+            F.sum(F.col("tf") * F.col("bits")).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_transitions",
+            F.round(
+                F.col("_s").cast("double") / F.col("n_transitions"), 4
+            ).alias("bits_per_transition"),
+        )
+        .localCheckpoint()
+    )
+    c2.unpersist()
+    return out
+
+
+def source_kl_divergence(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source unigram KL divergence to the corpus distribution, in
+    bits — the data-mixture drift diagnostic: a source whose token
+    distribution departs from the blended corpus (domain jargon, another
+    language, boilerplate skew) scores high and deserves its own
+    mixture weight / filtering policy.
+
+    KL(source ‖ corpus) = Σ_term p_s · log2(p_s / p) with
+    p_s = ctf_s/N_s and p = ctf/N (MLE; finite by construction — every
+    source term is in the corpus, p > 0 wherever p_s > 0). Returns one
+    row per source: (source, n_terms, n_tokens, kl_bits). KL ≥ 0, with
+    equality iff the source matches the corpus distribution.
+
+    Cross-engine determinism (the q104 discipline): each (source, term)
+    contribution is one fixed-shape double expression rounded to 6
+    decimals, accumulated as DECIMAL(18,6) — order-insensitive exact
+    sum; the oracle spells the identical expression tree.
+
+    Scale shape: one tokenize pass; per-source vocab is a map-side
+    combinable groupBy on (source, term); the corpus vocab RE-AGGREGATES
+    the per-source vocab (the token stream is never shuffled twice);
+    per-source totals are a |sources|-row broadcast join; the scoring
+    join is per-source-vocab ⋈ corpus-vocab on term (Zipf-small).
+    """
+    from salesanalytics_etl_spark.operators.dedup import spread_partitions
+
+    toks = spread_partitions(df.select("doc_id", "source", F.col(text_col))).select(
+        "source",
+        F.explode(
+            F.split(normalize_text(F.col(text_col)), r"\s+")
+        ).alias("term"),
+    ).filter(F.length("term") > 0)
+    sv = (
+        toks.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("ctf_s"))
+        .persist()
+    )
+    totals = sv.groupBy("source").agg(F.sum("ctf_s").alias("n_s"))
+    corpus = sv.groupBy("term").agg(F.sum("ctf_s").alias("ctf"))
+    n_total = corpus.agg(F.sum("ctf").alias("n"))
+    contrib = (
+        sv.join(corpus, "term")
+        .join(F.broadcast(totals), "source")
+        .join(F.broadcast(n_total))
+        .select(
+            "source",
+            "ctf_s",
+            F.round(
+                (F.col("ctf_s") / F.col("n_s"))
+                * (
+                    F.log2("ctf_s")
+                    - F.log2("n_s")
+                    - F.log2("ctf")
+                    + F.log2("n")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("kl_term"),
+        )
+    )
+    out = (
+        contrib.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("ctf_s").alias("n_tokens"),
+            F.sum("kl_term").alias("_kl"),
+        )
+        .select(
+            "source",
+            "n_terms",
+            "n_tokens",
+            F.round(F.col("_kl").cast("double"), 4).alias("kl_bits"),
+        )
+        .localCheckpoint()
+    )
+    sv.unpersist()
+    return out
+
+
 def tfidf_terms(
     df: DataFrame, text_col: str = "text", top_n: int = 3
 ) -> DataFrame:

@@ -3863,3 +3863,103 @@ def q118_fuzzy_decontamination(
     bench = documents.filter(F.col("doc_id") % 50 == 0)
     corpus = documents.filter(F.col("doc_id") % 50 != 0)
     return decontaminate_fuzzy(corpus, bench)
+
+
+@register(
+    "q119_bigram_surprisal",
+    oracle=r"""
+    WITH nn AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+      WHERE length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) > 0
+    ), tr AS (
+      SELECT doc_id, w[CAST(i AS INT)] AS prev, w[CAST(i + 1 AS INT)] AS cur
+      FROM nn, UNNEST(range(1, len(w))) AS t(i)
+    ), bf AS (
+      SELECT doc_id, prev, cur, COUNT(*) AS tf FROM tr GROUP BY 1, 2, 3
+    ), c2 AS (
+      SELECT prev, cur, SUM(tf) AS c2 FROM bf GROUP BY 1, 2
+    ), c1 AS (
+      SELECT prev, SUM(c2) AS c1 FROM c2 GROUP BY 1
+    ), bits AS (
+      SELECT prev, cur,
+             CAST(ROUND(log2(c1) - log2(c2), 6) AS DECIMAL(18,6)) AS bits
+      FROM c2 JOIN c1 USING (prev)
+    ), agg AS (
+      SELECT doc_id, SUM(tf) AS n_transitions, SUM(tf * bits) AS s
+      FROM bf JOIN bits USING (prev, cur) GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_transitions AS BIGINT) AS n_transitions,
+           ROUND(CAST(s AS DOUBLE) / n_transitions, 4) AS bits_per_transition
+    FROM agg
+    """,
+    doc="per-document bigram cross-entropy (bits/transition) under the "
+    "corpus's own bigram LM — the CCNet-style perplexity quality filter "
+    "at n=2: flags word salad whose TOKENS are common but whose "
+    "TRANSITIONS are improbable, invisible to q104's unigram model. "
+    "MLE without smoothing (the corpus is its own training set, every "
+    "scored transition is observed); transitions built map-side via one "
+    "array transform (no per-doc lag window); per-bigram surprisal "
+    "rounded once to 6dp and accumulated as DECIMAL(18,6) so the doc "
+    "sum is order-insensitive exact arithmetic on both engines "
+    "(operators/text.py:bigram_surprisal)",
+)
+def q119_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.text import bigram_surprisal
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return bigram_surprisal(documents)
+
+
+@register(
+    "q120_source_kl_divergence",
+    oracle=r"""
+    WITH nn AS (
+      SELECT source,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ), tok AS (
+      SELECT source, t.term FROM nn, UNNEST(w) AS t(term)
+      WHERE length(t.term) > 0
+    ), sv AS (
+      SELECT source, term, COUNT(*) AS ctf_s FROM tok GROUP BY 1, 2
+    ), totals AS (
+      SELECT source, SUM(ctf_s) AS n_s FROM sv GROUP BY 1
+    ), corpus AS (
+      SELECT term, SUM(ctf_s) AS ctf FROM sv GROUP BY 1
+    ), tot AS (
+      SELECT SUM(ctf) AS n FROM corpus
+    ), contrib AS (
+      SELECT sv.source, sv.ctf_s,
+             CAST(ROUND(
+               (sv.ctf_s / totals.n_s)
+               * (log2(sv.ctf_s) - log2(totals.n_s)
+                  - log2(corpus.ctf) + log2(tot.n)),
+               6) AS DECIMAL(18,6)) AS kl_term
+      FROM sv JOIN corpus USING (term) JOIN totals USING (source)
+      CROSS JOIN tot
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(ctf_s) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(kl_term) AS DOUBLE), 4) AS kl_bits
+    FROM contrib GROUP BY source
+    """,
+    doc="per-source unigram KL divergence to the corpus distribution "
+    "(bits) — the data-mixture drift diagnostic: sources whose token "
+    "distribution departs from the blend (jargon, language skew, "
+    "boilerplate) score high and earn their own mixture weight or "
+    "filter policy. MLE, finite by construction (every source term is "
+    "a corpus term); per-(source,term) contribution is ONE fixed-shape "
+    "double expression rounded to 6dp and summed as DECIMAL(18,6) — "
+    "order-insensitive on both engines; corpus vocab re-aggregates the "
+    "per-source vocab so the token stream shuffles once "
+    "(operators/text.py:source_kl_divergence)",
+)
+def q120_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.text import source_kl_divergence
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return source_kl_divergence(documents)

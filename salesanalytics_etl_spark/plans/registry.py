@@ -75,6 +75,9 @@ _CHECK_FIRST = [
     "q82_approx_percentile_sketch",
     "q85_compression_quality",
     "q89_embedding_cluster_stats",
+    # --- NEW this round (never recorded) ---
+    "q119_bigram_surprisal",
+    "q120_source_kl_divergence",
     # --- r5-era rows under r6/r7 code churn ---
     "q52_merge_upsert",
     "q19_top_parts_per_type",
@@ -107,8 +110,6 @@ _CHECK_FIRST = [
     "q101_heavy_hitter_shingles",
     "q104_unigram_surprisal",
     "q105_cluster_representatives",
-    "q106_token_budget_mixture",
-    "q108_identifier_linkage",
 ]
 
 

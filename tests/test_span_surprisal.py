@@ -178,3 +178,70 @@ def test_surprisal_matches_brute_force(spark, texts):
         s = sum(bits[w] for w in ws)
         want[i] = (len(ws), round(s / len(ws), 4))
     assert got == want
+
+
+def test_bigram_surprisal_flags_word_salad(spark):
+    """Tokens common, transitions rare: five identical docs make their
+    transitions cheap (log2(6/5) bits), while a shuffled doc of the SAME
+    vocabulary pays log2(6) per transition — the signal the unigram
+    model cannot see (it scores both docs identically)."""
+    import math
+
+    from salesanalytics_etl_spark.operators.text import bigram_surprisal
+
+    common = "alpha beta gamma delta epsilon"
+    salad = "beta alpha delta gamma epsilon"  # same tokens, new transitions
+    rows = [(i, common) for i in range(5)] + [(6, salad), (7, "solo")]
+    out = {
+        r.doc_id: r
+        for r in bigram_surprisal(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert 7 not in out  # <2 tokens -> no transitions -> excluded
+    assert out[0].n_transitions == 4 and out[6].n_transitions == 4
+    # exact MLE: every prev occurs 6x as a context; common transitions 5x
+    assert out[0].bits_per_transition == round(
+        round(math.log2(6) - math.log2(5), 6), 4
+    )
+    assert out[6].bits_per_transition == round(round(math.log2(6), 6), 4)
+    assert out[6].bits_per_transition > 5 * out[0].bits_per_transition
+
+
+def test_source_kl_divergence_exact_and_ordering(spark):
+    """Hand-computed KL on a 3-source corpus: identical-to-blend terms
+    contribute 0, a skewed source scores between, a disjoint-vocabulary
+    source scores highest — and the decimal-accumulated values are exact
+    under the 6dp-per-term rounding."""
+    import math
+
+    from salesanalytics_etl_spark.operators.text import source_kl_divergence
+
+    rows = [
+        (1, "a b a b", "A"),   # p_s = {a:.5, b:.5}; corpus p(a)=p(b)=.25
+        (2, "a b c c", "B"),   # a,b match corpus; c skewed .5 vs 1/6
+        (3, "z z z z", "C"),   # disjoint: p_s(z)=1 vs corpus 1/3
+    ]
+    out = {
+        r.source: r
+        for r in source_kl_divergence(
+            spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        ).collect()
+    }
+    assert out["A"].kl_bits == 1.0  # 2 terms x round(.5*log2(2), 6)
+    assert out["B"].kl_bits == round(round(0.5 * math.log2(3), 6), 4)
+    assert out["C"].kl_bits == round(round(math.log2(3), 6), 4)
+    assert out["C"].kl_bits > out["A"].kl_bits > out["B"].kl_bits > 0
+    assert out["A"].n_tokens == 4 and out["C"].n_terms == 1
+
+
+def test_source_kl_divergence_zero_when_distributions_match(spark):
+    """Every source with the corpus's own distribution -> KL exactly 0
+    (the log terms cancel symbolically, so rounding sees a true 0.0)."""
+    from salesanalytics_etl_spark.operators.text import source_kl_divergence
+
+    rows = [(i, "x y", s) for i, s in enumerate(["A", "B", "C"])]
+    out = source_kl_divergence(
+        spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    ).collect()
+    assert len(out) == 3 and all(r.kl_bits == 0.0 for r in out)
