@@ -3963,3 +3963,114 @@ def q120_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = _t(spark, sf_dir, "documents")
     return source_kl_divergence(documents)
+
+
+@register(
+    "q121_ann_recall_audit",
+    oracle="""
+    WITH RECURSIVE lcg(t, step, x) AS (
+      SELECT t.t, 0, CAST(88172645463325252 + 7919 * t.t AS HUGEINT)
+      FROM (SELECT unnest(range(0, 8)) AS t) t
+      UNION ALL
+      SELECT t, step + 1,
+             (x * 2685821657736338717::HUGEINT + 3037000499)
+               % 9223372036854775808::HUGEINT
+      FROM lcg WHERE step < 256
+    ),
+    plane_vals AS (
+      SELECT t, (step - 1) // 64 AS p, (step - 1) % 64 AS d,
+             CAST(x AS DOUBLE) / 9223372036854775808.0 * 2.0 - 1.0 AS v
+      FROM lcg WHERE step >= 1
+    ),
+    planes AS (
+      SELECT t, p, list(v ORDER BY d) AS plane FROM plane_vals GROUP BY t, p
+    ),
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    projs AS (
+      SELECT v.vec_id, pl.t, pl.p, list_dot_product(v.emb, pl.plane) AS proj
+      FROM vecs v CROSS JOIN planes pl
+    ),
+    buckets AS (
+      SELECT vec_id, t,
+             t * 16 + SUM(CASE WHEN proj > 0 THEN (1::BIGINT << p)
+                               ELSE 0::BIGINT END) AS bucket
+      FROM projs GROUP BY vec_id, t
+    ),
+    qb AS (SELECT vec_id AS query_id, bucket FROM buckets WHERE vec_id < 10),
+    cb AS (SELECT vec_id AS neighbor_id, bucket FROM buckets),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.neighbor_id
+      FROM qb q JOIN cb c USING (bucket)
+      WHERE c.neighbor_id != q.query_id
+    ),
+    lsh AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND(list_cosine_similarity(qv.emb, cv.emb), 6) AS cosine_sim
+      FROM cand
+      JOIN vecs qv ON qv.vec_id = cand.query_id
+      JOIN vecs cv ON cv.vec_id = cand.neighbor_id
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) <= 5
+    ),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[])),
+                       6) DESC,
+                 c.vec_id) <= 5
+    ),
+    hits AS (
+      SELECT e.query_id,
+             CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM exact e
+      LEFT JOIN lsh l
+        ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+    )
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(hit) AS BIGINT) AS n_hits,
+           CAST(SUM(hit) * 10000 // COUNT(*) AS BIGINT) AS recall_bp
+    FROM hits GROUP BY query_id
+    """,
+    doc="recall@5 of the LSH ANN path (q28) against the exact brute-force "
+    "top-5 (q27), per query, in exact integer basis points — 'no silent "
+    "quality loss' made first-class: the approximation's RECALL is itself "
+    "a driver-hash-checked quantity, not a claim in a docstring. Both "
+    "pipelines are the deterministic engine-portable ones the oracles "
+    "already replay (LCG hyperplanes, rounded-cosine total order); the "
+    "audit adds one broadcast join of two 50-row results",
+)
+def q121_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(embeddings, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        cosine_topk_lsh(embeddings, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("n_hits * 10000 div n_exact").alias("recall_bp"),
+        )
+    )

@@ -283,3 +283,30 @@ def test_lsh_bucket_audit_accounts_for_cap(spark):
     out2 = lsh_bucket_audit(df, max_bucket=64).collect()
     for r in out2:
         assert r.n_capped_buckets == 0 and r.kept_pairs == 10
+
+
+def test_ann_recall_audit_matches_direct_recomputation(spark, sf_dir):
+    """q121's per-query recall rows must equal |lsh∩exact|/|exact| in
+    exact basis points, recomputed here from the two operators directly
+    — and recall is a real number, not vacuously 0 or 10000 everywhere."""
+    from salesanalytics_etl_spark.plans.extensions import q121_ann_recall_audit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_lsh(emb, q, k=5).collect()
+    }
+    got = {r.query_id: r for r in q121_ann_recall_audit(spark, sf_dir).collect()}
+    assert len(got) == 10
+    for qid, row in got.items():
+        want_exact = {p for p in exact if p[0] == qid}
+        want_hits = {p for p in want_exact if p in approx}
+        assert row.n_exact == len(want_exact) == 5
+        assert row.n_hits == len(want_hits)
+        assert row.recall_bp == len(want_hits) * 10000 // 5
+    assert any(r.n_hits > 0 for r in got.values())

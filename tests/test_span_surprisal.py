@@ -245,3 +245,47 @@ def test_source_kl_divergence_zero_when_distributions_match(spark):
         spark.createDataFrame(rows, ["doc_id", "text", "source"])
     ).collect()
     assert len(out) == 3 and all(r.kl_bits == 0.0 for r in out)
+
+
+def test_bigram_surprisal_matches_pure_python_model(spark):
+    """Full-model equality on arbitrary texts: the Spark pipeline must
+    reproduce a pure-python bigram MLE bit-for-bit under the same
+    round-6dp-then-decimal-accumulate discipline."""
+    import collections
+    import math
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on the hat",
+        "a b a b a",
+        "one-token",
+        "",
+        "  spaced   out   tokens  here ",
+        "the the the the",
+    ]
+    from salesanalytics_etl_spark.operators.text import bigram_surprisal
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    ).repartition(3)
+    got = {
+        r.doc_id: (r.n_transitions, r.bits_per_transition)
+        for r in bigram_surprisal(df).collect()
+    }
+    toks = {
+        i: [w for w in " ".join(t.split()).lower().split(" ") if w]
+        for i, t in enumerate(texts)
+    }
+    trans = {
+        i: list(zip(ws, ws[1:])) for i, ws in toks.items() if len(ws) >= 2
+    }
+    c2 = collections.Counter(t for ts in trans.values() for t in ts)
+    c1 = collections.Counter(t[0] for ts in trans.values() for t in ts)
+    want = {}
+    for i, ts in trans.items():
+        bits = {
+            t: round(math.log2(c1[t[0]]) - math.log2(c2[t]), 6) for t in ts
+        }
+        s = sum(bits[t] for t in ts)  # exact: sums of 6dp-rounded values
+        want[i] = (len(ts), round(s / len(ts), 4))
+    assert got == want
