@@ -4074,3 +4074,107 @@ def q121_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_hits * 10000 div n_exact").alias("recall_bp"),
         )
     )
+
+
+@register(
+    "q122_ivf_recall_audit",
+    oracle="""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    anchors AS (
+      SELECT vec_id AS anchor_id, emb AS a_vec
+      FROM vecs
+      ORDER BY CAST(('0x' || substr(md5(concat_ws('-', 'anchor',
+                     CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT), vec_id
+      LIMIT 16
+    ),
+    cells AS (
+      SELECT v.vec_id AS cid, a.anchor_id AS cell
+      FROM vecs v CROSS JOIN anchors a
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY ROUND(list_cosine_similarity(v.emb, a.a_vec), 6) DESC,
+                 a.anchor_id) = 1
+    ),
+    probes AS (
+      SELECT v.vec_id AS query_id, a.anchor_id AS cell
+      FROM vecs v CROSS JOIN anchors a
+      WHERE v.vec_id < 10
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY ROUND(list_cosine_similarity(v.emb, a.a_vec), 6) DESC,
+                 a.anchor_id) <= 4
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, c.cid AS neighbor_id
+      FROM probes p JOIN cells c USING (cell)
+      WHERE c.cid != p.query_id
+    ),
+    ivf AS (
+      SELECT cand.query_id, cand.neighbor_id
+      FROM cand
+      JOIN vecs q ON q.vec_id = cand.query_id
+      JOIN vecs n ON n.vec_id = cand.neighbor_id
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY cand.query_id
+        ORDER BY ROUND(list_cosine_similarity(q.emb, n.emb), 6) DESC,
+                 cand.neighbor_id) <= 5
+    ),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[])),
+                       6) DESC,
+                 c.vec_id) <= 5
+    ),
+    hits AS (
+      SELECT e.query_id,
+             CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM exact e
+      LEFT JOIN ivf i
+        ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    )
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(hit) AS BIGINT) AS n_hits,
+           CAST(SUM(hit) * 10000 // COUNT(*) AS BIGINT) AS recall_bp
+    FROM hits GROUP BY query_id
+    """,
+    doc="recall@5 of the portable IVF path (q112: md5-sampled anchors, "
+    "probe-4-of-16) against the exact brute-force top-5 (q27), per "
+    "query, in exact integer basis points — completes the recall-audit "
+    "family (q121 covers LSH): every approximate ANN path on the "
+    "surface now has its recall hash-checked by the driver",
+)
+def q122_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.ivf import cosine_topk_ivf_portable
+    from salesanalytics_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(embeddings, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        cosine_topk_ivf_portable(embeddings, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("n_hits * 10000 div n_exact").alias("recall_bp"),
+        )
+    )

@@ -79,6 +79,7 @@ _CHECK_FIRST = [
     "q119_bigram_surprisal",
     "q120_source_kl_divergence",
     "q121_ann_recall_audit",
+    "q122_ivf_recall_audit",
     # --- r5-era rows under r6/r7 code churn ---
     "q52_merge_upsert",
     "q19_top_parts_per_type",
@@ -109,7 +110,6 @@ _CHECK_FIRST = [
     "q51_train_val_test_split",
     "q94_scd2_customers",
     "q101_heavy_hitter_shingles",
-    "q104_unigram_surprisal",
 ]
 
 

@@ -310,3 +310,29 @@ def test_ann_recall_audit_matches_direct_recomputation(spark, sf_dir):
         assert row.n_hits == len(want_hits)
         assert row.recall_bp == len(want_hits) * 10000 // 5
     assert any(r.n_hits > 0 for r in got.values())
+
+
+def test_ivf_recall_audit_matches_direct_recomputation(spark, sf_dir):
+    """q122's per-query recall rows must equal |ivf∩exact|/|exact| in
+    exact basis points, recomputed from the two operators directly."""
+    from salesanalytics_etl_spark.operators.ivf import cosine_topk_ivf_portable
+    from salesanalytics_etl_spark.plans.extensions import q122_ivf_recall_audit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_ivf_portable(emb, q, k=5).collect()
+    }
+    got = {r.query_id: r for r in q122_ivf_recall_audit(spark, sf_dir).collect()}
+    assert len(got) == 10
+    for qid, row in got.items():
+        want_exact = {p for p in exact if p[0] == qid}
+        want_hits = {p for p in want_exact if p in approx}
+        assert row.n_exact == len(want_exact) == 5
+        assert row.n_hits == len(want_hits)
+        assert row.recall_bp == len(want_hits) * 10000 // 5

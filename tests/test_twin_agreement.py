@@ -296,3 +296,32 @@ def test_cluster_stats_shapes_agree_between_trained_and_twin(
         planted_clusters, n_cells=3
     ).groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
     assert sum(r.n for r in cells) == n  # partition, not a multi-cover
+
+
+def test_trained_ivf_recall_floor_on_driver_corpus(spark, sf_dir):
+    """q34's trained-KMeans IVF has no oracle (iterative fit) — q112/q122
+    certify the algorithm class. This pins the PRODUCTION path's quality
+    on the driver corpus: deterministic (fixed seed, hash-stride sample),
+    its recall@5 vs exact brute force must not silently degrade below
+    the portable twin's ballpark. Probe-4-of-16 with a trained quantizer
+    should beat untrained anchors; 0.4 is a loose floor (the twin's
+    subset test uses 0.3)."""
+    from salesanalytics_etl_spark.operators.ivf import cosine_topk_ivf
+    from salesanalytics_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_ivf(spark, emb, q, k=5).collect()
+    }
+    # scores for any shared pair agree exactly is covered by the twin
+    # tests; here the graded quantity is recall itself
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.4, recall
