@@ -17,8 +17,12 @@ So an EQUI-join on deletion variants proposes every qualifying pair
 (recall 1), each string expands into only ``len+1`` variants, and block
 sizes are bounded by true near-neighbor density, not by shared prefixes.
 The exact ``levenshtein`` verify then removes hash/variant false
-positives. Generalizes to distance k by deleting up to k chars (variant
-count ~ len^k — the known cost curve; k=1 is the identifier-typo case).
+positives. The same result generalizes: for ``levenshtein(a,b) <= k``
+the depth-k neighborhoods (delete UP TO k chars) intersect — each of
+the <= k edits costs at most one deletion per side — so depth 2 covers
+distance-2 linkage at ~len²/2 variants per string (the known SymSpell
+cost curve; implemented for k <= 2, with a loud length guard on the
+quadratic expansion).
 
 Shuffle inventory: one explode (len+1 ×, compact rows), one equi-join on
 a 64-bit variant hash (collisions only ADD candidates — the verifier is
@@ -33,41 +37,77 @@ from pyspark.sql import functions as F
 from salesanalytics_etl_spark.operators.dedup import spread_partitions
 
 
-def deletion_variants(df: DataFrame, col: str) -> DataFrame:
-    """(name, vh) rows: xxhash64 of each deletion-neighborhood member.
+def deletion_variants(df: DataFrame, col: str, depth: int = 1) -> DataFrame:
+    """(name, vh) rows: xxhash64 of each deletion-neighborhood member at
+    the given ``depth`` (delete UP TO ``depth`` chars; the string itself
+    is always included as the zero-deletion member).
 
-    Variant 0 is the string itself; variant i (1-based) removes char i.
-    Hashing shrinks the join key to 8 bytes — the exact verify after the
-    join makes hash collisions harmless.
+    Depth 1: variant 0 is the string, variant i (1-based) removes char
+    i. Depth 2 chains a second up-to-one deletion over the depth-1
+    stream (two explodes, each guarded by the j=0 keep-sentinel so empty
+    and length-1 strings stay valid) and DISTINCTs the (name, hash)
+    rows — without it the same variant reached via two deletion orders
+    would double every candidate. Hashing shrinks the join key to 8
+    bytes; the exact verify after the join makes collisions harmless.
     """
-    variants = F.expr(
-        "transform(sequence(0, length(name)), i -> "
-        "if(i = 0, name, "
-        "concat(substring(name, 1, i - 1), substring(name, i + 1))))"
+    if depth not in (1, 2):
+        raise NotImplementedError("deletion neighborhood depth 1 or 2 only")
+    one_del = (
+        "transform(sequence(0, length({s})), i -> "
+        "if(i = 0, {s}, "
+        "concat(substring({s}, 1, i - 1), substring({s}, i + 1))))"
     )
-    return (
-        spread_partitions(df.select(F.col(col).alias("name")), by="name")
-        .select("name", F.explode(variants).alias("_v"))
-        .select("name", F.xxhash64("_v").alias("vh"))
+    base = spread_partitions(df.select(F.col(col).alias("name")), by="name")
+    out = base.select(
+        "name", F.explode(F.expr(one_del.format(s="name"))).alias("_v")
     )
+    if depth == 2:
+        out = out.select(
+            "name", F.explode(F.expr(one_del.format(s="_v"))).alias("_v")
+        )
+    out = out.select("name", F.xxhash64("_v").alias("vh"))
+    return out.distinct() if depth == 2 else out
 
 
 def edit_distance_join(
     df: DataFrame, col: str, max_dist: int = 1
 ) -> DataFrame:
     """All DISTINCT-value pairs of ``col`` within ``max_dist`` edits
-    (recall 1.0). Only ``max_dist=1`` is implemented — the deletion
-    neighborhood of depth 1; see module docstring for the k>1 shape.
+    (recall 1.0) via the depth-``max_dist`` deletion neighborhood;
+    ``max_dist`` in {1, 2} (see module docstring for the cost curve).
 
     Returns (name_a, name_b) with name_a < name_b.
+
+    Depth 2 expands each string into ~len²/2 variants, so identifiers
+    longer than 64 chars are refused LOUDLY (len² = 4k+ variants per
+    row is the silent-quadratic shape every other candidate path here
+    budgets against) — normalize or truncate identifiers first, or use
+    the MinHash path for long-string similarity.
     """
-    if max_dist != 1:
+    if max_dist not in (1, 2):
         raise NotImplementedError(
-            "deletion-neighborhood depth 1 only (identifier-typo linkage);"
-            " depth-k variants generalize with len^k expansion"
+            "deletion-neighborhood depth 1 or 2 only (identifier-typo "
+            "linkage); longer-range similarity belongs to the MinHash path"
         )
     names = df.select(F.col(col)).distinct()
-    v = deletion_variants(names, col)
+    if max_dist == 2:
+        mx = names.agg(F.max(F.length(col)).alias("m")).collect()[0].m or 0
+        if mx > 64:
+            raise RuntimeError(
+                f"edit_distance_join(max_dist=2): longest identifier is "
+                f"{mx} chars -> ~{mx * mx // 2} deletion variants per row; "
+                "refusing the quadratic expansion. Normalize/truncate the "
+                "identifier column, or use MinHash similarity for long "
+                "strings."
+            )
+    # persist: BOTH sides of the self-join consume the variant subtree,
+    # and unpersisted each alias re-runs the explode(+distinct at depth
+    # 2) — measured ~2× the variant stage at sf0.1. The (bounded) pair
+    # result is materialized via localCheckpoint so the cache can be
+    # released before returning (the repo's standard double-consumer
+    # shape).
+    v = deletion_variants(names, col, depth=max_dist).persist()
+    v.count()
     a = v.select(F.col("name").alias("name_a"), "vh")
     b = v.select(F.col("name").alias("name_b"), "vh")
     # verify BEFORE distinct: levenshtein is a codegen'd filter on the
@@ -76,7 +116,7 @@ def edit_distance_join(
     # coincidences, hash collisions). Wall-time-neutral at sf0.1 (the
     # local join is small either way); at 100 TB the distinct IS a
     # shuffle and its input size is the cost.
-    return (
+    out = (
         a.join(b, "vh")
         .filter(
             (F.col("name_a") < F.col("name_b"))
@@ -84,4 +124,7 @@ def edit_distance_join(
         )
         .select("name_a", "name_b")
         .distinct()
+        .localCheckpoint()
     )
+    v.unpersist()
+    return out

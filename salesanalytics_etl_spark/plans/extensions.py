@@ -4178,3 +4178,57 @@ def q122_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_hits * 10000 div n_exact").alias("recall_bp"),
         )
     )
+
+
+@register(
+    "q123_typo_linkage_degree",
+    oracle="""
+    WITH names AS (
+      SELECT DISTINCT c_name AS name FROM customer WHERE c_custkey < 1000
+    ),
+    pairs AS (
+      SELECT a.name AS name_a, b.name AS name_b,
+             levenshtein(a.name, b.name) AS dist
+      FROM names a JOIN names b ON a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 2
+    ),
+    sym AS (
+      SELECT name_a AS name, dist FROM pairs
+      UNION ALL
+      SELECT name_b AS name, dist FROM pairs
+    )
+    SELECT name,
+           CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dist1,
+           CAST(SUM(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dist2
+    FROM sym GROUP BY name
+    """,
+    doc="per-identifier typo-linkage degree at edit distance <= 2 "
+    "(SymSpell deletion neighborhood, depth 2 — closes the former "
+    "max_dist=1 stub): for each customer name, how many other names sit "
+    "one and two edits away. Candidates via the depth-2 "
+    "deletion-variant equi-join (recall 1.0, no cross product — the "
+    "DuckDB twin IS the all-pairs brute force, so the hash check "
+    "certifies recall); per-name degrees keep the output |names|-sized "
+    "where the raw pair list is ~140k rows at sf0.01. Bounded "
+    "c_custkey<1000 because dense numeric identifier spaces make "
+    "depth-2 deletion candidates quasi-quadratic (digit shifts create "
+    "coincidental variant matches) — the bound keeps the audit "
+    "meaningful (999 names, ~285 avg degree) at a bounded cost",
+)
+def q123_typo_linkage_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.linkage import edit_distance_join
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    bounded = customer.filter(F.col("c_custkey") < 1000)
+    pairs = edit_distance_join(bounded, "c_name", max_dist=2).withColumn(
+        "dist", F.levenshtein("name_a", "name_b")
+    )
+    sym = pairs.select(F.col("name_a").alias("name"), "dist").unionByName(
+        pairs.select(F.col("name_b").alias("name"), "dist")
+    )
+    return sym.groupBy("name").agg(
+        F.sum(F.when(F.col("dist") == 1, 1).otherwise(0)).alias("n_dist1"),
+        F.sum(F.when(F.col("dist") == 2, 1).otherwise(0)).alias("n_dist2"),
+    )

@@ -80,6 +80,7 @@ _CHECK_FIRST = [
     "q120_source_kl_divergence",
     "q121_ann_recall_audit",
     "q122_ivf_recall_audit",
+    "q123_typo_linkage_degree",
     # --- r5-era rows under r6/r7 code churn ---
     "q52_merge_upsert",
     "q19_top_parts_per_type",
@@ -108,8 +109,7 @@ _CHECK_FIRST = [
     "q49_dedup_clusters",
     "q50_curation_sample",
     "q51_train_val_test_split",
-    "q94_scd2_customers",
-    "q101_heavy_hitter_shingles",
+    "q108_identifier_linkage",
 ]
 
 

@@ -63,6 +63,52 @@ def test_duplicates_collapse_to_distinct_values(spark):
     assert got == {("AA", "AB")}
 
 
-def test_depth_two_unsupported(spark):
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_depth2_matches_brute_force(spark):
+    """max_dist=2 must return EXACTLY the brute-force levenshtein<=2
+    pairs (recall 1.0 and no extras) on a set exercising substitution x2,
+    insert+delete, delete x2, and far-apart strings."""
+    names = [
+        "Customer#001",
+        "Customer#092",    # two substitutions -> lev 2
+        "Customer#0011",   # one insertion -> lev 1
+        "Customer#01",     # one deletion -> lev 1
+        "Custmer#0011",    # delete + insert vs #001 -> lev 2
+        "Cstmr#001",       # three deletions -> lev 3 from #001
+        "Totally#Other",
+    ]
+    got = {
+        (r.name_a, r.name_b)
+        for r in edit_distance_join(
+            _names(spark, names), "c_name", max_dist=2
+        ).collect()
+    }
+    want = {
+        (a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+        if _lev(a, b) <= 2
+    }
+    want = {(min(a, b), max(a, b)) for a, b in want}
+    assert got == want, (sorted(got - want), sorted(want - got))
+    assert ("Customer#001", "Customer#092") in got  # lev-2 found
+    assert not any("Cstmr#001" in p and "Customer#001" in p for p in got)
+
+
+def test_depth2_refuses_quadratic_identifiers(spark):
+    with pytest.raises(RuntimeError, match="quadratic|64"):
+        edit_distance_join(_names(spark, ["x" * 100]), "c_name", max_dist=2)
+
+
+def test_unsupported_depth_raises(spark):
     with pytest.raises(NotImplementedError):
-        edit_distance_join(_names(spark, ["x"]), "c_name", max_dist=2)
+        edit_distance_join(_names(spark, ["ab"]), "c_name", max_dist=3)
