@@ -4232,3 +4232,53 @@ def q123_typo_linkage_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("dist") == 1, 1).otherwise(0)).alias("n_dist1"),
         F.sum(F.when(F.col("dist") == 2, 1).otherwise(0)).alias("n_dist2"),
     )
+
+
+@register(
+    "q124_join_key_skew",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_events) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM counts
+    )
+    SELECT c.user_id, c.n_events,
+           CAST(c.n_events * 10000 // t.n_total AS BIGINT) AS share_bp,
+           t.n_total, t.n_keys
+    FROM counts c CROSS JOIN tot t
+    ORDER BY c.n_events DESC, c.user_id LIMIT 10
+    """,
+    doc="join-key skew audit for events.user_id — the top-10 hot keys "
+    "with their exact share of the stream in integer basis points, plus "
+    "key-space totals. The 'measure, don't guess' counterpart to the "
+    "salting operators (q59): this is the number that DECIDES whether a "
+    "key needs salting before a groupBy/join ships it to one reducer. "
+    "Scale: per-key counts combine map-side; the top-10 ranks AGGREGATE "
+    "rows (bounded by |keys|) via TakeOrderedAndProject, and the totals "
+    "are a 1-row broadcast — no collect, no row-grain window",
+)
+def q124_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    tot = counts.agg(
+        F.sum("n_events").alias("n_total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_events",
+            F.expr("n_events * 10000 div n_total").alias("share_bp"),
+            "n_total",
+            "n_keys",
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+    )

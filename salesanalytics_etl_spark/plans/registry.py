@@ -81,6 +81,7 @@ _CHECK_FIRST = [
     "q121_ann_recall_audit",
     "q122_ivf_recall_audit",
     "q123_typo_linkage_degree",
+    "q124_join_key_skew",
     # --- r5-era rows under r6/r7 code churn ---
     "q52_merge_upsert",
     "q19_top_parts_per_type",
@@ -108,7 +109,6 @@ _CHECK_FIRST = [
     "q48_pricing_summary",
     "q49_dedup_clusters",
     "q50_curation_sample",
-    "q51_train_val_test_split",
     "q108_identifier_linkage",
 ]
 

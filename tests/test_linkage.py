@@ -112,3 +112,30 @@ def test_depth2_refuses_quadratic_identifiers(spark):
 def test_unsupported_depth_raises(spark):
     with pytest.raises(NotImplementedError):
         edit_distance_join(_names(spark, ["ab"]), "c_name", max_dist=3)
+
+
+def test_depth2_matches_brute_force_random_corpus(spark):
+    """Fixed-seed random corpus over a tiny alphabet (maximizes digit-
+    shift coincidences and length mixing): depth-2 must equal brute
+    force exactly — the randomized complement to the handcrafted cases."""
+    import random
+
+    rng = random.Random(42)
+    names = list({
+        "".join(rng.choice("abc1") for _ in range(rng.randint(1, 7)))
+        for _ in range(60)
+    })
+    got = {
+        (r.name_a, r.name_b)
+        for r in edit_distance_join(
+            _names(spark, names), "c_name", max_dist=2
+        ).collect()
+    }
+    want = {
+        (min(a, b), max(a, b))
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+        if _lev(a, b) <= 2
+    }
+    assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])
+    assert len(want) > 50  # the corpus actually exercises the join
