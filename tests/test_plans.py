@@ -150,3 +150,24 @@ def test_approx_percentiles_within_rank_error(spark):
         "c_mktsegment", "n_orders", "p50_approx", "p90_approx", "p99_approx"
     ]
     assert out.count() > 0
+
+
+def test_driver_record_window_contract():
+    """The driver records the FIRST 50 queries() entries. Pin the
+    rotation bookkeeping structurally: exactly 50 names, every one
+    registered (a typo would silently shrink the window), no
+    duplicates, and the ordered surface actually leads with them."""
+    from salesanalytics_etl_spark.plans.registry import (
+        _CHECK_FIRST,
+        all_queries,
+    )
+
+    qs = all_queries()
+    assert len(_CHECK_FIRST) == 50
+    assert len(set(_CHECK_FIRST)) == 50
+    missing = [n for n in _CHECK_FIRST if n not in qs]
+    assert not missing, missing
+    assert list(qs)[:50] == _CHECK_FIRST
+    # bench compaction contract: qNN prefixes stay unique
+    prefixes = {n.split("_", 1)[0] for n in qs}
+    assert len(prefixes) == len(qs)
