@@ -123,10 +123,20 @@ def single_writer_lock(
         os.close(fd)
         yield
     finally:
+        # Release only OUR lock: if a lease steal (or break_stale_lock)
+        # reclaimed it while we were still running, blindly removing
+        # would free the THIEF's lock and open the table to a third
+        # writer — compounding the overrun instead of containing it.
         try:
-            os.remove(lock)
-        except FileNotFoundError:
-            pass
+            with open(lock) as fh:
+                still_ours = fh.read() == payload
+        except OSError:
+            still_ours = False
+        if still_ours:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
 
 
 def break_stale_lock(path: str, min_age_seconds: float = 3600.0) -> bool:

@@ -560,3 +560,29 @@ def test_bloom_membership_no_false_negatives_and_bounded_fpr(spark):
     assert row.false_negatives == 0
     assert row.bloom_positives == row.n_members + row.false_positives
     assert row.fpr_bp <= 300, row.fpr_bp
+
+
+def test_overrun_holder_does_not_release_thiefs_lock(tmp_path):
+    """If a lease steal reclaims the lock from a still-running (overrun)
+    holder, the old holder's release must NOT remove the new holder's
+    lock — only its own payload may be deleted."""
+    import os
+    import time
+
+    from salesanalytics_etl_spark.operators.upsert import single_writer_lock
+
+    path = str(tmp_path / "t")
+    lock = path + ".__writer_lock__"
+
+    holder = single_writer_lock(path, owner="overrun-holder")
+    holder.__enter__()
+    # simulate lease expiry + steal: a second writer reclaims the lock
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    with single_writer_lock(path, owner="thief", lease_seconds=3600):
+        # old holder finishes while the thief still holds the lock
+        holder.__exit__(None, None, None)
+        assert os.path.exists(lock)  # thief's lock survives
+        with open(lock) as fh:
+            assert "thief" in fh.read()
+    assert not os.path.exists(lock)  # thief's own release still works
