@@ -186,15 +186,53 @@ def merge_upsert(
     incoming: DataFrame,
     keys: list[str],
     broadcast_incoming: bool | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Upsert ``incoming`` into ``target`` by ``keys``; returns new state.
 
     ``target=None`` (first load) → incoming as-is. Incoming is assumed
     key-unique (the pipeline dedupes first, as the reference does before
     staging).
+
+    ``evolve_schema=False`` (default) keeps the reference's fixed-schema
+    MERGE: incoming must carry every target column (a missing one raises
+    loudly) and any EXTRA incoming column raises too — silently dropping
+    it would lose data the caller thought it staged. ``evolve_schema=
+    True`` gives lakehouse mergeSchema semantics instead: new incoming
+    columns extend the table (pre-existing rows read NULL), and columns
+    absent from the batch are NULL for incoming rows (MATCHED rows get
+    that NULL — MERGE updates ALL columns — while unmatched kept rows
+    retain their values). Same-name columns with different types always
+    raise: a silent cast is how a decimal column becomes a string table.
     """
     if target is None:
         return incoming
+    t_types = {f.name: f.dataType for f in target.schema.fields}
+    i_types = {f.name: f.dataType for f in incoming.schema.fields}
+    conflicts = [
+        n for n, t in i_types.items() if n in t_types and t_types[n] != t
+    ]
+    if conflicts:
+        raise ValueError(
+            f"merge_upsert: column type conflict on {conflicts} "
+            f"(target {[str(t_types[c]) for c in conflicts]} vs incoming "
+            f"{[str(i_types[c]) for c in conflicts]}); cast explicitly "
+            "before merging."
+        )
+    extra = [n for n in incoming.columns if n not in t_types]
+    missing = [n for n in target.columns if n not in i_types]
+    if not evolve_schema:
+        if extra or missing:
+            raise ValueError(
+                f"merge_upsert: schema mismatch (incoming adds {extra}, "
+                f"lacks {missing}); pass evolve_schema=True for "
+                "mergeSchema semantics, or conform the batch first."
+            )
+    else:
+        for n in extra:
+            target = target.withColumn(n, F.lit(None).cast(i_types[n]))
+        for n in missing:
+            incoming = incoming.withColumn(n, F.lit(None).cast(t_types[n]))
     incoming = incoming.select(*target.columns)
     probe = incoming.select(*keys).distinct()
     if broadcast_incoming:
@@ -265,6 +303,24 @@ def _merge_upsert_partitioned_locked(
         incoming.write.partitionBy(*partition_by).parquet(path)
         return incoming.select(*partition_by).distinct().count()
 
+    # Schema guard: the target is read PINNED to incoming.schema, so a
+    # column the table has but the batch lacks would be silently DROPPED
+    # from every rewritten partition (touched partitions lose the
+    # column's data; untouched keep it — a corrupt, inconsistent table),
+    # and a NEW incoming column would exist only in touched partitions.
+    # Both are loud errors; evolution on a partitioned table needs an
+    # explicit full rewrite (or a table format with schema evolution).
+    actual = {f.name for f in spark.read.parquet(path).schema.fields}
+    inc = set(incoming.columns)
+    if actual != inc:
+        raise ValueError(
+            "merge_upsert_partitioned: schema mismatch — batch lacks "
+            f"{sorted(actual - inc)} (their data would be dropped from "
+            f"rewritten partitions) and adds {sorted(inc - actual)} "
+            "(would exist only in touched partitions). Conform the batch "
+            "or evolve the table with a full rewrite."
+        )
+
     touched = incoming.select(*partition_by).distinct().collect()
     if not touched:
         return 0
@@ -304,6 +360,90 @@ def _merge_upsert_partitioned_locked(
         spark.conf.set(key, prev)
         shutil.rmtree(staging, ignore_errors=True)
     return len(touched)
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_by: list[str],
+    max_files_per_partition: int = 1,
+) -> int:
+    """Compact small files in a partitioned parquet table: every
+    partition holding more than ``max_files_per_partition`` data files is
+    rewritten as one file per partition; all other partitions' files are
+    left untouched on disk. Returns the number of partitions compacted.
+
+    Why it exists: a steady CDC stream through the partitioned MERGE sink
+    writes one small file per touched partition per micro-batch; a
+    hot partition accumulates hundreds of kilobyte-scale files, and at
+    100 TB the scan cost becomes footer-parse- and open()-bound instead
+    of byte-bound. Periodic compaction is the standard maintenance job
+    every lakehouse runs (OPTIMIZE in table formats).
+
+    Mechanics: crowded partitions are found by counting distinct
+    ``_metadata.file_path`` per partition TUPLE read through the table's
+    own inferred schema — no directory-name parsing, so partition-value
+    typing round-trips exactly (the '01'-vs-1 hazard the MERGE path
+    documents). The rewrite stages those partitions (repartitioned BY
+    the partition columns → exactly one file each) and swaps them in
+    with dynamic partition overwrite under the single-writer lock.
+    Row contents are unchanged; physical row order within a partition
+    may differ (parquet rewrite), same as any OPTIMIZE.
+    """
+    if not partition_by:
+        raise ValueError(
+            "compact_partitions: partition_by must be non-empty (an "
+            "unpartitioned table is compacted by rewriting it whole)"
+        )
+    import shutil
+    from functools import reduce
+    from operator import and_, or_
+
+    with single_writer_lock(path, owner="compact_partitions"):
+        table = spark.read.parquet(path)
+        crowded = (
+            table.groupBy(*partition_by)
+            .agg(
+                F.countDistinct(F.col("_metadata.file_path")).alias("_nf")
+            )
+            .filter(F.col("_nf") > max_files_per_partition)
+            .select(*partition_by)
+            .collect()
+        )
+        if not crowded:
+            return 0
+        pred = reduce(
+            or_,
+            [
+                reduce(
+                    and_,
+                    [F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_by],
+                )
+                for r in crowded
+            ],
+        )
+        staging = path.rstrip("/") + ".__compact_staging__"
+        (
+            table.filter(pred)
+            .repartition(max(len(crowded), 1), *partition_by)
+            .write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(staging)
+        )
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, "static")
+        spark.conf.set(key, "dynamic")
+        try:
+            (
+                spark.read.schema(table.schema).parquet(staging)
+                .write.mode("overwrite")
+                .partitionBy(*partition_by)
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set(key, prev)
+            shutil.rmtree(staging, ignore_errors=True)
+        return len(crowded)
 
 
 def upsert_counts(target_before: DataFrame | None, incoming: DataFrame) -> int:

@@ -198,6 +198,21 @@ class PartitionedParquetUpsertSink:
             self.spark, self.path, batch, self.keys, self.partition_by
         )
 
+    def compact(self, max_files_per_partition: int = 1) -> int:
+        """Maintenance: collapse the small files a steady stream of
+        micro-batches accumulates per hot partition (one file per batch
+        per touched partition) — run between batches/periodically, NOT
+        concurrently with the stream (both sides take the same writer
+        lock, so a concurrent call fails loudly rather than corrupting).
+        Returns the number of partitions compacted."""
+        from salesanalytics_etl_spark.operators.upsert import (
+            compact_partitions,
+        )
+
+        return compact_partitions(
+            self.spark, self.path, self.partition_by, max_files_per_partition
+        )
+
     def attach(self, stream: DataFrame, checkpoint: str):
         """Start the stream writing through this sink (availableNow)."""
         return (

@@ -586,3 +586,91 @@ def test_overrun_holder_does_not_release_thiefs_lock(tmp_path):
         with open(lock) as fh:
             assert "thief" in fh.read()
     assert not os.path.exists(lock)  # thief's own release still works
+
+
+def test_merge_upsert_schema_evolution_and_loud_mismatch(spark):
+    """Default MERGE is fixed-schema: extra OR missing batch columns
+    raise (silently dropping an extra column loses staged data).
+    evolve_schema=True gives mergeSchema semantics: new columns extend
+    the table (old rows NULL), absent columns are NULL for incoming rows
+    while unmatched kept rows retain their values. Type conflicts always
+    raise."""
+    import pytest
+
+    target = spark.createDataFrame([(1, "old"), (2, "keep")], ["k", "v"])
+    plus = spark.createDataFrame([(1, "new", 7.5)], ["k", "v", "w"])
+    with pytest.raises(ValueError, match="adds.*w"):
+        merge_upsert(target, plus, ["k"])
+    evolved = merge_upsert(target, plus, ["k"], evolve_schema=True)
+    rows = {r.k: (r.v, r.w) for r in evolved.collect()}
+    assert rows == {1: ("new", 7.5), 2: ("keep", None)}
+
+    # batch lacking a column: kept row keeps w, matched row gets NULL
+    minus = spark.createDataFrame([(1, "newer")], ["k", "v"])
+    with pytest.raises(ValueError, match="lacks.*w"):
+        merge_upsert(evolved, minus, ["k"])
+    evolved2 = merge_upsert(evolved, minus, ["k"], evolve_schema=True)
+    rows = {r.k: (r.v, r.w) for r in evolved2.collect()}
+    assert rows == {1: ("newer", None), 2: ("keep", None)}
+
+    # same name, different type: always loud
+    clash = spark.createDataFrame([(1, 99)], ["k", "v"])
+    with pytest.raises(ValueError, match="type conflict"):
+        merge_upsert(target, clash, ["k"], evolve_schema=True)
+
+
+def test_partitioned_merge_schema_mismatch_is_loud(spark, tmp_path):
+    """A batch missing a table column would silently drop that column's
+    data from every rewritten partition (pinned-schema read) — must
+    raise instead; same for a batch-only new column."""
+    import pytest
+
+    from salesanalytics_etl_spark.operators.upsert import (
+        merge_upsert_partitioned,
+    )
+
+    path = str(tmp_path / "pt")
+    seed = spark.createDataFrame([(1, "d1", "a")], ["k", "dt", "v"])
+    merge_upsert_partitioned(spark, path, seed, ["k"], ["dt"])
+    lacking = spark.createDataFrame([(2, "d1")], ["k", "dt"])
+    with pytest.raises(ValueError, match="lacks.*'v'"):
+        merge_upsert_partitioned(spark, path, lacking, ["k"], ["dt"])
+    adding = spark.createDataFrame([(2, "d1", "b", 1.0)], ["k", "dt", "v", "w"])
+    with pytest.raises(ValueError, match="adds.*'w'"):
+        merge_upsert_partitioned(spark, path, adding, ["k"], ["dt"])
+
+
+def test_compact_partitions_rewrites_only_crowded(spark, tmp_path):
+    """Compaction must collapse a many-file partition to one file, leave
+    the single-file partition's files byte-identical on disk, preserve
+    row contents exactly, and be idempotent."""
+    import glob
+    import os
+
+    from salesanalytics_etl_spark.operators.upsert import compact_partitions
+
+    path = str(tmp_path / "ct")
+    a = spark.createDataFrame(
+        [(i, "a") for i in range(100)], ["v", "dt"]
+    ).repartition(4)
+    a.write.partitionBy("dt").parquet(path)
+    b = spark.createDataFrame([(i, "b") for i in range(10)], ["v", "dt"])
+    b.coalesce(1).write.mode("append").partitionBy("dt").parquet(path)
+
+    def files(part):
+        return sorted(glob.glob(os.path.join(path, f"dt={part}", "*.parquet")))
+
+    assert len(files("a")) == 4 and len(files("b")) == 1
+    before_b = {f: open(f, "rb").read() for f in files("b")}
+    before_rows = sorted(
+        (r.v, r.dt) for r in spark.read.parquet(path).collect()
+    )
+
+    assert compact_partitions(spark, path, ["dt"]) == 1
+    assert len(files("a")) == 1
+    assert {f: open(f, "rb").read() for f in files("b")} == before_b
+    after_rows = sorted(
+        (r.v, r.dt) for r in spark.read.parquet(path).collect()
+    )
+    assert after_rows == before_rows
+    assert compact_partitions(spark, path, ["dt"]) == 0  # idempotent

@@ -168,3 +168,49 @@ def test_sink_resume_skips_uncommitted_partial_generation(spark, tmp_path):
     got = {r.k: r.v for r in s2.current().collect()}
     assert got == {1: "a", 2: "b"}
     assert os.path.exists(os.path.join(partial, "_SUCCESS"))
+
+
+def test_stream_accumulated_small_files_compact(spark, tmp_path):
+    """Three micro-batches into one hot partition leave three small
+    files; sink.compact() collapses them to one, preserves the exact
+    table state, and leaves the cold partition's file untouched."""
+    import glob
+    import os
+
+    from salesanalytics_etl_spark.streaming.upsert_stream import (
+        PartitionedParquetUpsertSink,
+    )
+
+    sink = PartitionedParquetUpsertSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], partition_by=["dt"]
+    )
+    sink.process_batch(
+        spark.createDataFrame([(0, "cold", "x")], ["k", "dt", "v"]), 0
+    )
+    for i in range(1, 4):  # three batches, all touching dt=hot
+        sink.process_batch(
+            spark.createDataFrame([(i, "hot", f"v{i}")], ["k", "dt", "v"]), i
+        )
+
+    def files(part):
+        return glob.glob(os.path.join(sink.path, f"dt={part}", "*.parquet"))
+
+    # each merge's rewrite file count tracks the shuffle layout, so force
+    # the multi-file precondition deterministically: append one extra
+    # small file into the hot partition (what a parallel loader does)
+    spark.createDataFrame(
+        [(99, "hot", "extra")], ["k", "dt", "v"]
+    ).coalesce(1).write.mode("append").partitionBy("dt").parquet(sink.path)
+    assert len(files("hot")) >= 2  # compaction has real work to do
+
+    cold_before = {f: open(f, "rb").read() for f in files("cold")}
+    state_before = sorted(
+        (r.k, r.dt, r.v) for r in sink.current().collect()
+    )
+    assert sink.compact() >= 1
+    assert len(files("hot")) == 1
+    assert {f: open(f, "rb").read() for f in files("cold")} == cold_before
+    assert (
+        sorted((r.k, r.dt, r.v) for r in sink.current().collect())
+        == state_before
+    )
