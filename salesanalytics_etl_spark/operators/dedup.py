@@ -548,6 +548,18 @@ def md5_token_hash(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
 
 
+def _bucket_pair_count(members_col: str) -> Column:
+    """m·(m−1)/2 candidate pairs for a bucket's member ARRAY, computed in
+    64-bit: ``size()`` is a 32-bit int, and with exact-mode caps lifted a
+    degenerate bucket of 46 341+ members makes the int product wrap
+    SILENTLY (non-ANSI) to a small/negative count — defeating the very
+    budget the count guards. The cast must happen before the multiply."""
+    return F.expr(
+        f"cast(size({members_col}) as bigint)"
+        f" * (size({members_col}) - 1) div 2"
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -648,9 +660,7 @@ def simhash_near_dupes(
         buckets = buckets.persist()
         n_cands = (
             buckets.select(
-                F.sum(
-                    F.expr("size(members) * (size(members) - 1) div 2")
-                ).alias("n")
+                F.sum(_bucket_pair_count("members")).alias("n")
             ).collect()[0].n
             or 0
         )

@@ -64,6 +64,16 @@ def single_writer_lock(
     expected merge (or leave it ``None``, the default, which preserves
     pure live-holder semantics and routes foreign-host cleanup through
     :func:`break_stale_lock`).
+
+    Residual race (documented, not closed): the steal (stat→rename) and
+    the ownership-checked release (read→remove) are check-then-act
+    sequences, so a steal landing in the microseconds between a
+    holder's ownership read and its remove can still lose a lock — it
+    requires a lease overrun AND that sub-millisecond interleaving.
+    Plain-file advisory locks cannot close this without fcntl/flock
+    (unreliable on the network filesystems this targets); deployments
+    needing hostile-timing guarantees should use a transactional table
+    format, which is the documented multi-writer route anyway.
     """
     import socket
 
@@ -209,6 +219,17 @@ def merge_upsert(
         return incoming
     t_types = {f.name: f.dataType for f in target.schema.fields}
     i_types = {f.name: f.dataType for f in incoming.schema.fields}
+    # KEY columns are never evolvable: NULL-filling a missing key would
+    # append NULL-keyed rows that no future merge can match (NULL never
+    # equals NULL in a join) — permanent garbage, not an upsert.
+    bad_keys = [k for k in keys if k not in i_types or k not in t_types]
+    if bad_keys:
+        raise ValueError(
+            f"merge_upsert: key column(s) {bad_keys} missing from "
+            f"{'incoming' if all(k in t_types for k in bad_keys) else 'target/incoming'}"
+            " — keys must be present on both sides (schema evolution "
+            "never applies to keys)."
+        )
     conflicts = [
         n for n, t in i_types.items() if n in t_types and t_types[n] != t
     ]
@@ -288,6 +309,54 @@ def merge_upsert_partitioned(
         )
 
 
+def _partition_predicate(rows, partition_by: list[str]):
+    """OR-of-ANDs null-safe equality predicate selecting exactly the
+    partition tuples in ``rows`` — shared by the partitioned MERGE and
+    compaction so the two prune identically."""
+    from functools import reduce
+    from operator import and_, or_
+
+    return reduce(
+        or_,
+        [
+            reduce(
+                and_,
+                [F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_by],
+            )
+            for r in rows
+        ],
+    )
+
+
+def _stage_and_swap(
+    spark, df: DataFrame, path: str, partition_by: list[str], read_schema
+) -> None:
+    """Write ``df``'s partitions to a sibling staging dir (Spark cannot
+    safely overwrite a path it is reading), then dynamic-partition-
+    overwrite them into ``path`` — touched partitions replaced, all
+    others' files untouched on disk. ``read_schema`` pins the staging
+    re-read so partition values round-trip without re-typing. Callers
+    hold the single-writer lock, so one staging dir per table suffices.
+    """
+    import shutil
+
+    staging = path.rstrip("/") + ".__swap_staging__"
+    df.write.mode("overwrite").partitionBy(*partition_by).parquet(staging)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            spark.read.schema(read_schema).parquet(staging)
+            .write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(key, prev)
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def _merge_upsert_partitioned_locked(
     spark,
     path: str,
@@ -295,10 +364,6 @@ def _merge_upsert_partitioned_locked(
     keys: list[str],
     partition_by: list[str],
 ) -> int:
-    import shutil
-    from functools import reduce
-    from operator import and_, or_
-
     if not os.path.exists(path):  # first load
         incoming.write.partitionBy(*partition_by).parquet(path)
         return incoming.select(*partition_by).distinct().count()
@@ -324,16 +389,7 @@ def _merge_upsert_partitioned_locked(
     touched = incoming.select(*partition_by).distinct().collect()
     if not touched:
         return 0
-    pred = reduce(
-        or_,
-        [
-            reduce(
-                and_,
-                [F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_by],
-            )
-            for r in touched
-        ],
-    )
+    pred = _partition_predicate(touched, partition_by)
     # Pin the read schema to the incoming batch's: partition VALUES are
     # round-tripped through directory names, and schema inference would
     # re-type them (a string partition value '01' becomes int 1), so the
@@ -343,22 +399,7 @@ def _merge_upsert_partitioned_locked(
     # types and the dynamic overwrite lands on the same partitions.
     target = spark.read.schema(incoming.schema).parquet(path)
     merged = merge_upsert(target.filter(pred), incoming, keys)
-
-    staging = path.rstrip("/") + ".__merge_staging__"
-    merged.write.mode("overwrite").partitionBy(*partition_by).parquet(staging)
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, "static")
-    spark.conf.set(key, "dynamic")
-    try:
-        (
-            spark.read.schema(incoming.schema).parquet(staging)
-            .write.mode("overwrite")
-            .partitionBy(*partition_by)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set(key, prev)
-        shutil.rmtree(staging, ignore_errors=True)
+    _stage_and_swap(spark, merged, path, partition_by, incoming.schema)
     return len(touched)
 
 
@@ -381,26 +422,43 @@ def compact_partitions(
     every lakehouse runs (OPTIMIZE in table formats).
 
     Mechanics: crowded partitions are found by counting distinct
-    ``_metadata.file_path`` per partition TUPLE read through the table's
-    own inferred schema — no directory-name parsing, so partition-value
-    typing round-trips exactly (the '01'-vs-1 hazard the MERGE path
-    documents). The rewrite stages those partitions (repartitioned BY
-    the partition columns → exactly one file each) and swaps them in
-    with dynamic partition overwrite under the single-writer lock.
-    Row contents are unchanged; physical row order within a partition
-    may differ (parquet rewrite), same as any OPTIMIZE.
+    ``_metadata.file_path`` per partition TUPLE — no directory-name
+    parsing. Partition columns are read pinned to STRING: a directory
+    name IS a string, so string values round-trip to the identical
+    directory, whereas letting inference re-type them would rewrite a
+    non-canonical value's rows into a DIFFERENT directory ('01' → int 1
+    → dt=1) while the stale dt=01 files survive — a silently duplicated
+    table (the same hazard the MERGE path pins incoming.schema against).
+    The rewrite stages the crowded partitions (repartitioned BY the
+    partition columns → exactly one file each) and swaps them in with
+    dynamic partition overwrite under the single-writer lock. Row
+    contents are unchanged; physical row order within a partition may
+    differ (parquet rewrite), same as any OPTIMIZE.
     """
     if not partition_by:
         raise ValueError(
             "compact_partitions: partition_by must be non-empty (an "
             "unpartitioned table is compacted by rewriting it whole)"
         )
-    import shutil
-    from functools import reduce
-    from operator import and_, or_
+    from pyspark.sql import types as T
 
     with single_writer_lock(path, owner="compact_partitions"):
-        table = spark.read.parquet(path)
+        inferred = spark.read.parquet(path).schema
+        missing = [c for c in partition_by if c not in inferred.names]
+        if missing:
+            raise ValueError(
+                f"compact_partitions: {missing} not partition columns of "
+                f"{path!r} (table columns: {inferred.names})"
+            )
+        pinned = T.StructType(
+            [
+                T.StructField(f.name, T.StringType(), True)
+                if f.name in partition_by
+                else f
+                for f in inferred.fields
+            ]
+        )
+        table = spark.read.schema(pinned).parquet(path)
         crowded = (
             table.groupBy(*partition_by)
             .agg(
@@ -412,37 +470,16 @@ def compact_partitions(
         )
         if not crowded:
             return 0
-        pred = reduce(
-            or_,
-            [
-                reduce(
-                    and_,
-                    [F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_by],
-                )
-                for r in crowded
-            ],
+        pred = _partition_predicate(crowded, partition_by)
+        _stage_and_swap(
+            spark,
+            table.filter(pred).repartition(
+                max(len(crowded), 1), *partition_by
+            ),
+            path,
+            partition_by,
+            pinned,
         )
-        staging = path.rstrip("/") + ".__compact_staging__"
-        (
-            table.filter(pred)
-            .repartition(max(len(crowded), 1), *partition_by)
-            .write.mode("overwrite")
-            .partitionBy(*partition_by)
-            .parquet(staging)
-        )
-        key = "spark.sql.sources.partitionOverwriteMode"
-        prev = spark.conf.get(key, "static")
-        spark.conf.set(key, "dynamic")
-        try:
-            (
-                spark.read.schema(table.schema).parquet(staging)
-                .write.mode("overwrite")
-                .partitionBy(*partition_by)
-                .parquet(path)
-            )
-        finally:
-            spark.conf.set(key, prev)
-            shutil.rmtree(staging, ignore_errors=True)
         return len(crowded)
 
 

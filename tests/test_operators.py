@@ -674,3 +674,66 @@ def test_compact_partitions_rewrites_only_crowded(spark, tmp_path):
     )
     assert after_rows == before_rows
     assert compact_partitions(spark, path, ["dt"]) == 0  # idempotent
+
+
+def test_bucket_pair_count_is_64bit(spark):
+    """The candidate-budget count must survive buckets whose pair count
+    overflows 32-bit int (m >= 46342): a silent int wrap would make the
+    budget see a small/negative count and wave the quadratic join
+    through — the exact blow-up it exists to refuse."""
+    from salesanalytics_etl_spark.operators.dedup import _bucket_pair_count
+
+    df = spark.range(1).select(F.expr("sequence(1, 50000)").alias("members"))
+    got = df.select(_bucket_pair_count("members").alias("n")).collect()[0].n
+    assert got == 50000 * 49999 // 2  # 1,249,975,000 > 2^31-1
+
+
+def test_merge_upsert_never_evolves_key_columns(spark):
+    """A batch missing a KEY column must raise even with
+    evolve_schema=True: NULL-filling the key would append rows no future
+    merge can ever match (NULL never joins equal)."""
+    import pytest
+
+    target = spark.createDataFrame([(1, "a")], ["k", "v"])
+    keyless = spark.createDataFrame([("b",)], ["v"])
+    for evolve in (False, True):
+        with pytest.raises(ValueError, match="key column"):
+            merge_upsert(target, keyless, ["k"], evolve_schema=evolve)
+
+
+def test_compact_preserves_noncanonical_partition_directories(spark, tmp_path):
+    """String partition value '01' lives in directory dt=01; compaction
+    must rewrite INTO dt=01 (partition columns read pinned to string),
+    not re-type it to int 1 and write a duplicate dt=1 while the stale
+    dt=01 files survive."""
+    import glob
+    import os
+
+    from salesanalytics_etl_spark.operators.upsert import (
+        compact_partitions,
+        merge_upsert_partitioned,
+    )
+
+    path = str(tmp_path / "nc")
+    seed = spark.createDataFrame(
+        [(1, "01", "a"), (2, "01", "b"), (3, "2", "c")], ["k", "dt", "v"]
+    )
+    merge_upsert_partitioned(spark, path, seed, ["k"], ["dt"])
+    # force the multi-file precondition in dt=01
+    spark.createDataFrame([(4, "01", "d")], ["k", "dt", "v"]).coalesce(
+        1
+    ).write.mode("append").partitionBy("dt").parquet(path)
+    assert len(glob.glob(os.path.join(path, "dt=01", "*.parquet"))) >= 2
+
+    assert compact_partitions(spark, path, ["dt"]) >= 1
+    assert os.path.isdir(os.path.join(path, "dt=01"))
+    assert not os.path.isdir(os.path.join(path, "dt=1"))  # no re-typing
+    assert len(glob.glob(os.path.join(path, "dt=01", "*.parquet"))) == 1
+    rows = sorted(
+        (r.k, r.dt, r.v)
+        for r in spark.read.schema("k bigint, dt string, v string")
+        .parquet(path)
+        .collect()
+    )
+    assert rows == [(1, "01", "a"), (2, "01", "b"), (3, "2", "c"),
+                    (4, "01", "d")]  # no duplication, nothing lost
