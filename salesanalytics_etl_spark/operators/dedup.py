@@ -882,7 +882,10 @@ def exact_jaccard_join(
     hsets.count()
     ha = hsets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("h_a"))
     hb = hsets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("h_b"))
-    ov = F.size(F.array_intersect("h_a", "h_b"))
+    # cast BEFORE the ×10000: size() is a 32-bit int, and a doc of
+    # >214,748 shingles would wrap the admission product silently
+    # (same class as _bucket_pair_count's overflow)
+    ov = F.size(F.array_intersect("h_a", "h_b")).cast("long")
     uni = F.col("sz_a") + F.col("sz_b") - ov
     # admit on the EXACT integer comparison ov/uni >= t (ov*10000 >=
     # t_bp*uni) — the same boundary the candidate filters prune at; a
