@@ -134,8 +134,18 @@ def language_rebalance(
         "doc_id", "lang", token_count(F.col(text_col)).cast("long").alias("n_tokens")
     )
     totals = toks.groupBy("lang").agg(F.sum("n_tokens").alias("lang_tokens"))
+    # zero-token language guard: a bucket with no countable tokens
+    # (pure-CJK or punctuation-only docs under the [A-Za-z0-9] tokenizer)
+    # would DIVIDE_BY_ZERO under ANSI mode; keep-all (rate 1.0) is both
+    # the sensible semantics (those docs cost nothing against the token
+    # budget) and what the IEEE-inf division already gave on ANSI-off
+    # engines (least(1.0, inf) = 1.0)
     rate = F.least(
-        F.lit(1.0), F.lit(float(budget_tokens)) / F.col("lang_tokens")
+        F.lit(1.0),
+        F.when(
+            F.col("lang_tokens") > 0,
+            F.lit(float(budget_tokens)) / F.col("lang_tokens"),
+        ).otherwise(F.lit(1.0)),
     ).alias("rate")
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
@@ -185,9 +195,12 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
             ),
         )
     )
+    # error measured against the STAGED _q, not a re-spelled rounding
+    # formula: if the quantizer ever changes, the reported RMSE must
+    # measure the emitted values, not a silently-divergent copy
     sq_err = (
-        "aggregate(_emb, 0.0D, (acc, v) -> "
-        "acc + pow(v - floor(v / _scale + 0.5D) * _scale, 2))"
+        "aggregate(zip_with(_emb, _q, (v, q) -> "
+        "pow(v - q * _scale, 2)), 0.0D, (acc, e) -> acc + e)"
     )
     return staged.select(
         "vec_id",
@@ -225,9 +238,21 @@ def source_overlap(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("source").alias("source_b"),
     )
     pairs = a.join(b, "fingerprint").filter(F.col("id_a") < F.col("id_b"))
-    return pairs.groupBy("source_a", "source_b").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.countDistinct("fingerprint").alias("n_fingerprints"),
+    # canonicalize the UNORDERED source pair: keyed on doc order, the
+    # counts for one relationship fragment across mirrored (A,B)/(B,A)
+    # rows depending on arbitrary doc-id assignment — a consumer reading
+    # "the (web, books) row" would undercount
+    return (
+        pairs.select(
+            F.least("source_a", "source_b").alias("source_a"),
+            F.greatest("source_a", "source_b").alias("source_b"),
+            "fingerprint",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("fingerprint").alias("n_fingerprints"),
+        )
     )
 
 
@@ -271,10 +296,12 @@ def curation_pipeline(
     # so the explode must re-spread first (measured 8.3s → 5.4s cold /
     # 1.9s warm at sf0.1) — ngram_rows' internal spread_partitions does
     # exactly that on its input projection.
-    corpus_ngrams = ngram_rows(corpus.select("doc_id", text_col), n)
+    corpus_ngrams = ngram_rows(corpus.select("doc_id", text_col), n, text_col)
     flagged = (
         corpus_ngrams.join(
-            F.broadcast(ngram_rows(bench, n).select("ngram").distinct()),
+            F.broadcast(
+                ngram_rows(bench, n, text_col).select("ngram").distinct()
+            ),
             "ngram",
         )
         .select("doc_id")
@@ -402,7 +429,13 @@ def export_shards(
             "_shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
         )
         .withColumn("_ord", F.xxhash64(F.col(key_col), F.lit(salt)))
-        .repartition(n_shards, F.col("_shard"))
+        # range-partition, not hash: pmod(hash(_shard), n) collides ~1/e
+        # of shard ids into shared tasks (empty writers + multi-shard
+        # stragglers); ranges over the dense 0..n_shards-1 id space give
+        # the 1:1 task-per-shard layout the docstring promises. Equal ids
+        # always land in one partition either way, so shard contents and
+        # bytes are unchanged.
+        .repartitionByRange(n_shards, F.col("_shard"))
         .sortWithinPartitions("_shard", "_ord", key_col)
         .drop("_ord")
         .write.mode("overwrite")

@@ -124,10 +124,16 @@ def chunk_documents(
     Pure array expressions: tokenize once, explode chunk start offsets
     (stride apart), slice the token array per chunk, re-join. One row in →
     ceil(n_tokens/stride) rows out, all inside codegen+generate operators;
-    no Python.
+    no Python. NULL/empty-text documents produce ZERO chunks (split of an
+    empty normalized string yields [''] and NULL text would fabricate a
+    chunk_len through least()'s null-skipping — both phantom chunks a
+    training pipeline must never see).
     """
     toks = F.split(normalize_text(F.col(text_col)), r"\s+")
-    base = df.select("doc_id", toks.alias("toks")).select(
+    base = df.select("doc_id", toks.alias("toks")).where(
+        F.col("toks").isNotNull()
+        & ~((F.size("toks") == 1) & (F.element_at("toks", 1) == ""))
+    ).select(
         "doc_id",
         "toks",
         F.explode(
@@ -437,13 +443,17 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     linear scan — the shape PII scrubbing must have at 100 TB.
     """
     t = F.col(text_col)
-    redacted = F.regexp_replace(
-        F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
-    )
+    # phones are counted on the EMAIL-REDACTED text, not the original:
+    # replacements apply sequentially, so a phone-shaped substring inside
+    # an email (a.555-12@x.com) is consumed by [EMAIL] and never becomes
+    # a [PHONE] placeholder — counting it would desynchronize n_phones
+    # from the placeholder count in the redacted text the md5 certifies
+    after_email = F.regexp_replace(t, EMAIL_RE, "[EMAIL]")
+    redacted = F.regexp_replace(after_email, PHONE_RE, "[PHONE]")
     return df.select(
         "doc_id",
         F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
-        F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_count(after_email, F.lit(PHONE_RE)).alias("n_phones"),
         F.md5(redacted).alias("redacted_fp"),
     )
 
@@ -456,11 +466,21 @@ def repetition_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
     boilerplate/spam for corpus filtering. Array expressions per row for
     the distinct ratio; one (doc, term) shuffle for the top-token share.
     """
+    # empty/whitespace-only/NULL docs: split('') yields [''] — reporting
+    # n_tokens=1, distinct_ratio=1.0 would score a degenerate doc as
+    # maximally diverse (best-possible) and disagree with token_count's 0
+    nz = F.length(normalize_text(F.col(text_col))) > 0
     toks = F.split(normalize_text(F.col(text_col)), r"\s+")
-    base = df.select("doc_id", toks.alias("_toks")).select(
+    base = df.select(
+        "doc_id", toks.alias("_toks"), nz.alias("_nz")
+    ).select(
         "doc_id",
-        F.size("_toks").alias("n_tokens"),
-        F.size(F.array_distinct("_toks")).alias("n_distinct"),
+        F.when(F.col("_nz"), F.size("_toks")).otherwise(F.lit(0)).alias(
+            "n_tokens"
+        ),
+        F.when(F.col("_nz"), F.size(F.array_distinct("_toks")))
+        .otherwise(F.lit(0))
+        .alias("n_distinct"),
     )
     top_share = (
         _token_rows(df, text_col)
@@ -469,20 +489,26 @@ def repetition_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_token_count"))
     )
+    ratio = F.when(
+        F.col("n_tokens") > 0,
+        F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 4),
+    )
+    share = F.when(
+        F.col("n_tokens") > 0,
+        F.round(
+            F.coalesce(F.col("top_token_count"), F.lit(0)).cast("double")
+            / F.col("n_tokens"),
+            4,
+        ),
+    )
     return (
         base.join(top_share, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
             "n_distinct",
-            F.round(
-                F.col("n_distinct").cast("double") / F.col("n_tokens"), 4
-            ).alias("distinct_ratio"),
-            F.round(
-                F.coalesce(F.col("top_token_count"), F.lit(0)).cast("double")
-                / F.col("n_tokens"),
-                4,
-            ).alias("top_token_share"),
+            ratio.alias("distinct_ratio"),
+            share.alias("top_token_share"),
         )
     )
 

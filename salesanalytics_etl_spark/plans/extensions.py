@@ -189,6 +189,7 @@ def q24_docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
              string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
                                 '\s+') AS t
       FROM documents
+      WHERE length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) > 0
     )
     SELECT doc_id,
            CAST(s // 24 AS INT) AS chunk_id,
@@ -1147,7 +1148,13 @@ def q66_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(regexp_extract_all(text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
              AS n_emails,
-           CAST(length(regexp_extract_all(text,
+           -- phones counted on the EMAIL-REDACTED text (replacements are
+           -- sequential; a phone-shaped substring inside an email never
+           -- becomes a [PHONE] placeholder)
+           CAST(length(regexp_extract_all(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '[EMAIL]', 'g'),
              '\b555-[0-9]{2,4}\b')) AS INT) AS n_phones,
            md5(regexp_replace(
                  regexp_replace(text,
@@ -1248,9 +1255,13 @@ def q68_segment_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), base AS (
       SELECT doc_id,
-             CAST(length(string_split(norm, ' ')) AS INT) AS n_tokens,
-             CAST(length(list_distinct(string_split(norm, ' '))) AS INT)
-               AS n_distinct
+             CASE WHEN norm IS NOT NULL AND length(norm) > 0
+                  THEN CAST(length(string_split(norm, ' ')) AS INT)
+                  ELSE 0 END AS n_tokens,
+             CASE WHEN norm IS NOT NULL AND length(norm) > 0
+                  THEN CAST(length(list_distinct(string_split(norm, ' ')))
+                            AS INT)
+                  ELSE 0 END AS n_distinct
       FROM n
     ), toks AS (
       SELECT doc_id, t.term
@@ -1262,10 +1273,13 @@ def q68_segment_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, MAX(c) AS top_c FROM tc GROUP BY 1
     )
     SELECT b.doc_id, b.n_tokens, b.n_distinct,
-           ROUND(CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 4)
-             AS distinct_ratio,
-           ROUND(CAST(COALESCE(t.top_c, 0) AS DOUBLE) / b.n_tokens, 4)
-             AS top_token_share
+           CASE WHEN b.n_tokens > 0
+                THEN ROUND(CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 4)
+                END AS distinct_ratio,
+           CASE WHEN b.n_tokens > 0
+                THEN ROUND(CAST(COALESCE(t.top_c, 0) AS DOUBLE)
+                           / b.n_tokens, 4)
+                END AS top_token_share
     FROM base b LEFT JOIN top t USING (doc_id)
     """,
     doc="token-repetition quality signals (distinct/total ratio, top-token "
@@ -1434,7 +1448,8 @@ def q73_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS fingerprint
       FROM documents
     )
-    SELECT a.source AS source_a, b.source AS source_b,
+    SELECT LEAST(a.source, b.source) AS source_a,
+           GREATEST(a.source, b.source) AS source_b,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(COUNT(DISTINCT a.fingerprint) AS BIGINT) AS n_fingerprints
     FROM fp a JOIN fp b

@@ -40,20 +40,22 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-# Round-7 rotation (driver records the FIRST 50 entries): leads with the
-# 18 queries whose latest driver rows are r04-era — the 13 oracle-backed
-# ones the r6 verdict named (q86-q88, q90-q93, q95-q100; two rounds of
-# churn sit under several: two-phase top-k under q87/q92-adjacent paths,
-# portable rounding under q93/q97) plus the five no_oracle sketch/ANN
-# rows (q34/q64/q82/q85/q89) so nothing r04-era remains anywhere. The
-# other 32 slots go to the r5-era rows sitting on the code churned most
-# recently: q52 (writer-lock lease r7), q19 (two-phase top-k r6 + skew
-# collision guard r7), q107 (CDC _SUCCESS gating r6/r7), q25/q102/q103
-# (dedup budgets), then numerically. Left at their green r5 rows:
-# q01-q14, q17, q18, q53, q66 (static paths, locally swept). Every name
-# here is also swept by tests/test_queries.py + tests/strict_gate.py
-# against the same oracles, so reordering changes what the driver
-# RECORDS, never what is verified.
+# Round-7 rotation (driver records the FIRST 50 entries), priority order:
+# (1) the 18 r04-era rows (13 oracle-backed named by the r6 verdict +
+# the 5 no_oracle sketch/ANN rows) so nothing r04-era remains anywhere;
+# (2) the 6 queries NEW this round (never recorded); (3) r5-era rows
+# whose code churned in r6/r7 (q52 writer-lock lease + schema evolution,
+# q19 two-phase top-k + skew collision guard, q107 CDC gating, q25
+# dedup, q102 admission-product widening, q103); (4) queries whose
+# code/oracles changed in the late-r7 review fixes (q67 phone-count
+# ordering, q69 degenerate-doc ratios, q72 zero-token guard, q73 RMSE
+# reuse, q74 canonical source pairs, q75 text_col fix, q108 variant
+# persist) and stalest-first fill. Left at green r5/r6 rows: q01-q14,
+# q17, q18, q20-q24, q26-q30, q32, q33, q38-q43, q51, q53-q66, q68,
+# q70, q71, q76-q81, q83, q84, q94, q101, q104-q106, q109-q118 —
+# untouched paths, all locally swept. Every name here is also swept by
+# tests/test_queries.py + tests/strict_gate.py against the same oracles,
+# so reordering changes what the driver RECORDS, never what is verified.
 _CHECK_FIRST = [
     # --- r04-era oracle-backed rows (the r6 verdict's item 1) ---
     "q86_bm25_search",
@@ -96,12 +98,12 @@ _CHECK_FIRST = [
     "q35_sales_rollup",
     "q36_status_pivot",
     "q37_order_value_percentiles",
-    "q38_repeat_customers_intersect",
-    "q39_events_json_props",
-    "q40_churned_customers_except",
-    "q41_part_name_search",
-    "q42_purchases_with_prior_views",
-    "q43_purchase_asof_signup",
+    "q67_pii_redaction",
+    "q69_repetition_filter",
+    "q72_language_rebalance",
+    "q73_embedding_quantization",
+    "q74_source_overlap",
+    "q75_curation_pipeline",
     "q44_docs_rolling_fingerprint",
     "q45_media_resize",
     "q46_media_frame_sample",

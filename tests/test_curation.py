@@ -114,10 +114,12 @@ def test_source_overlap_counts_cross_source_dups(spark):
         (r.source_a, r.source_b): (r.n_pairs, r.n_fingerprints)
         for r in source_overlap(df).collect()
     }
-    # pairs by doc order: (1,2) web-books, (1,3) web-web, (2,3) books-web
-    assert out[("web", "books")] == (1, 1)
+    # pairs canonicalized on the UNORDERED source pair (least/greatest):
+    # the web↔books relationship is ONE row regardless of which doc id
+    # happened to be smaller — (1,2) and (2,3) collapse into it
+    assert out[("books", "web")] == (2, 1)
     assert out[("web", "web")] == (1, 1)
-    assert out[("books", "web")] == (1, 1)
+    assert ("web", "books") not in out  # no mirrored fragment
 
 
 def test_curation_pipeline_each_stage_drops_the_right_docs(spark):
@@ -384,3 +386,41 @@ def test_decontaminate_fuzzy_ratio_semantics(spark):
     assert out[1].overlap_bp == 6 * 10000 // 16
     # the verbatim 13-gram check misses doc 1 entirely (no shared 13-gram)
     assert decontaminate(corpus, bench).count() == 0
+
+
+def test_language_rebalance_zero_token_language_keeps_all(spark):
+    """A language bucket with no countable tokens (pure punctuation/CJK
+    under the ASCII tokenizer) must not crash under ANSI division and
+    keeps all its docs at rate 1.0 — they cost nothing against the
+    budget."""
+    from salesanalytics_etl_spark.operators.curation import (
+        language_rebalance,
+    )
+
+    rows = [
+        (1, "en", "real tokens here for the english bucket of docs"),
+        (2, "xx", "!!! ### $$$"),  # zero [A-Za-z0-9] runs? no: '###' has none
+        (3, "xx", "…—…"),
+    ]
+    out = {
+        r.lang: r
+        for r in language_rebalance(
+            spark.createDataFrame(rows, ["doc_id", "lang", "text"]),
+            budget_tokens=1000,
+        ).collect()
+    }
+    assert out["xx"].rate == 1.0 and out["xx"].n_docs_kept == 2
+    assert out["xx"].kept_tokens == 0
+
+
+def test_curation_pipeline_honors_text_col(spark):
+    """Every stage (including the decontamination n-gram joins) must read
+    the caller's text column — a corpus without a 'text' column used to
+    crash in ngram_rows."""
+    from salesanalytics_etl_spark.operators.curation import curation_pipeline
+
+    filler = " ".join(f"w{i}" for i in range(15))
+    rows = [(i, "en", filler + f" tail{i}") for i in range(1, 8)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "body"])
+    out = curation_pipeline(df, text_col="body").collect()
+    assert sum(r.n_docs for r in out) == 7  # all docs survive, no crash

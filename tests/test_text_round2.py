@@ -78,3 +78,53 @@ def test_repetition_ratio_flags_boilerplate(spark):
     out = {r.doc_id: r for r in repetition_ratio(df).collect()}
     assert out[1].distinct_ratio == 0.25 and out[1].top_token_share == 1.0
     assert out[2].distinct_ratio == 1.0 and out[2].top_token_share == 0.25
+
+
+def test_chunk_documents_no_phantom_chunks_for_empty_or_null(spark):
+    """NULL and empty/whitespace-only texts must produce ZERO chunks —
+    not a fabricated row with chunk_len 32 (NULL) or 1 ('')."""
+    from salesanalytics_etl_spark.operators.text import chunk_documents
+
+    rows = [(1, "one two three"), (2, None), (3, ""), (4, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df).collect()
+    assert {r.doc_id for r in out} == {1}
+    assert out[0].chunk_len == 3
+
+
+def test_redact_pii_phone_count_matches_placeholders(spark):
+    """A phone-shaped substring inside an email is consumed by [EMAIL];
+    n_phones must count what actually became [PHONE] placeholders."""
+    from salesanalytics_etl_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "reach me at a.555-12@bar.com ok"),       # phone inside email
+        (2, "mail x@y.com or call 555-1234 today"),   # both, disjoint
+    ]
+    out = {
+        r.doc_id: r
+        for r in redact_pii(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1].n_emails == 1 and out[1].n_phones == 0
+    assert out[2].n_emails == 1 and out[2].n_phones == 1
+
+
+def test_repetition_ratio_degenerate_docs(spark):
+    """Empty/whitespace/NULL docs report n_tokens=0 and NULL ratios —
+    never distinct_ratio=1.0 (the best-possible diversity score)."""
+    from salesanalytics_etl_spark.operators.text import repetition_ratio
+
+    rows = [(1, "a a b"), (2, ""), (3, "   "), (4, None)]
+    out = {
+        r.doc_id: r
+        for r in repetition_ratio(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1].n_tokens == 3 and out[1].distinct_ratio == 0.6667
+    for d in (2, 3, 4):
+        assert out[d].n_tokens == 0 and out[d].n_distinct == 0
+        assert out[d].distinct_ratio is None
+        assert out[d].top_token_share is None
