@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from salesanalytics_etl_spark.operators.dedup import spread_partitions
-from salesanalytics_etl_spark.operators.text import normalize_text, token_count
+from salesanalytics_etl_spark.operators.text import (
+    normalize_text,
+    token_count,
+    tokens,
+)
 
 NGRAM_N = 13  # the community-standard contamination n-gram length
 
@@ -45,7 +49,7 @@ def ngram_rows(df: DataFrame, n: int = NGRAM_N, text_col: str = "text") -> DataF
         spread_partitions(df.select("doc_id", F.col(text_col)))
         .select(
             "doc_id",
-            F.split(normalize_text(F.col(text_col)), r"\s+").alias("toks"),
+            tokens(F.col(text_col)).alias("toks"),
         )
         .filter(F.size("toks") >= n)
     )
@@ -135,7 +139,8 @@ def language_rebalance(
     )
     totals = toks.groupBy("lang").agg(F.sum("n_tokens").alias("lang_tokens"))
     # zero-token language guard: a bucket with no countable tokens
-    # (pure-CJK or punctuation-only docs under the [A-Za-z0-9] tokenizer)
+    # (punctuation-only docs — CJK codepoints DO count since the r8
+    # tokenizer change, so pure-CJK buckets are weighted normally)
     # would DIVIDE_BY_ZERO under ANSI mode; keep-all (rate 1.0) is both
     # the sensible semantics (those docs cost nothing against the token
     # budget) and what the IEEE-inf division already gave on ANSI-off
@@ -556,7 +561,7 @@ def decontaminate_fuzzy(
     denom = (
         corpus.select(
             "doc_id",
-            F.split(normalize_text(F.col("text")), r"\s+").alias("_toks"),
+            tokens(F.col("text")).alias("_toks"),
         )
         .filter(F.size("_toks") >= n)
         .select(

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 _LOG = logging.getLogger(__name__)
 
-from salesanalytics_etl_spark.operators.text import normalize_text
+from salesanalytics_etl_spark.operators.text import normalize_text, tokens
 
 SHINGLE_K = 5  # character shingles
 N_HASHES = 32  # minhash signature length
@@ -574,7 +574,7 @@ def simhash_signatures(
     oracle-portable twin); the SimHash algorithm itself is unchanged.
     """
     hash_fn = token_hash or (lambda c: F.xxhash64(c))
-    toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), r"\s+"))
+    toks = F.array_distinct(tokens(F.col(text_col)))
     exploded = (
         spread_partitions(df.select("doc_id", F.col(text_col)))
         .select("doc_id", F.explode(toks).alias("tok"))
@@ -919,7 +919,7 @@ def word_shingle_rows(
     DuckDB twins use, keeping both engines' edge semantics identical.
     """
     normed = spread_partitions(df.select("doc_id", F.col(text_col))).select(
-        "doc_id", F.split(normalize_text(F.col(text_col)), " ").alias("w")
+        "doc_id", tokens(F.col(text_col)).alias("w")
     )
     exploded = normed.select(
         "doc_id",
@@ -958,7 +958,7 @@ def duplicate_spans(
     shuffles. Collision risk at 128 bits is negligible at any corpus size.
     """
     normed = spread_partitions(df.select("doc_id", F.col(text_col))).select(
-        "doc_id", F.split(normalize_text(F.col(text_col)), " ").alias("w")
+        "doc_id", tokens(F.col(text_col)).alias("w")
     )
     spans = normed.select(
         "doc_id",

@@ -18,8 +18,18 @@ import pandas  # module-scope: pandas_udf type hints resolve via __globals__
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Token = maximal run of word characters (BPE-ish pre-tokenization boundary).
-TOKEN_RE = "[A-Za-z0-9]+"
+# CJK scripts carry no whitespace/word boundaries, so one CODEPOINT = one
+# token (the standard LLM-tokenizer approximation for Han/kana/Hangul).
+# Explicit codepoint ranges — NOT \p{Han} script classes — so Spark's Java
+# regex and DuckDB's RE2 count identically (verified cross-engine in
+# tests/test_text_cjk.py): Hiragana+Katakana U+3040-30FF, CJK Ext-A
+# U+3400-4DBF, CJK Unified U+4E00-9FFF, Hangul syllables U+AC00-D7AF.
+CJK_CP_RE = "[぀-ヿ㐀-䶿一-鿿가-힯]"
+# Token = maximal run of word characters (BPE-ish pre-tokenization
+# boundary) OR a single CJK codepoint. Every oracle twin that re-spells
+# this regex must carry the same alternation (lockstep is pinned by the
+# cross-engine CJK gate in tests/test_text_cjk.py).
+TOKEN_RE = "[A-Za-z0-9]+|" + CJK_CP_RE
 # Language-ID n-gram/stopword evidence. Deterministic, order-matters tie-break.
 LANG_MARKERS: list[tuple[str, str]] = [
     ("en", r"\b(the|and|of|to|is|in)\b"),
@@ -129,7 +139,7 @@ def chunk_documents(
     chunk_len through least()'s null-skipping — both phantom chunks a
     training pipeline must never see).
     """
-    toks = F.split(normalize_text(F.col(text_col)), r"\s+")
+    toks = tokens(F.col(text_col))
     base = df.select("doc_id", toks.alias("toks")).where(
         F.col("toks").isNotNull()
         & ~((F.size("toks") == 1) & (F.element_at("toks", 1) == ""))
@@ -161,6 +171,25 @@ def normalize_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+def cjk_segment(text: Column) -> Column:
+    """Space-delimit CJK codepoints so the whitespace tokenizer segments
+    unspaced scripts one codepoint per token. Latin/ASCII text is
+    byte-identical after this pass (the class matches nothing), so every
+    non-CJK corpus tokenizes exactly as before."""
+    return F.regexp_replace(text, "(" + CJK_CP_RE + ")", " $1 ")
+
+
+def tokens(text: Column) -> Column:
+    """The shared CJK-aware whitespace tokenizer: segment CJK, normalize,
+    split on whitespace. All split-based token consumers (chunking,
+    TF-IDF/BM25, surprisal, KL, repetition, shingles, decontamination)
+    go through here so they stay in lockstep with each other and with
+    their oracle twins. NOTE: fingerprinting (:func:`normalize_text` md5)
+    deliberately does NOT segment — the canonical form of the bytes is a
+    different notion from the token stream."""
+    return F.split(normalize_text(cjk_segment(text)), r"\s+")
+
+
 def _token_rows(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, term) rows: whitespace tokens of the normalized text —
     the shared tokenization for TF-IDF / inverted index / repetition.
@@ -173,7 +202,7 @@ def _token_rows(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     return spread_partitions(df.select("doc_id", F.col(text_col))).select(
         "doc_id",
-        F.explode(F.split(normalize_text(F.col(text_col)), r"\s+")).alias("term"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
     ).filter(F.length("term") > 0)
 
 
@@ -209,7 +238,7 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     from salesanalytics_etl_spark.operators.dedup import spread_partitions
 
-    w = F.split(normalize_text(F.col(text_col)), r"\s+")
+    w = tokens(F.col(text_col))
     base = (
         spread_partitions(df.select("doc_id", F.col(text_col)))
         .select("doc_id", w.alias("w"))
@@ -287,9 +316,7 @@ def source_kl_divergence(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     toks = spread_partitions(df.select("doc_id", "source", F.col(text_col))).select(
         "source",
-        F.explode(
-            F.split(normalize_text(F.col(text_col)), r"\s+")
-        ).alias("term"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
     ).filter(F.length("term") > 0)
     sv = (
         toks.groupBy("source", "term")
@@ -470,7 +497,7 @@ def repetition_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
     # n_tokens=1, distinct_ratio=1.0 would score a degenerate doc as
     # maximally diverse (best-possible) and disagree with token_count's 0
     nz = F.length(normalize_text(F.col(text_col))) > 0
-    toks = F.split(normalize_text(F.col(text_col)), r"\s+")
+    toks = tokens(F.col(text_col))
     base = df.select(
         "doc_id", toks.alias("_toks"), nz.alias("_nz")
     ).select(

@@ -92,10 +92,10 @@ def q21_docs_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT doc_id,
            CAST(length(text) AS INT) AS n_chars,
-           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_tokens
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[぀-ヿ㐀-䶿一-鿿가-힯]')) AS INT) AS n_tokens
     FROM documents
     """,
-    doc="token counting: maximal [A-Za-z0-9]+ runs (BPE-ish pre-tokens)",
+    doc="token counting: [A-Za-z0-9]+ runs + one token per CJK codepoint",
 )
 def q22_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from salesanalytics_etl_spark.operators.text import token_count
@@ -115,7 +115,7 @@ def q22_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT doc_id,
              length(text) AS n_chars,
-             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+|[぀-ヿ㐀-䶿一-鿿가-힯]')) AS n_tokens,
              len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
              len(regexp_extract_all(lower(text),
                  '\b(the|and|of|to|is|in|a|that|it|for)\b')) AS n_stop
@@ -186,10 +186,10 @@ def q24_docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,
-             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+             string_split_regex(trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g')),
                                 '\s+') AS t
       FROM documents
-      WHERE length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) > 0
+      WHERE length(trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g'))) > 0
     )
     SELECT doc_id,
            CAST(s // 24 AS INT) AS chunk_id,
@@ -336,7 +336,7 @@ def q25_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q26_simhash_neardup",
     oracle=r"""
     WITH docs AS (
-      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      SELECT doc_id, trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g')) AS t
       FROM documents WHERE doc_id < 2000
     ),
     toks AS (
@@ -1068,7 +1068,7 @@ def q64_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q65_tfidf_top_terms",
     oracle=r"""
     WITH n AS (
-      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      SELECT doc_id, trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g')) AS norm
       FROM documents
     ), toks AS (
       SELECT doc_id, t.term
@@ -1107,7 +1107,7 @@ def q65_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q66_inverted_index",
     oracle=r"""
     WITH n AS (
-      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      SELECT doc_id, trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g')) AS norm
       FROM documents
     ), toks AS (
       SELECT DISTINCT doc_id, t.term
@@ -1251,7 +1251,7 @@ def q68_segment_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q69_repetition_filter",
     oracle=r"""
     WITH n AS (
-      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      SELECT doc_id, trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g')) AS norm
       FROM documents
     ), base AS (
       SELECT doc_id,
@@ -1301,7 +1301,7 @@ def q69_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+             string_split(trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g')),
                           ' ') AS t
       FROM documents
     ), grams AS (
@@ -1338,7 +1338,7 @@ def q70_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle=r"""
     WITH t AS (
       SELECT doc_id, source,
-             CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+             CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+|[぀-ヿ㐀-䶿一-鿿가-힯]')) AS BIGINT)
                AS n_tokens
       FROM documents
     ), c AS (
@@ -1369,7 +1369,7 @@ def q71_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id, lang,
-             CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+             CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+|[぀-ヿ㐀-䶿一-鿿가-힯]')) AS BIGINT)
                AS n_tokens
       FROM documents
     ), totals AS (
@@ -1473,7 +1473,7 @@ def q74_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id, lang, text,
-             CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+             CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+|[぀-ヿ㐀-䶿一-鿿가-힯]')) AS BIGINT)
                AS n_tokens,
              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
                AS fingerprint
@@ -1487,7 +1487,7 @@ def q74_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM deduped WHERE doc_id % 50 <> 0
     ), split_toks AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+             string_split(trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g')),
                           ' ') AS t
       FROM corpus
     ), corpus_grams AS (
@@ -1497,7 +1497,7 @@ def q74_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), bench_grams AS (
       SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS ngram
       FROM (
-        SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        SELECT string_split(trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g')),
                             ' ') AS t
         FROM documents WHERE doc_id % 50 = 0
       ), UNNEST(range(1, len(t) - 11)) AS r(i)
@@ -1787,7 +1787,7 @@ def q80_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q81_bigram_merge_candidates",
     oracle=r"""
     WITH toks AS (
-      SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+      SELECT string_split(trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g')),
                           ' ') AS t
       FROM documents
     ), pairs AS (
@@ -1812,11 +1812,11 @@ def q81_bigram_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from salesanalytics_etl_spark.operators.dedup import spread_partitions
-    from salesanalytics_etl_spark.operators.text import normalize_text
+    from salesanalytics_etl_spark.operators.text import tokens
 
     (documents,) = _t(spark, sf_dir, "documents")
     toks = spread_partitions(documents.select("doc_id", "text")).select(
-        F.split(normalize_text(F.col("text")), r"\s+").alias("toks")
+        tokens(F.col("text")).alias("toks")
     )
     pairs = toks.filter(F.size("toks") >= 2).select(
         F.explode(
@@ -2029,7 +2029,7 @@ def q85_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q86_bm25_search",
     oracle=r"""
     WITH n AS (
-      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      SELECT doc_id, trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g')) AS norm
       FROM documents
     ), toks AS (
       SELECT doc_id, t.term
@@ -2230,7 +2230,7 @@ def q89_embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT doc_id, lang,
-             CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+             CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+|[぀-ヿ㐀-䶿一-鿿가-힯]')) AS BIGINT)
                AS n_tokens,
              (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INT)
               % 10000 + 1) / 10001.0 AS u
@@ -2836,7 +2836,7 @@ def q101_heavy_hitter_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH n AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+             string_split(trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g')),
                           ' ') AS w
       FROM documents
     ), sh AS (
@@ -2879,7 +2879,7 @@ def q102_exact_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH nn AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+             string_split(trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g')),
                           ' ') AS w
       FROM documents
     ), sp AS (
@@ -2918,7 +2918,7 @@ def q103_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH nn AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+             string_split(trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g')),
                           ' ') AS w
       FROM documents
     ), tok AS (
@@ -2990,9 +2990,9 @@ def q104_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + 0.5 * (CASE WHEN length(text) > 0
                           THEN CAST(len(regexp_extract_all(text, '[A-Za-z]'))
                                     AS DOUBLE) / length(text) ELSE 0.0 END)
-                 + 0.25 * (CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+')) > 0
+                 + 0.25 * (CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+|[぀-ヿ㐀-䶿一-鿿가-힯]')) > 0
                            AND CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
-                               / len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                               / len(regexp_extract_all(text, '[A-Za-z0-9]+|[぀-ヿ㐀-䶿一-鿿가-힯]'))
                                BETWEEN 2 AND 12
                            THEN 1.0 ELSE 0.0 END), 4) AS quality
       FROM documents
@@ -3041,7 +3041,7 @@ def q105_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH d AS (
       SELECT doc_id, source,
-             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+|[぀-ヿ㐀-䶿一-鿿가-힯]')) AS tok,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INT)
                % 10000 AS bucket
       FROM documents
@@ -3760,7 +3760,7 @@ def q116_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH m AS (
       SELECT length(text) AS n_chars,
-             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+|[぀-ヿ㐀-䶿一-鿿가-힯]')) AS n_tokens,
              len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
       FROM documents
     ), scored AS (
@@ -3827,7 +3827,7 @@ def q117_quality_threshold_calibration(
     oracle=r"""
     WITH nm AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+             string_split(trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g')),
                           ' ') AS toks
       FROM documents
     ), corp AS (
@@ -3885,10 +3885,10 @@ def q118_fuzzy_decontamination(
     oracle=r"""
     WITH nn AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+             string_split(trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g')),
                           ' ') AS w
       FROM documents
-      WHERE length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) > 0
+      WHERE length(trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g'))) > 0
     ), tr AS (
       SELECT doc_id, w[CAST(i AS INT)] AS prev, w[CAST(i + 1 AS INT)] AS cur
       FROM nn, UNNEST(range(1, len(w))) AS t(i)
@@ -3933,7 +3933,7 @@ def q119_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH nn AS (
       SELECT source,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+             string_split(trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g')),
                           ' ') AS w
       FROM documents
     ), tok AS (
