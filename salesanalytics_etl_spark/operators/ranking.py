@@ -1,0 +1,116 @@
+"""Distributed exact ranking — global row_number / NTILE without a
+single-partition sort.
+
+``Window.orderBy(...)`` with no partition key funnels the entire input
+through ONE sort partition — the classic scale-killer the plan linter
+exists to catch (the r7 verdict flagged q93's customer-grain ntile as the
+last such funnel on the surface). For a TOTAL order the same result is
+computable exactly with distributed machinery:
+
+1. ``repartitionByRange`` on the order columns — partitions are disjoint,
+   globally ordered key ranges (sampling only affects partition SIZES,
+   never ordering, so exactness is unaffected).
+2. ``row_number`` within each range partition (the per-partition window
+   sorts locally and spills; no partition sees more than its range).
+3. Per-partition row counts (one tiny aggregate, <= shuffle-partitions
+   rows) turned into cumulative offsets; global rank = offset + local
+   row_number via a broadcast join on the partition id.
+4. NTILE(n) derived from the global rank and total count with the exact
+   SQL bucket arithmetic (first ``N mod n`` buckets get ``N div n + 1``
+   rows) — bit-identical to ``F.ntile`` over the same total order.
+
+The ONLY unpartitioned window left is the cumulative sum over the
+per-partition COUNTS frame — bounded by ``spark.sql.shuffle.partitions``
+(dozens of rows at any data size), the same bounded-grain class as the
+sketch/bucket windows the plan-lint allowlist documents.
+
+The order must be TOTAL (include a unique tiebreak column, as SQL NTILE
+determinism requires anyway) — with duplicate composite keys the range
+boundary between two equal keys could otherwise split them arbitrarily.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def append_global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_col: str = "rank",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Append the exact global row_number over ``order_cols`` (a total
+    order) without a single-partition sort. Optionally also append the
+    total row count as ``total_col`` (needed by NTILE derivation)."""
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = df.repartitionByRange(nparts, *order_cols).withColumn(
+        "_rk_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_rk_pid").orderBy(*order_cols)
+    local = ranged.withColumn("_rk_rn", F.row_number().over(w))
+    counts = local.groupBy("_rk_pid").agg(F.count(F.lit(1)).alias("_rk_c"))
+    # bounded-grain global window: <= nparts rows regardless of data size
+    wo = Window.orderBy("_rk_pid")
+    offsets = counts.select(
+        "_rk_pid",
+        F.coalesce(
+            F.sum("_rk_c").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_rk_off"),
+        F.sum("_rk_c")
+        .over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("_rk_total"),
+    )
+    ranked = local.join(F.broadcast(offsets), "_rk_pid").withColumn(
+        out_col, F.col("_rk_off") + F.col("_rk_rn")
+    )
+    keep = [c for c in df.columns] + [out_col]
+    if total_col is not None:
+        ranked = ranked.withColumn(total_col, F.col("_rk_total"))
+        keep.append(total_col)
+    return ranked.select(*keep)
+
+
+def append_global_ntile(
+    df: DataFrame,
+    n: int,
+    order_cols: list[Column],
+    out_col: str,
+) -> DataFrame:
+    """Append exact NTILE(n) over a total order, computed via
+    :func:`append_global_rank` — no data-scaled single-partition sort.
+    Chainable: call once per metric to accumulate quartile columns.
+
+    Bucket arithmetic is SQL NTILE's, all integer: with N rows the first
+    ``N mod n`` buckets hold ``N div n + 1`` rows, the rest ``N div n``
+    (greatest() keeps the unreached else-branch division defined when
+    N < n)."""
+    ranked = append_global_rank(
+        df, order_cols, out_col="_nt_rank", total_col="_nt_total"
+    )
+    r = F.expr(f"_nt_total % {n}")
+    cut = r * (F.expr(f"_nt_total div {n}") + 1)
+    rank = F.col("_nt_rank")
+    bucket = (
+        F.when(
+            rank <= cut,
+            F.expr(f"(_nt_rank - 1) div (_nt_total div {n} + 1)"),
+        )
+        .otherwise(
+            r
+            + F.expr(
+                f"(_nt_rank - (_nt_total % {n}) * (_nt_total div {n} + 1) - 1)"
+                f" div greatest(_nt_total div {n}, 1)"
+            )
+        )
+        .cast("int")
+        + F.lit(1)
+    )
+    return ranked.withColumn(out_col, bucket.cast("int")).drop(
+        "_nt_rank", "_nt_total"
+    )

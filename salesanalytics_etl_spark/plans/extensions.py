@@ -2381,15 +2381,18 @@ def q92_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="RFM segmentation: per-customer recency (last order), frequency, "
     "monetary (decimal-accumulated, double-emitted), each bucketed into "
-    "quartiles by ntile over a TOTAL order (metric, custkey) so both "
-    "engines tie-break identically. The ntile window runs over the "
-    "customer-grain AGGREGATE (dim-bounded), not the fact table — the "
-    "single-partition sort is |customers|, not |orders|",
+    "quartiles over a TOTAL order (metric, custkey) so both engines "
+    "tie-break identically. Quartiles come from operators/ranking.py's "
+    "DISTRIBUTED exact NTILE (range-partition + local row_number + "
+    "offset join) — customers scale with the data (SF x 150k), so the "
+    "naive global ntile window would funnel hundreds of millions of "
+    "rows through one sort partition at 100 TB (r7 verdict finding); "
+    "the only unpartitioned window left is over the <= shuffle-"
+    "partitions-row offsets frame",
 )
 def q93_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from salesanalytics_etl_spark.functions.scalar import dec182, money_out
+    from salesanalytics_etl_spark.operators.ranking import append_global_ntile
 
     (orders,) = _t(spark, sf_dir, "orders")
     agg = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
@@ -2397,17 +2400,14 @@ def q93_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         money_out(F.sum(dec182("o_totalprice"))).alias("monetary"),
     )
-    w_r = Window.orderBy(F.desc("last_order"), F.asc("c_custkey"))
-    w_f = Window.orderBy(F.desc("n_orders"), F.asc("c_custkey"))
-    w_m = Window.orderBy(F.desc("monetary"), F.asc("c_custkey"))
-    return agg.select(
-        "c_custkey",
-        "last_order",
-        "n_orders",
-        "monetary",
-        F.ntile(4).over(w_r).alias("r_quartile"),
-        F.ntile(4).over(w_f).alias("f_quartile"),
-        F.ntile(4).over(w_m).alias("m_quartile"),
+    with_r = append_global_ntile(
+        agg, 4, [F.desc("last_order"), F.asc("c_custkey")], "r_quartile"
+    )
+    with_f = append_global_ntile(
+        with_r, 4, [F.desc("n_orders"), F.asc("c_custkey")], "f_quartile"
+    )
+    return append_global_ntile(
+        with_f, 4, [F.desc("monetary"), F.asc("c_custkey")], "m_quartile"
     )
 
 

@@ -52,6 +52,66 @@ def _formatted_plan(df) -> str:
     return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
+def _iter_plan_nodes(node):
+    yield node
+    # AQE wraps the real tree in a leaf-like AdaptiveSparkPlanExec;
+    # descend into its input plan or the traversal sees nothing
+    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        yield from _iter_plan_nodes(node.inputPlan())
+        return
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _iter_plan_nodes(it.next())
+
+
+def _global_window_count(df) -> int:
+    """Number of WindowExec-family nodes with an EMPTY partition spec —
+    each one funnels its whole input through a single sort partition."""
+    return sum(
+        1
+        for n in _iter_plan_nodes(df._jdf.queryExecution().executedPlan())
+        if "Window" in n.getClass().getSimpleName()
+        and n.partitionSpec().isEmpty()
+    )
+
+
+# Unpartitioned windows tolerated ONLY over provably bounded-grain input
+# (grain that does NOT scale with the data). Every entry documents the
+# bound; any query not listed here must plan ZERO global windows — this
+# is how the r7 q93 finding (three global ntiles over the data-scaled
+# customer grain) becomes structurally impossible to reintroduce.
+_GLOBAL_WINDOW_ALLOWLIST = {
+    # running total over the DAY grain (bounded by the calendar)
+    "q18_running_daily_sales": 1,
+    # month-over-month lag over the MONTH grain
+    "q58_mom_sales_growth": 1,
+    # 7-day rolling window over the DAY grain
+    "q79_rolling_7day_sales": 1,
+    # merge_rank over the top-20 SURVIVOR set (limit applied first)
+    "q81_bigram_merge_candidates": 1,
+    # three distributed-ntile passes; each leaves ONE global window over
+    # its <= shuffle-partitions-row OFFSETS frame (operators/ranking.py)
+    "q93_customer_rfm": 3,
+    # z-score stats over the DAY grain
+    "q97_daily_sales_anomalies": 1,
+    # threshold sweep over <= 10 001 integer basis-point buckets
+    "q117_quality_threshold_calibration": 2,
+}
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_no_data_scaled_global_window(spark, sf_dir, name):
+    df = all_queries()[name](spark, sf_dir)
+    n = _global_window_count(df)
+    allowed = _GLOBAL_WINDOW_ALLOWLIST.get(name, 0)
+    assert n <= allowed, (
+        f"{name} plans {n} unpartitioned Window nodes (allowlisted: "
+        f"{allowed}) — a single-partition sort funnel; use "
+        f"operators/ranking.py for global rank/ntile, or allowlist with "
+        f"a documented bounded-grain justification"
+    )
+
+
 # PLANS.md regression pins: the scale-critical plan properties of the
 # headline queries must survive refactors. Each entry: query -> substrings
 # its formatted physical plan must contain.
