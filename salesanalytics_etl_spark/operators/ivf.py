@@ -232,6 +232,7 @@ def portable_cell_assignment(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    anchor_rows: list | None = None,
 ) -> DataFrame:
     """(cid, cell, cell_sim): each vector's nearest deterministic anchor
     by ROUNDED cosine (6dp, anchor id tiebreak — the cross-engine-stable
@@ -249,15 +250,26 @@ def portable_cell_assignment(
     lift to the same doubles either way).
 
     NB the anchor collect makes plan CONSTRUCTION eager: anchors are
-    frozen at build time, and an empty corpus (or n_cells <= 0) yields
-    zero anchors — returned as an empty result rather than letting
-    ``F.greatest()`` blow up with no arguments.
+    frozen at build time; a genuinely EMPTY corpus yields zero anchors —
+    returned as an empty result rather than letting ``F.greatest()``
+    blow up with no arguments. A degenerate ``n_cells <= 0`` on the
+    other hand raises loudly (the repo convention: silent-empty results
+    hide parameter bugs). ``anchor_rows`` lets a caller that already
+    collected the anchor frame (cosine_topk_ivf_portable probes the
+    same anchors) thread it through instead of re-deriving it — one
+    corpus sample scan instead of two.
     """
     import math
 
     from salesanalytics_etl_spark.operators.similarity import _dot, _norm
 
-    rows = _portable_anchors(corpus, n_cells, id_col, vec_col).collect()
+    if n_cells <= 0:
+        raise ValueError(f"n_cells must be positive, got {n_cells}")
+    rows = (
+        anchor_rows
+        if anchor_rows is not None
+        else _portable_anchors(corpus, n_cells, id_col, vec_col).collect()
+    )
     if not rows:
         return corpus.select(
             F.col(id_col).alias("cid"),
@@ -323,10 +335,17 @@ def cosine_topk_ivf_portable(
     no shuffle); the candidate join is an equi-join on cell id.
     """
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
-    cells = portable_cell_assignment(corpus, n_cells, id_col, vec_col).select(
-        "cid", "cell"
+    # derive the anchor list ONCE (bounded: n_cells rows) and thread it
+    # through both consumers — assignment (literal-argmax projection) and
+    # the probe side (rebuilt as a local frame, no second corpus scan)
+    anchor_rows = _portable_anchors(corpus, n_cells, id_col, vec_col).collect()
+    cells = portable_cell_assignment(
+        corpus, n_cells, id_col, vec_col, anchor_rows=anchor_rows
+    ).select("cid", "cell")
+    anchors = corpus.sparkSession.createDataFrame(
+        [(int(r.anchor_id), [float(x) for x in r.a_vec]) for r in anchor_rows],
+        "anchor_id bigint, a_vec array<double>",
     )
-    anchors = _portable_anchors(corpus, n_cells, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
