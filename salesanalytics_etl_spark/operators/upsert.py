@@ -56,20 +56,25 @@ def single_writer_lock(
 
     The pid-liveness check is HOST-LOCAL; a writer that died on *another*
     host would wedge the table until manual cleanup. ``lease_seconds``
-    closes that: a lock older than the lease (by file mtime — stamped
-    once at acquire, never refreshed) is reclaimable by ANY contender
-    through the same atomic rename, so exactly one steals it. Because
-    there is no heartbeat, a LIVE holder whose merge outlives the lease
-    could be stolen from — set the lease comfortably above the longest
-    expected merge (or leave it ``None``, the default, which preserves
-    pure live-holder semantics and routes foreign-host cleanup through
-    :func:`break_stale_lock`).
+    closes that: a lock whose mtime is older than the lease is
+    reclaimable by ANY contender through the same atomic rename, so
+    exactly one steals it. While the holder runs, a daemon HEARTBEAT
+    thread refreshes the mtime (``os.utime``) every ``lease/3`` seconds,
+    so a live holder is never stolen from merely for outrunning the
+    lease — only if its whole process stalls longer than the lease
+    (GC pause, NFS hang) or contender-vs-holder clock skew exceeds the
+    lease. Size the lease above worst-case skew + stall, not above the
+    merge duration. ``None`` (the default) preserves pure live-holder
+    semantics and routes foreign-host cleanup through
+    :func:`break_stale_lock`.
 
     Residual race (documented, not closed): the steal (stat→rename) and
     the ownership-checked release (read→remove) are check-then-act
     sequences, so a steal landing in the microseconds between a
     holder's ownership read and its remove can still lose a lock — it
-    requires a lease overrun AND that sub-millisecond interleaving.
+    requires a lease-length stall AND that sub-millisecond interleaving
+    (the heartbeat's read-then-utime pair is the same class and can at
+    worst refresh a thief's mtime once).
     Plain-file advisory locks cannot close this without fcntl/flock
     (unreliable on the network filesystems this targets); deployments
     needing hostile-timing guarantees should use a transactional table
@@ -128,11 +133,32 @@ def single_writer_lock(
                 "break_stale_lock(), or use a transactional table format "
                 "for multi-writer."
             )
+    hb_stop = None
     try:
         os.write(fd, payload.encode())
         os.close(fd)
+        if lease_seconds is not None:
+            import threading
+
+            hb_stop = threading.Event()
+
+            def _heartbeat() -> None:
+                interval = max(lease_seconds / 3.0, 0.05)
+                while not hb_stop.wait(interval):
+                    try:
+                        with open(lock) as fh:
+                            if fh.read() != payload:
+                                return  # stolen — never refresh a thief's
+                        os.utime(lock, None)
+                    except OSError:
+                        return
+            threading.Thread(
+                target=_heartbeat, daemon=True, name="writer-lock-heartbeat"
+            ).start()
         yield
     finally:
+        if hb_stop is not None:
+            hb_stop.set()
         # Release only OUR lock: if a lease steal (or break_stale_lock)
         # reclaimed it while we were still running, blindly removing
         # would free the THIEF's lock and open the table to a third
@@ -210,10 +236,17 @@ def merge_upsert(
     it would lose data the caller thought it staged. ``evolve_schema=
     True`` gives lakehouse mergeSchema semantics instead: new incoming
     columns extend the table (pre-existing rows read NULL), and columns
-    absent from the batch are NULL for incoming rows (MATCHED rows get
-    that NULL — MERGE updates ALL columns — while unmatched kept rows
-    retain their values). Same-name columns with different types always
+    absent from the batch keep the TARGET's pre-merge value on matched
+    rows (Delta ``whenMatchedUpdateAll`` + mergeSchema semantics: the
+    update only touches columns the source carries) while genuinely new
+    keys read NULL there. Same-name columns with different types always
     raise: a silent cast is how a decimal column becomes a string table.
+
+    Scale note: preserving matched-row values requires joining the batch
+    to the target's (keys + absent-columns) projection — one extra join
+    ON the keys, same shuffle class as the anti-join below, and pruned
+    to touched partitions under :func:`merge_upsert_partitioned`. The
+    fixed-schema default pays nothing.
     """
     if target is None:
         return incoming
@@ -252,8 +285,13 @@ def merge_upsert(
     else:
         for n in extra:
             target = target.withColumn(n, F.lit(None).cast(i_types[n]))
-        for n in missing:
-            incoming = incoming.withColumn(n, F.lit(None).cast(t_types[n]))
+        if missing:
+            # Delta updateAll semantics: a column the batch doesn't carry
+            # keeps its target value on matched rows; new keys read NULL.
+            # NULL-filling instead (the pre-r8 behavior) silently erased
+            # matched rows' data in every batch-absent column.
+            carry = target.select(*keys, *missing)
+            incoming = incoming.join(carry, on=keys, how="left")
     incoming = incoming.select(*target.columns)
     probe = incoming.select(*keys).distinct()
     if broadcast_incoming:

@@ -592,9 +592,9 @@ def test_merge_upsert_schema_evolution_and_loud_mismatch(spark):
     """Default MERGE is fixed-schema: extra OR missing batch columns
     raise (silently dropping an extra column loses staged data).
     evolve_schema=True gives mergeSchema semantics: new columns extend
-    the table (old rows NULL), absent columns are NULL for incoming rows
-    while unmatched kept rows retain their values. Type conflicts always
-    raise."""
+    the table (old rows NULL); a column ABSENT from the batch keeps the
+    target value on matched rows (Delta updateAll) and is NULL for new
+    keys. Type conflicts always raise."""
     import pytest
 
     target = spark.createDataFrame([(1, "old"), (2, "keep")], ["k", "v"])
@@ -605,13 +605,15 @@ def test_merge_upsert_schema_evolution_and_loud_mismatch(spark):
     rows = {r.k: (r.v, r.w) for r in evolved.collect()}
     assert rows == {1: ("new", 7.5), 2: ("keep", None)}
 
-    # batch lacking a column: kept row keeps w, matched row gets NULL
-    minus = spark.createDataFrame([(1, "newer")], ["k", "v"])
+    # batch lacking a column: kept row keeps w; the MATCHED row also
+    # keeps its pre-merge w (updateAll only touches source columns);
+    # a genuinely new key reads NULL there
+    minus = spark.createDataFrame([(1, "newer"), (3, "brand")], ["k", "v"])
     with pytest.raises(ValueError, match="lacks.*w"):
         merge_upsert(evolved, minus, ["k"])
     evolved2 = merge_upsert(evolved, minus, ["k"], evolve_schema=True)
     rows = {r.k: (r.v, r.w) for r in evolved2.collect()}
-    assert rows == {1: ("newer", None), 2: ("keep", None)}
+    assert rows == {1: ("newer", 7.5), 2: ("keep", None), 3: ("brand", None)}
 
     # same name, different type: always loud
     clash = spark.createDataFrame([(1, 99)], ["k", "v"])
@@ -737,3 +739,33 @@ def test_compact_preserves_noncanonical_partition_directories(spark, tmp_path):
     )
     assert rows == [(1, "01", "a"), (2, "01", "b"), (3, "2", "c"),
                     (4, "01", "d")]  # no duplication, nothing lost
+
+
+def test_heartbeating_holder_is_never_stolen(tmp_path):
+    """A LIVE holder with a lease refreshes the lock mtime from a daemon
+    heartbeat (every lease/3), so outrunning the lease no longer exposes
+    it to a steal — a contender arriving well past the original lease
+    must still see a live lock (the r7 ADVICE data-loss window)."""
+    import os
+    import time
+
+    from salesanalytics_etl_spark.operators.upsert import (
+        ConcurrentWriterError,
+        single_writer_lock,
+    )
+
+    path = str(tmp_path / "t")
+    lock = path + ".__writer_lock__"
+    holder = single_writer_lock(path, owner="slow-merge", lease_seconds=0.6)
+    holder.__enter__()
+    try:
+        time.sleep(1.5)  # 2.5 leases: unstolen only because of heartbeats
+        assert time.time() - os.stat(lock).st_mtime < 0.6
+        try:
+            with single_writer_lock(path, owner="thief", lease_seconds=0.6):
+                raise AssertionError("heartbeating holder was stolen from")
+        except ConcurrentWriterError:
+            pass
+    finally:
+        holder.__exit__(None, None, None)
+    assert not os.path.exists(lock)
