@@ -426,8 +426,11 @@ def export_shards(
     Plan: one repartition on the shard id + sortWithinPartitions — a
     single shuffle of the corpus, the unavoidable one (a global shuffle IS
     the product), then a partitioned write. At 100 TB, n_shards is
-    typically 10k-100k so each shard is a few GB: one writer task per
-    shard, no driver involvement.
+    typically 10k-100k so each shard is a few GB: ~one writer task per
+    shard, no driver involvement. (Range boundaries are SAMPLED, so the
+    task-per-shard layout is near-1:1, not guaranteed — two adjacent ids
+    can share a range; shard membership, contents, and bytes are exact
+    regardless, only task balance varies.)
     """
     (
         df.withColumn(
@@ -437,9 +440,10 @@ def export_shards(
         # range-partition, not hash: pmod(hash(_shard), n) collides ~1/e
         # of shard ids into shared tasks (empty writers + multi-shard
         # stragglers); ranges over the dense 0..n_shards-1 id space give
-        # the 1:1 task-per-shard layout the docstring promises. Equal ids
-        # always land in one partition either way, so shard contents and
-        # bytes are unchanged.
+        # a near-1:1 task-per-shard layout (sampled boundaries — an
+        # occasional range may carry two ids). Equal ids always land in
+        # one partition either way, so shard contents and bytes are
+        # unchanged.
         .repartitionByRange(n_shards, F.col("_shard"))
         .sortWithinPartitions("_shard", "_ord", key_col)
         .drop("_ord")

@@ -40,78 +40,73 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-# Round-7 rotation (driver records the FIRST 50 entries), priority order:
-# (1) the 18 r04-era rows (13 oracle-backed named by the r6 verdict +
-# the 5 no_oracle sketch/ANN rows) so nothing r04-era remains anywhere;
-# (2) the 6 queries NEW this round (never recorded); (3) r5-era rows
-# whose code churned in r6/r7 (q52 writer-lock lease + schema evolution,
-# q19 two-phase top-k + skew collision guard, q107 CDC gating, q25
-# dedup, q102 admission-product widening, q103); (4) queries whose
-# code/oracles changed in the late-r7 review fixes (q67 phone-count
-# ordering, q69 degenerate-doc ratios, q72 zero-token guard, q73 RMSE
-# reuse, q74 canonical source pairs, q75 text_col fix, q108 variant
-# persist) and stalest-first fill. Left at green r5/r6 rows: q01-q14,
-# q17, q18, q20-q24, q26-q30, q32, q33, q38-q43, q51, q53-q66, q68,
-# q70, q71, q76-q81, q83, q84, q94, q101, q104-q106, q109-q118 —
-# untouched paths, all locally swept. Every name here is also swept by
+# Round-8 rotation (driver records the FIRST 50 entries), priority order:
+# (1) the 28 queries whose code or oracle CHANGED this round and must
+# re-stamp on current code: the 23 tokenizer-consuming queries updated
+# by the CJK-aware tokenizer (Spark + oracle in lockstep; see
+# tests/test_text_cjk.py), q93 (distributed exact NTILE replaced the
+# global ntile windows), q112/q113/q122 (anchor list threaded through
+# the portable IVF), q52 (merge schema-evolution matched-row
+# preservation + lock heartbeat); (2) the r5-era driver rows the r7
+# verdict's item 2 lists, stalest-first. Four r5-era rows (q38-q41,
+# untouched trivial aggregates, locally green) do not fit the 50-row
+# window this round and roll to r9 — after which nothing older than r6
+# remains anywhere. Every name here is also swept by
 # tests/test_queries.py + tests/strict_gate.py against the same oracles,
 # so reordering changes what the driver RECORDS, never what is verified.
 _CHECK_FIRST = [
-    # --- r04-era oracle-backed rows (the r6 verdict's item 1) ---
-    "q86_bm25_search",
-    "q87_stratified_cap_sample",
-    "q88_lang_metadata_agreement",
-    "q90_weighted_priority_sample",
-    "q91_cohort_retention",
-    "q92_part_cooccurrence",
-    "q93_customer_rfm",
-    "q95_sentence_split_udtf",
-    "q96_event_transition_matrix",
-    "q97_daily_sales_anomalies",
-    "q98_supplier_type_share",
-    "q99_priority_sla",
-    "q100_etl_dataflow",
-    # --- r04-era no_oracle rows (rows-only re-stamp on current code) ---
-    "q34_ann_cosine_ivf",
-    "q64_approx_distinct_sketch",
-    "q82_approx_percentile_sketch",
-    "q85_compression_quality",
-    "q89_embedding_cluster_stats",
-    # --- NEW this round (never recorded) ---
-    "q119_bigram_surprisal",
-    "q120_source_kl_divergence",
-    "q121_ann_recall_audit",
-    "q122_ivf_recall_audit",
-    "q123_typo_linkage_degree",
-    "q124_join_key_skew",
-    # --- r5-era rows under r6/r7 code churn ---
+    # --- (1) code/oracle changed this round ---
+    "q22_docs_token_stats",
+    "q23_docs_quality",
+    "q26_simhash_neardup",
+    "q47_docs_chunking",
     "q52_merge_upsert",
-    "q19_top_parts_per_type",
-    "q107_hopping_window",
-    "q25_minhash_neardup",
+    "q65_tfidf_top_terms",
+    "q66_inverted_index",
+    "q69_repetition_filter",
+    "q70_benchmark_decontamination",
+    "q71_sequence_packing",
+    "q72_language_rebalance",
+    "q75_curation_pipeline",
+    "q81_bigram_merge_candidates",
+    "q86_bm25_search",
+    "q90_weighted_priority_sample",
+    "q93_customer_rfm",
     "q102_exact_jaccard_join",
     "q103_duplicate_spans",
-    # --- r5-era rows, stalest-first fill ---
-    "q15_dedupe_keep_last",
-    "q16_fk_violations",
-    "q31_media_features",
-    "q35_sales_rollup",
-    "q36_status_pivot",
-    "q37_order_value_percentiles",
-    "q67_pii_redaction",
-    "q69_repetition_filter",
-    "q72_language_rebalance",
-    "q73_embedding_quantization",
-    "q74_source_overlap",
-    "q75_curation_pipeline",
-    "q44_docs_rolling_fingerprint",
-    "q45_media_resize",
-    "q46_media_frame_sample",
-    "q47_docs_chunking",
-    "q48_pricing_summary",
-    "q49_dedup_clusters",
-    "q50_curation_sample",
-    "q108_identifier_linkage",
+    "q104_unigram_surprisal",
+    "q105_cluster_representatives",
+    "q106_token_budget_mixture",
+    "q112_ivf_replay",
+    "q113_cell_stats_replay",
+    "q117_quality_threshold_calibration",
+    "q118_fuzzy_decontamination",
+    "q119_bigram_surprisal",
+    "q120_source_kl_divergence",
+    "q122_ivf_recall_audit",
+    # --- (2) r5-era driver rows, stalest-first (r7 verdict item 2) ---
+    "q01_table_counts",
+    "q02_orders_sample_topk",
+    "q03_sales_by_day",
+    "q04_sales_by_month",
+    "q05_top_products",
+    "q06_top_customers",
+    "q07_status_histogram",
+    "q08_avg_order_value",
+    "q09_parts_no_sales",
+    "q10_customers_no_orders",
+    "q11_last_order_details",
+    "q12_order_totals",
+    "q13_order_reconciliation",
+    "q14_sales_daterange",
+    "q17_view_sales_by_day_sql",
+    "q18_running_daily_sales",
+    "q42_purchases_with_prior_views",
+    "q43_purchase_asof_signup",
+    "q51_train_val_test_split",
+    "q53_customer_sample_topk",
+    "q94_scd2_customers",
+    "q101_heavy_hitter_shingles",
 ]
 
 
