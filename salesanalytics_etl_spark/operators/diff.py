@@ -1,0 +1,83 @@
+"""Snapshot diff — CDC-style comparison of two keyed table snapshots.
+
+The lakehouse maintenance counterpart to MERGE (operators/upsert.py): given
+yesterday's and today's snapshot of a keyed table, emit exactly the rows
+whose presence or contents changed — ``added`` / ``removed`` / ``changed``
+plus the exact count of differing columns. This is what feeds an
+incremental downstream (re-embed only changed documents, re-aggregate only
+touched partitions) when the source can't produce a change feed itself.
+
+Scale shape: ONE full-outer shuffle join co-partitioned on the key —
+both sides hash-partition on the same key so the join is local after the
+exchange. Column comparison is null-safe ``<=>`` per column, entirely
+inside whole-stage codegen (no Python, no fingerprint round-trip), and
+unchanged rows are dropped before anything downstream sees them. At
+100 TB the refinement is pruning, not the join itself: pre-aggregate
+``xxhash64`` per storage partition on both snapshots and diff only the
+partitions whose aggregate hashes differ — the per-row operator below is
+then applied to the (usually tiny) changed-partition subset. The reference
+has no diff operator (its MERGE consumes full batches); this is an engine
+extension per the brief's training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str] | str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Diff two snapshots of a keyed table.
+
+    Returns one row per key present in either snapshot whose row was
+    added, removed, or changed: the key columns, ``status`` in
+    {'added','removed','changed'}, and ``n_changed_cols`` (exact count of
+    compare columns whose values differ null-safely; NULL for
+    added/removed rows, where "every column" would be noise).
+
+    ``compare_cols`` defaults to every non-key column of ``old``. Both
+    frames must carry all key + compare columns. NULL keys never
+    equi-match, so a null-keyed row reports as added+removed, never as a
+    phantom 'changed' pair — clean nullable keys first (F1).
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    compare = compare_cols or [c for c in old.columns if c not in keys]
+    for side, df in (("old", old), ("new", new)):
+        missing = [c for c in (*keys, *compare) if c not in df.columns]
+        if missing:
+            raise ValueError(f"snapshot_diff: {side} snapshot lacks {missing}")
+
+    # presence markers survive the USING-style join (which coalesces the
+    # key columns). A NULL key never equi-matches, so a null-keyed row
+    # surfaces as added+removed rather than a phantom 'changed' pair —
+    # callers with nullable keys should clean them first (F1 drop-null-keys)
+    o = old.select(*keys, *compare, F.lit(True).alias("_in_old"))
+    n = new.select(*keys, *compare, F.lit(True).alias("_in_new"))
+
+    joined = o.alias("o").join(n.alias("n"), on=keys, how="full_outer")
+    n_diff = None
+    for c in compare:
+        d = (~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))).cast("int")
+        n_diff = d if n_diff is None else n_diff + d
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(n_diff > 0, F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(
+            *keys,
+            "status",
+            F.when(F.col("status") == "changed", n_diff)
+            .cast("int")
+            .alias("n_changed_cols"),
+        )
+    )

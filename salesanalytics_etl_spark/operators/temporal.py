@@ -48,6 +48,71 @@ def range_join(
     )
 
 
+def bucketed_range_join(
+    points: DataFrame,
+    point_ts: str,
+    intervals: DataFrame,
+    lo_ts: str,
+    hi_ts: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join with NO equi key, as a hash join.
+
+    Joins each ``points`` row to every ``intervals`` row whose closed
+    interval ``[lo_ts, hi_ts]`` contains ``point_ts``. Without an equi
+    key, Catalyst can only plan this as a nested-loop join — broadcast
+    when one side is tiny, CartesianProduct when neither is. This
+    operator manufactures the equi key (the classic interval-bucketing
+    trick behind engine-native range joins): each interval explodes into
+    the fixed-width time buckets it overlaps, each point maps to exactly
+    ONE bucket, and the join becomes an equi-join on bucket id with the
+    exact containment predicate as a residual filter. No dedup pass is
+    needed: a (point, interval) pair can only meet in the point's single
+    bucket.
+
+    Scale shape: cost is |points| + Σ(interval_len/bucket + 1) exploded
+    interval rows through one hash shuffle — pick ``bucket_seconds``
+    near the median interval length so each interval explodes into ~2
+    rows. Works for millions of intervals where broadcast nested-loop
+    cannot; dense hot buckets (many overlapping intervals) are ordinary
+    join skew, handled by AQE's skew-join split. Both inputs must have
+    disjoint column names (rename before calling).
+
+    Degenerate intervals (``hi_ts < lo_ts``) are dropped rather than fed
+    to ``sequence()``, whose descending step would silently fabricate
+    buckets for a backwards interval.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be > 0, got {bucket_seconds}")
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(
+            f"bucketed_range_join: overlapping column names {sorted(overlap)};"
+            " rename one side first"
+        )
+    w = F.lit(int(bucket_seconds))
+    p = points.withColumn(
+        "_bucket", F.floor(F.unix_timestamp(F.col(point_ts)) / w)
+    )
+    iv = intervals.filter(F.col(hi_ts) >= F.col(lo_ts)).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(lo_ts)) / w),
+                F.floor(F.unix_timestamp(F.col(hi_ts)) / w),
+            )
+        ),
+    )
+    return (
+        p.join(iv, on="_bucket")
+        .filter(
+            (F.col(point_ts) >= F.col(lo_ts))
+            & (F.col(point_ts) <= F.col(hi_ts))
+        )
+        .drop("_bucket")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -4297,3 +4297,208 @@ def q124_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), F.asc("user_id"))
         .limit(10)
     )
+
+
+@register(
+    "q125_snapshot_diff",
+    oracle="""
+    WITH old_snap AS (
+      SELECT * FROM orders WHERE o_orderkey % 11 <> 3
+    ), new_snap AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 7 = 3 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 2 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate,
+             CASE WHEN o_orderkey % 7 = 2 THEN '9-SYNTH'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 13 <> 5
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                THEN CAST(
+                  CAST(o.o_custkey IS DISTINCT FROM n.o_custkey AS INT)
+                + CAST(o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS INT)
+                + CAST(o.o_totalprice IS DISTINCT FROM n.o_totalprice AS INT)
+                + CAST(o.o_orderdate IS DISTINCT FROM n.o_orderdate AS INT)
+                + CAST(o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                       AS INT) AS INT)
+           END AS n_changed_cols
+    FROM old_snap o FULL OUTER JOIN new_snap n
+      ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_custkey IS DISTINCT FROM n.o_custkey
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+       OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+       OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+    """,
+    doc="CDC-style snapshot diff (operators/diff.py): two deterministic "
+    "snapshots of orders (rows absent from either side, plus two "
+    "mutation classes) diffed into added/removed/changed rows with the "
+    "exact changed-column count — the feed for incremental downstreams "
+    "(re-embed only changed docs, re-aggregate only touched partitions) "
+    "when the source has no change feed. Scale: ONE co-partitioned "
+    "full-outer shuffle on the key; per-column null-safe compare stays "
+    "in codegen; unchanged rows never leave the join stage. 100 TB "
+    "refinement documented in the module: partition-level xxhash64 "
+    "pruning before the row-level diff",
+)
+def q125_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.diff import snapshot_diff
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    old_snap = orders.filter(F.col("o_orderkey") % 11 != 3)
+    new_snap = orders.filter(F.col("o_orderkey") % 13 != 5).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 7 == 3, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 7 == 2, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 7 == 2, F.lit("9-SYNTH"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    return snapshot_diff(old_snap, new_snap, keys="o_orderkey")
+
+
+@register(
+    "q126_sales_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+                   2) AS revenue
+      FROM orders GROUP BY 1
+    ), bounds AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+    ), spine AS (
+      SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds
+    )
+    SELECT s.day, COALESCE(d.n_orders, 0) AS n_orders,
+           COALESCE(d.revenue, 0.0) AS revenue,
+           d.day IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+    doc="calendar gap fill: a date spine from sequence(min,max) LEFT-joined "
+    "to daily sales, zero-filling silent days and flagging them — the "
+    "difference between 'no row' and 'zero revenue' that trend/anomaly "
+    "consumers (q97) and forecasting exports need. Scale: the spine is "
+    "calendar-bounded (|days|, not |orders|), built distributed via "
+    "sequence+explode from a 1-row bounds aggregate — no collect, no "
+    "driver loop; the join is bounded-by-days on both sides",
+)
+def q126_sales_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import money_out
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_out(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        ).alias("revenue"),
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
+        F.col("n_orders").isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "q127_peak_window_traffic",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id AS sess_user, MIN(ts) AS session_start,
+             MAX(ts) AS session_end, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM numbered GROUP BY user_id, sess_id
+    ), top20 AS (
+      SELECT * FROM sessions
+      ORDER BY n_events DESC, sess_user, session_start LIMIT 20
+    )
+    SELECT t.sess_user, t.session_start, t.session_end, t.n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_window_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_window_users
+    FROM top20 t JOIN events e
+      ON e.ts >= t.session_start AND e.ts <= t.session_end
+    GROUP BY t.sess_user, t.session_start, t.session_end, t.n_events
+    """,
+    doc="pure range join WITHOUT an equi key "
+    "(operators/temporal.py::bucketed_range_join): the 20 busiest "
+    "sessions become unaligned time windows, and ALL events (any user) "
+    "are joined into the window containing them — corpus-wide traffic "
+    "during each peak. Catalyst alone can only nested-loop a keyless "
+    "interval join; the operator manufactures the equi key by exploding "
+    "each interval into fixed-width time buckets and mapping each point "
+    "to exactly one bucket, so the plan is a HASH join on bucket id with "
+    "the exact containment residual — no CartesianProduct at ANY "
+    "interval count (the lint pins it). Scale: cost is |points| + "
+    "Σ(len/bucket+1) exploded rows through one shuffle; hot buckets are "
+    "ordinary join skew (AQE splits them)",
+)
+def q127_peak_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.temporal import (
+        bucketed_range_join,
+    )
+    from salesanalytics_etl_spark.streaming.events import sessionize
+
+    (events,) = _t(spark, sf_dir, "events")
+    top20 = (
+        sessionize(events)
+        .select(
+            F.col("user_id").alias("sess_user"),
+            "session_start",
+            "session_end",
+            "n_events",
+        )
+        .orderBy(F.desc("n_events"), "sess_user", "session_start")
+        .limit(20)
+    )
+    joined = bucketed_range_join(
+        events.select("event_id", "ts", F.col("user_id").alias("evt_user")),
+        "ts",
+        top20,
+        "session_start",
+        "session_end",
+        bucket_seconds=3600,
+    )
+    return joined.groupBy(
+        "sess_user", "session_start", "session_end", "n_events"
+    ).agg(
+        F.count(F.lit(1)).alias("n_window_events"),
+        F.count_distinct(F.col("evt_user")).alias("n_window_users"),
+    )

@@ -1,0 +1,86 @@
+"""Planted-data semantics for the snapshot diff operator."""
+
+from __future__ import annotations
+
+import pytest
+
+from salesanalytics_etl_spark.operators.diff import snapshot_diff
+
+
+def _rows(df):
+    return sorted(
+        (r.k, r.status, r.n_changed_cols) for r in df.collect()
+    )
+
+
+def test_snapshot_diff_statuses_and_counts(spark):
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10.0),   # unchanged → absent from output
+            (2, "b", 20.0),   # one column changes
+            (3, "c", 30.0),   # both columns change
+            (4, "d", 40.0),   # removed
+            (6, None, 60.0),  # null → value = changed
+            (7, None, 70.0),  # null → null = unchanged
+        ],
+        ["k", "s", "v"],
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 21.0),
+            (3, "C", 31.0),
+            (5, "e", 50.0),   # added
+            (6, "x", 60.0),
+            (7, None, 70.0),
+        ],
+        ["k", "s", "v"],
+    )
+    assert _rows(snapshot_diff(old, new, keys="k")) == [
+        (2, "changed", 1),
+        (3, "changed", 2),
+        (4, "removed", None),
+        (5, "added", None),
+        (6, "changed", 1),
+    ]
+
+
+def test_snapshot_diff_compare_cols_subset(spark):
+    # only the requested columns participate: v's change is invisible
+    old = spark.createDataFrame([(1, "a", 1.0)], ["k", "s", "v"])
+    new = spark.createDataFrame([(1, "a", 2.0)], ["k", "s", "v"])
+    assert _rows(snapshot_diff(old, new, "k", compare_cols=["s"])) == []
+
+
+def test_snapshot_diff_composite_key(spark):
+    old = spark.createDataFrame([(1, 1, "a"), (1, 2, "b")], ["k1", "k2", "s"])
+    new = spark.createDataFrame([(1, 1, "z"), (2, 2, "b")], ["k1", "k2", "s"])
+    got = sorted(
+        (r.k1, r.k2, r.status) for r in
+        snapshot_diff(old, new, keys=["k1", "k2"]).collect()
+    )
+    assert got == [
+        (1, 1, "changed"),
+        (1, 2, "removed"),
+        (2, 2, "added"),
+    ]
+
+
+def test_snapshot_diff_missing_column_is_loud(spark):
+    old = spark.createDataFrame([(1, "a")], ["k", "s"])
+    new = spark.createDataFrame([(1,)], ["k"])
+    with pytest.raises(ValueError, match="new snapshot lacks"):
+        snapshot_diff(old, new, keys="k")
+
+
+def test_snapshot_diff_plans_one_shuffle_no_python(spark):
+    old = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+    new = spark.range(900).selectExpr("id AS k", "id * 2 + id % 3 AS v")
+    df = snapshot_diff(old, new, keys="k")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # every third overlapping key changed (id % 3 != 0), 100 removed
+    got = df.groupBy("status").count().collect()
+    counts = {r["status"]: r["count"] for r in got}
+    assert counts == {"changed": 600, "removed": 100}
