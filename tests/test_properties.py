@@ -335,3 +335,103 @@ def test_topk_per_group_matches_single_window(spark, data, k, nparts):
     # (g, v, i) may not be unique — row_number ties on duplicate triples
     # are arbitrary but the MULTISET of kept triples is determined
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-8 operators: snapshot diff + keyless bucketed range join
+# ---------------------------------------------------------------------------
+
+_snap = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),   # key: collisions likely
+        st.integers(min_value=0, max_value=3),   # payload a: small domain
+        st.one_of(st.none(), st.integers(min_value=0, max_value=2)),  # nullable
+    ),
+    max_size=15,
+    unique_by=lambda t: t[0],  # snapshots are keyed: one row per key
+)
+
+
+@given(_snap, _snap)
+@_SETTINGS
+def test_snapshot_diff_matches_dict_semantics(spark, old_rows, new_rows):
+    from salesanalytics_etl_spark.operators.diff import snapshot_diff
+
+    schema = "k INT, a INT, b INT"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    o, n = {t[0]: t[1:] for t in old_rows}, {t[0]: t[1:] for t in new_rows}
+    want = {}
+    for k in o.keys() | n.keys():
+        if k not in o:
+            want[k] = ("added", None)
+        elif k not in n:
+            want[k] = ("removed", None)
+        elif o[k] != n[k]:  # tuple compare: None == None, like <=>
+            want[k] = (
+                "changed",
+                sum(1 for x, y in zip(o[k], n[k]) if x != y),
+            )
+    got = {
+        r.k: (r.status, r.n_changed_cols)
+        for r in snapshot_diff(old, new, keys="k").collect()
+    }
+    assert got == want
+
+
+@given(_snap)
+@_SETTINGS
+def test_snapshot_diff_self_is_empty(spark, rows):
+    from salesanalytics_etl_spark.operators.diff import snapshot_diff
+
+    df = spark.createDataFrame(rows, "k INT, a INT, b INT")
+    assert snapshot_diff(df, df, keys="k").count() == 0
+
+
+_pts = st.lists(
+    st.integers(min_value=0, max_value=50_000),  # seconds offset
+    min_size=1,
+    max_size=20,
+)
+_ivs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50_000),
+        st.integers(min_value=-100, max_value=50_000),  # may be < lo
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(_pts, _ivs, st.sampled_from([60, 997, 3600, 86_400]))
+@_SETTINGS
+def test_bucketed_range_join_matches_naive(spark, pts, ivs, width):
+    from pyspark.sql import functions as F
+
+    from salesanalytics_etl_spark.operators.temporal import bucketed_range_join
+
+    base = 1_700_000_000
+    points = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pts)], "pid INT, off INT"
+    ).select("pid", F.timestamp_seconds(F.col("off") + base).alias("pts"))
+    intervals = spark.createDataFrame(
+        [(i, lo, lo + d) for i, (lo, d) in enumerate(ivs)],
+        "iid INT, lo_off INT, hi_off INT",
+    ).select(
+        "iid",
+        F.timestamp_seconds(F.col("lo_off") + base).alias("lo"),
+        F.timestamp_seconds(F.col("hi_off") + base).alias("hi"),
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in bucketed_range_join(
+            points, "pts", intervals, "lo", "hi", bucket_seconds=width
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, p in enumerate(pts)
+        for j, (lo, d) in enumerate(ivs)
+        if lo <= p <= lo + d
+    )
+    assert got == want
