@@ -40,14 +40,22 @@ def snapshot_diff(
     compare columns whose values differ null-safely; NULL for
     added/removed rows, where "every column" would be noise).
 
-    ``compare_cols`` defaults to every non-key column of ``old``. Both
+    ``compare_cols`` defaults to every non-key column of ``old``; an
+    explicit ``[]`` requests a presence-only diff (added/removed rows
+    only — 'changed' is unreachable with nothing to compare). Both
     frames must carry all key + compare columns. NULL keys never
     equi-match, so a null-keyed row reports as added+removed, never as a
     phantom 'changed' pair — clean nullable keys first (F1).
     """
     if isinstance(keys, str):
         keys = [keys]
-    compare = compare_cols or [c for c in old.columns if c not in keys]
+    # None → default; an EXPLICIT [] means presence-only diff (added/
+    # removed, never 'changed') — `or` would silently widen it back out
+    compare = (
+        compare_cols
+        if compare_cols is not None
+        else [c for c in old.columns if c not in keys]
+    )
     for side, df in (("old", old), ("new", new)):
         missing = [c for c in (*keys, *compare) if c not in df.columns]
         if missing:
@@ -61,10 +69,13 @@ def snapshot_diff(
     n = new.select(*keys, *compare, F.lit(True).alias("_in_new"))
 
     joined = o.alias("o").join(n.alias("n"), on=keys, how="full_outer")
-    n_diff = None
+    # empty compare set (keys-only / presence-only diff): zero columns
+    # can differ, so 'changed' is unreachable and n_diff must be a real
+    # zero literal, not None
+    n_diff = F.lit(0)
     for c in compare:
         d = (~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))).cast("int")
-        n_diff = d if n_diff is None else n_diff + d
+        n_diff = n_diff + d
     status = (
         F.when(F.col("_in_old").isNull(), F.lit("added"))
         .when(F.col("_in_new").isNull(), F.lit("removed"))

@@ -43,8 +43,26 @@ def append_global_rank(
 ) -> DataFrame:
     """Append the exact global row_number over ``order_cols`` (a total
     order) without a single-partition sort. Optionally also append the
-    total row count as ``total_col`` (needed by NTILE derivation)."""
+    total row count as ``total_col`` (needed by NTILE derivation).
+
+    Correctness requires the counts branch and the join branch to
+    observe the SAME range exchange (identical ``spark_partition_id``
+    per row). Both consume the one ``local`` subtree, which Catalyst
+    deduplicates via exchange reuse — guaranteed with the default
+    ``spark.sql.exchange.reuse=true`` (AQE's stage reuse honors the
+    same flag). With reuse disabled each branch would re-run
+    ``repartitionByRange`` with independently sampled boundaries and
+    boundary rows could land in different partitions per branch —
+    silently wrong global ranks — so that configuration is refused
+    loudly here."""
     spark = df.sparkSession
+    if spark.conf.get("spark.sql.exchange.reuse", "true").lower() == "false":
+        raise RuntimeError(
+            "append_global_rank requires spark.sql.exchange.reuse=true: "
+            "the per-partition counts and the rank join must observe one "
+            "shared range exchange, or partition ids diverge between the "
+            "two branches and global ranks are silently wrong"
+        )
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     ranged = df.repartitionByRange(nparts, *order_cols).withColumn(
         "_rk_pid", F.spark_partition_id()
@@ -90,6 +108,8 @@ def append_global_ntile(
     ``N mod n`` buckets hold ``N div n + 1`` rows, the rest ``N div n``
     (greatest() keeps the unreached else-branch division defined when
     N < n)."""
+    if n <= 0:
+        raise ValueError(f"NTILE bucket count must be >= 1, got {n}")
     ranked = append_global_rank(
         df, order_cols, out_col="_nt_rank", total_col="_nt_total"
     )

@@ -244,9 +244,11 @@ def merge_upsert(
 
     Scale note: preserving matched-row values requires joining the batch
     to the target's (keys + absent-columns) projection — one extra join
-    ON the keys, same shuffle class as the anti-join below, and pruned
-    to touched partitions under :func:`merge_upsert_partitioned`. The
-    fixed-schema default pays nothing.
+    ON the keys, same shuffle class as the anti-join below. The
+    fixed-schema default pays nothing. (:func:`merge_upsert_partitioned`
+    never reaches this path: it refuses batch/table schema mismatches
+    loudly before merging, so the carry join is a whole-table-merge
+    concern only.)
     """
     if target is None:
         return incoming

@@ -84,3 +84,16 @@ def test_snapshot_diff_plans_one_shuffle_no_python(spark):
     got = df.groupBy("status").count().collect()
     counts = {r["status"]: r["count"] for r in got}
     assert counts == {"changed": 600, "removed": 100}
+
+
+def test_snapshot_diff_presence_only(spark):
+    # explicit compare_cols=[] → presence-only diff; keys-only frames
+    # take the same path (zero compare columns must not crash)
+    old = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "s"])
+    new = spark.createDataFrame([(2, "CHANGED"), (3, "c")], ["k", "s"])
+    got = _rows(snapshot_diff(old, new, "k", compare_cols=[]))
+    assert got == [(1, "removed", None), (3, "added", None)]
+    keys_only = snapshot_diff(
+        old.select("k"), new.select("k"), keys="k"
+    )
+    assert _rows(keys_only) == [(1, "removed", None), (3, "added", None)]

@@ -66,3 +66,29 @@ def test_ntile_no_data_scaled_global_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the input-scaled sort must be range-partitioned, never SinglePartition
     assert "rangepartitioning" in plan.lower()
+
+
+def test_ntile_rejects_nonpositive_n(spark):
+    import pytest
+
+    from salesanalytics_etl_spark.operators.ranking import append_global_ntile
+
+    df = spark.range(10).selectExpr("id AS v")
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="bucket count"):
+            append_global_ntile(df, bad, [df.v], "q")
+
+
+def test_rank_refuses_exchange_reuse_off(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from salesanalytics_etl_spark.operators.ranking import append_global_rank
+
+    df = spark.range(10).selectExpr("id AS v")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        with pytest.raises(RuntimeError, match="exchange.reuse"):
+            append_global_rank(df, [F.col("v")], out_col="r")
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
