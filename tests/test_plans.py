@@ -171,3 +171,35 @@ def test_driver_record_window_contract():
     # bench compaction contract: qNN prefixes stay unique
     prefixes = {n.split("_", 1)[0] for n in qs}
     assert len(prefixes) == len(qs)
+
+
+def test_snapshot_diff_plans_single_cokeyed_join(spark, sf_dir):
+    # q125's contract: ONE full-outer shuffle join on the key, both
+    # sides exchanged on the same key (co-partitioned), compares in
+    # codegen — no second join, no Python boundary
+    plan = _plan(spark, sf_dir, "q125_snapshot_diff")
+    tree = plan.split("\n\n")[0]
+    joins = re.findall(r"SortMergeJoin|ShuffledHashJoin", tree)
+    assert len(joins) == 1, f"exactly one shuffle join, got {joins}"
+    assert "FullOuter" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_gap_fill_spine_joins_without_cartesian(spark, sf_dir):
+    # q126: the date spine comes from a 1-row bounds aggregate via
+    # sequence+explode; its join to daily sales must be a hash join,
+    # and the whole plan must stay free of nested-loop shapes
+    plan = _plan(spark, sf_dir, "q126_sales_gap_fill")
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bucketed_range_join_plans_equi_join(spark, sf_dir):
+    # q127's whole point: a keyless interval join planned as an EQUI
+    # join on the manufactured bucket id — never a nested loop over
+    # intervals (what Catalyst alone would do without the equi key)
+    plan = _plan(spark, sf_dir, "q127_peak_window_traffic")
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", tree)
