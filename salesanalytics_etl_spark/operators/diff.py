@@ -31,6 +31,7 @@ def snapshot_diff(
     new: DataFrame,
     keys: list[str] | str,
     compare_cols: list[str] | None = None,
+    include_values: bool = False,
 ) -> DataFrame:
     """Diff two snapshots of a keyed table.
 
@@ -46,6 +47,10 @@ def snapshot_diff(
     frames must carry all key + compare columns. NULL keys never
     equi-match, so a null-keyed row reports as added+removed, never as a
     phantom 'changed' pair — clean nullable keys first (F1).
+
+    ``include_values=True`` additionally emits the NEW-side value for
+    every compare column (NULL on removed rows) — the full change feed
+    :func:`apply_changes` consumes to roll a snapshot forward.
     """
     if isinstance(keys, str):
         keys = [keys]
@@ -81,14 +86,53 @@ def snapshot_diff(
         .when(F.col("_in_new").isNull(), F.lit("removed"))
         .when(n_diff > 0, F.lit("changed"))
     )
+    out_cols = [
+        *keys,
+        "status",
+        F.when(F.col("status") == "changed", n_diff)
+        .cast("int")
+        .alias("n_changed_cols"),
+    ]
+    if include_values:
+        out_cols += [F.col(f"n.{c}").alias(c) for c in compare]
     return (
         joined.withColumn("status", status)
         .filter(F.col("status").isNotNull())
-        .select(
-            *keys,
-            "status",
-            F.when(F.col("status") == "changed", n_diff)
-            .cast("int")
-            .alias("n_changed_cols"),
-        )
+        .select(*out_cols)
     )
+
+
+def apply_changes(
+    old: DataFrame, changes: DataFrame, keys: list[str] | str
+) -> DataFrame:
+    """Roll a snapshot forward by a change feed: ``old`` plus the output
+    of ``snapshot_diff(old, new, keys, include_values=True)`` reproduces
+    ``new`` exactly (the roundtrip is property-tested).
+
+    Semantics are MERGE-with-deletes: rows whose key appears in the feed
+    are dropped from ``old`` (covers 'removed' and the stale half of
+    'changed'), then the feed's 'added'/'changed' rows are unioned in
+    with their new-side values. Scale: one left-anti join plus a union —
+    both co-partitioned on the key, same shuffle class as the diff
+    itself; the feed is change-proportional, not table-proportional.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    value_cols = [
+        c for c in changes.columns if c not in ("status", "n_changed_cols")
+    ]
+    # the feed must carry EXACTLY the snapshot's columns: extras mean it
+    # was diffed against a different table; missing ones mean it was
+    # produced without include_values (keys-only) — either way applying
+    # it would silently narrow or misalign the output schema
+    if set(value_cols) != set(old.columns):
+        raise ValueError(
+            "apply_changes: feed value columns "
+            f"{sorted(value_cols)} != snapshot columns "
+            f"{sorted(old.columns)} — produce the feed with "
+            "snapshot_diff(..., include_values=True) on this table"
+        )
+    touched = changes.select(*keys)
+    kept = old.select(*value_cols).join(touched, on=keys, how="left_anti")
+    incoming = changes.filter(F.col("status") != "removed").select(*value_cols)
+    return kept.unionByName(incoming)

@@ -97,3 +97,35 @@ def test_snapshot_diff_presence_only(spark):
         old.select("k"), new.select("k"), keys="k"
     )
     assert _rows(keys_only) == [(1, "removed", None), (3, "added", None)]
+
+
+def test_snapshot_diff_include_values_carries_new_side(spark):
+    from salesanalytics_etl_spark.operators.diff import apply_changes
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (4, "d", 40.0)], ["k", "s", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 21.0), (5, "e", 50.0)], ["k", "s", "v"]
+    )
+    feed = snapshot_diff(old, new, keys="k", include_values=True)
+    got = {r.k: (r.status, r.s, r.v) for r in feed.collect()}
+    assert got == {
+        2: ("changed", "B", 21.0),
+        4: ("removed", None, None),  # new side is NULL for removed
+        5: ("added", "e", 50.0),
+    }
+    rebuilt = apply_changes(old, feed, keys="k")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
+def test_apply_changes_rejects_keys_only_feed(spark):
+    from salesanalytics_etl_spark.operators.diff import apply_changes
+
+    old = spark.createDataFrame([(1, "a")], ["k", "s"])
+    new = spark.createDataFrame([(2, "b")], ["k", "s"])
+    feed = snapshot_diff(old, new, keys="k")  # no include_values
+    with pytest.raises(ValueError, match="include_values"):
+        apply_changes(old, feed, keys="k")

@@ -435,3 +435,19 @@ def test_bucketed_range_join_matches_naive(spark, pts, ivs, width):
         if lo <= p <= lo + d
     )
     assert got == want
+
+
+@given(_snap, _snap)
+@_SETTINGS
+def test_diff_apply_roundtrip(spark, old_rows, new_rows):
+    from salesanalytics_etl_spark.operators.diff import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    schema = "k INT, a INT, b INT"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    feed = snapshot_diff(old, new, keys="k", include_values=True)
+    rebuilt = apply_changes(old, feed, keys="k")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(new_rows)
