@@ -134,3 +134,130 @@ def append_global_ntile(
     return ranked.withColumn(out_col, bucket.cast("int")).drop(
         "_nt_rank", "_nt_total"
     )
+
+
+def append_global_ntile_multi(
+    df: DataFrame,
+    n: int,
+    metrics: dict[str, Column],
+    keys: list[str],
+) -> DataFrame:
+    """Exact NTILE(n) for SEVERAL metrics through ONE range exchange.
+
+    Chaining :func:`append_global_ntile` per metric pays one full-width
+    range exchange per metric. This variant unpivots to narrow
+    (keys, metric-id, typed value slots) rows, ranks ALL metrics in a
+    single :func:`append_global_rank` pass — the metric id leads the
+    sort order, and since every metric contributes exactly |df| rows,
+    the within-metric rank is ``global_rank - metric_index * |df|`` —
+    then pivots the buckets back and joins them on ``keys``.
+
+    Contract:
+    - ``metrics``: out_col → ASCENDING order expression. Express
+      descending orders by negation (numerics) or ``-unix_date`` /
+      ``-unix_timestamp`` (dates/timestamps) — strictly order-reversing,
+      tie-preserving. Supported slot types: integral (exact bigint
+      slot), float/double (double slot), string. Anything else raises —
+      silently casting (e.g. decimal→double) could merge values a typed
+      order keeps distinct.
+    - ``keys``: the tiebreak AND pivot-back identity — must be UNIQUE
+      per row (SQL NTILE determinism needs a total order anyway);
+      duplicate keys would merge distinct rows' buckets in the pivot.
+    - NULL metric values sort FIRST (asc_nulls_first), like Spark's
+      ``F.asc``; engines defaulting to NULLS LAST (DuckDB) differ on
+      null-valued metrics — keep nulls out of ranked metrics (q93's
+      aggregates are null-free by construction).
+
+    Scale: one narrow range exchange of |metrics|·|df| rows, one pivot
+    aggregate back to |df| rows, one co-partitioned join on ``keys`` —
+    vs |metrics| full-width exchanges for the chained form. The
+    unpartitioned-offsets-frame bound is inherited from
+    :func:`append_global_rank`.
+    """
+    if n <= 0:
+        raise ValueError(f"NTILE bucket count must be >= 1, got {n}")
+    if not metrics:
+        raise ValueError("append_global_ntile_multi: no metrics given")
+    names = list(metrics)
+
+    from pyspark.sql import types as T
+
+    def slot_of(col: Column) -> str:
+        dt = df.select(col).schema[0].dataType
+        if isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            return "_v_long"
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return "_v_dbl"
+        if isinstance(dt, T.StringType):
+            return "_v_str"
+        raise ValueError(
+            f"append_global_ntile_multi: unsupported metric type {dt} — "
+            "pre-convert to an exact integral/double/string order key "
+            "(e.g. -unix_date for a descending date)"
+        )
+
+    slots = ["_v_long", "_v_dbl", "_v_str"]
+    casts = {"_v_long": "bigint", "_v_dbl": "double", "_v_str": "string"}
+    parts = []
+    for i, name in enumerate(names):
+        col = metrics[name]
+        mine = slot_of(col)
+        parts.append(
+            df.select(
+                *keys,
+                F.lit(i).alias("_m"),
+                *[
+                    (col if s == mine else F.lit(None))
+                    .cast(casts[s])
+                    .alias(s)
+                    for s in slots
+                ],
+            )
+        )
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionByName(p)
+
+    order = [F.asc("_m")] + [F.asc_nulls_first(s) for s in slots] + [
+        F.asc(k) for k in keys
+    ]
+    ranked = append_global_rank(
+        stacked, order, out_col="_gr", total_col="_gt"
+    )
+    # every metric contributes exactly |df| rows, so the within-metric
+    # frame is [m*N+1 .. (m+1)*N] of the global order. All-integer
+    # arithmetic (div/%), mirroring append_global_ntile exactly
+    k = len(names)
+    ranked = ranked.withColumn(
+        "_N", F.expr(f"_gt div {k}")
+    ).withColumn("_wr", F.expr("_gr - _m * _N"))
+    r = F.expr(f"_N % {n}")
+    cut = r * (F.expr(f"_N div {n}") + 1)
+    bucket = (
+        F.when(
+            F.col("_wr") <= cut,
+            F.expr(f"(_wr - 1) div (_N div {n} + 1)"),
+        )
+        .otherwise(
+            r
+            + F.expr(
+                f"(_wr - (_N % {n}) * (_N div {n} + 1) - 1)"
+                f" div greatest(_N div {n}, 1)"
+            )
+        )
+        .cast("int")
+        + F.lit(1)
+    )
+    pivoted = (
+        ranked.withColumn("_bk", bucket)
+        .groupBy(*keys)
+        .agg(
+            *[
+                F.max(F.when(F.col("_m") == i, F.col("_bk"))).alias(name)
+                for i, name in enumerate(names)
+            ]
+        )
+    )
+    return df.join(pivoted, on=keys)

@@ -2392,7 +2392,9 @@ def q92_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q93_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from salesanalytics_etl_spark.functions.scalar import dec182, money_out
-    from salesanalytics_etl_spark.operators.ranking import append_global_ntile
+    from salesanalytics_etl_spark.operators.ranking import (
+        append_global_ntile_multi,
+    )
 
     (orders,) = _t(spark, sf_dir, "orders")
     agg = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
@@ -2400,14 +2402,18 @@ def q93_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         money_out(F.sum(dec182("o_totalprice"))).alias("monetary"),
     )
-    with_r = append_global_ntile(
-        agg, 4, [F.desc("last_order"), F.asc("c_custkey")], "r_quartile"
-    )
-    with_f = append_global_ntile(
-        with_r, 4, [F.desc("n_orders"), F.asc("c_custkey")], "f_quartile"
-    )
-    return append_global_ntile(
-        with_f, 4, [F.desc("monetary"), F.asc("c_custkey")], "m_quartile"
+    # all three quartiles through ONE range exchange (the multi variant's
+    # typed-slot unpivot); DESC orders expressed as exact negations —
+    # -unix_date is tie-preserving on dates, double negation is IEEE-exact
+    return append_global_ntile_multi(
+        agg,
+        4,
+        {
+            "r_quartile": -F.unix_date(F.col("last_order")),
+            "f_quartile": -F.col("n_orders"),
+            "m_quartile": -F.col("monetary"),
+        },
+        keys=["c_custkey"],
     )
 
 

@@ -92,3 +92,68 @@ def test_rank_refuses_exchange_reuse_off(spark):
             append_global_rank(df, [F.col("v")], out_col="r")
     finally:
         spark.conf.set("spark.sql.exchange.reuse", "true")
+
+
+def test_ntile_multi_matches_single_passes(spark):
+    # mixed slot types (bigint / double / string), descending via
+    # negation, ties present, sizes spanning N<n, N=n, N%n!=0
+    import random
+
+    from pyspark.sql import functions as F
+
+    from salesanalytics_etl_spark.operators.ranking import (
+        append_global_ntile,
+        append_global_ntile_multi,
+    )
+
+    rnd = random.Random(93)
+    for size in (1, 3, 4, 17, 200):
+        rows = [
+            (
+                i,
+                rnd.randint(0, 5),          # long metric, heavy ties
+                rnd.choice([1.5, 2.25, 9.0]),  # double metric, ties
+                rnd.choice(["a", "b", "c"]),   # string metric, ties
+            )
+            for i in range(size)
+        ]
+        df = spark.createDataFrame(rows, "k INT, v1 INT, v2 DOUBLE, s STRING")
+        multi = append_global_ntile_multi(
+            df,
+            4,
+            {
+                "q1": -F.col("v1"),   # descending long
+                "q2": F.col("v2"),    # ascending double
+                "q3": F.col("s"),     # ascending string
+            },
+            keys=["k"],
+        )
+        want = df
+        for out, col in (
+            ("q1", (-F.col("v1"))),
+            ("q2", F.col("v2")),
+            ("q3", F.col("s")),
+        ):
+            want = append_global_ntile(
+                want, 4, [col.asc(), F.asc("k")], out
+            )
+        got = {r.k: (r.q1, r.q2, r.q3) for r in multi.collect()}
+        exp = {r.k: (r.q1, r.q2, r.q3) for r in want.collect()}
+        assert got == exp, f"size={size}"
+
+
+def test_ntile_multi_rejects_bad_inputs(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from salesanalytics_etl_spark.operators.ranking import (
+        append_global_ntile_multi,
+    )
+
+    df = spark.range(5).selectExpr("id AS k", "CAST(id AS DECIMAL(10,2)) AS d")
+    with pytest.raises(ValueError, match="no metrics"):
+        append_global_ntile_multi(df, 4, {}, keys=["k"])
+    with pytest.raises(ValueError, match="unsupported metric type"):
+        append_global_ntile_multi(df, 4, {"q": F.col("d")}, keys=["k"])
+    with pytest.raises(ValueError, match="bucket count"):
+        append_global_ntile_multi(df, 0, {"q": F.col("k")}, keys=["k"])
