@@ -4508,3 +4508,90 @@ def q127_peak_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_window_events"),
         F.count_distinct(F.col("evt_user")).alias("n_window_users"),
     )
+
+
+@register(
+    "q128_distributed_percentiles",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS order_total
+      FROM lineitem GROUP BY l_orderkey
+    ), ranked AS (
+      SELECT order_total AS v,
+             ROW_NUMBER() OVER (ORDER BY order_total) AS r,
+             COUNT(*) OVER () AS n
+      FROM per_order
+    ), bounded AS (
+      SELECT v, r, n,
+             CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 AS lo50,
+             CAST(CEIL(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 AS hi50,
+             CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1 AS lo90,
+             CAST(CEIL(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1 AS hi90,
+             CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 1 AS lo99,
+             CAST(CEIL(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 1 AS hi99
+      FROM ranked
+    ), picked AS (
+      SELECT * FROM bounded
+      WHERE r = lo50 OR r = hi50 OR r = lo90 OR r = hi90
+         OR r = lo99 OR r = hi99
+    )
+    SELECT
+      FLOOR((MIN(CASE WHEN r = lo50 THEN v END)
+             + (CAST(MIN(n) - 1 AS DOUBLE) * 0.5
+                - FLOOR(CAST(MIN(n) - 1 AS DOUBLE) * 0.5))
+               * (MIN(CASE WHEN r = hi50 THEN v END)
+                  - MIN(CASE WHEN r = lo50 THEN v END))) * 100 + 0.5)
+        / 100.0 AS p50,
+      FLOOR((MIN(CASE WHEN r = lo90 THEN v END)
+             + (CAST(MIN(n) - 1 AS DOUBLE) * 0.9
+                - FLOOR(CAST(MIN(n) - 1 AS DOUBLE) * 0.9))
+               * (MIN(CASE WHEN r = hi90 THEN v END)
+                  - MIN(CASE WHEN r = lo90 THEN v END))) * 100 + 0.5)
+        / 100.0 AS p90,
+      FLOOR((MIN(CASE WHEN r = lo99 THEN v END)
+             + (CAST(MIN(n) - 1 AS DOUBLE) * 0.99
+                - FLOOR(CAST(MIN(n) - 1 AS DOUBLE) * 0.99))
+               * (MIN(CASE WHEN r = hi99 THEN v END)
+                  - MIN(CASE WHEN r = lo99 THEN v END))) * 100 + 0.5)
+        / 100.0 AS p99
+    FROM picked
+    """,
+    doc="exact percentiles WITHOUT a single aggregation buffer "
+    "(operators/quantiles.py): q37's F.percentile/quantile_cont "
+    "collects every value into one final-reduce buffer — a single-task "
+    "OOM at 10^9 rows, the scale-killer class the window lint can't "
+    "see. Here the same interpolated quantile comes from DISTRIBUTED "
+    "exact ranks (operators/ranking.py): range partition + local "
+    "row_number + offset join, then a map-side filter keeps <= 2 rows "
+    "per percentile (the needed ranks are column expressions over the "
+    "riding total), and one bounded aggregate interpolates. The oracle "
+    "re-spells the rank CTE + the identical IEEE interpolation (NOT "
+    "quantile_cont — algebraically equal forms differ in the last "
+    "ulp); both sides emit floor-formula cents",
+)
+def q128_distributed_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182
+    from salesanalytics_etl_spark.operators.quantiles import (
+        exact_percentiles_distributed,
+    )
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(dec182("l_extendedprice")).cast("double").alias("order_total")
+    )
+    res = exact_percentiles_distributed(
+        per_order, "order_total", {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    )
+
+    def _r2(c):
+        return F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+
+    return res.select(
+        _r2(F.col("p50")).alias("p50"),
+        _r2(F.col("p90")).alias("p90"),
+        _r2(F.col("p99")).alias("p99"),
+    )

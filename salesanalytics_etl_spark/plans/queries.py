@@ -652,7 +652,11 @@ def q36_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per_order
     """,
     doc="exact percentiles (linear interpolation) of per-order totals — "
-    "Spark percentile() ≡ DuckDB quantile_cont",
+    "Spark percentile() ≡ DuckDB quantile_cont. SCALE CAVEAT: "
+    "percentile() collects every value into one final-reduce buffer "
+    "(single-task memory at 10^9 rows); q128 computes the identical "
+    "quantile from distributed exact ranks and is the 100 TB path — "
+    "this query stays as the engine-native reference twin",
 )
 def q37_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = _t(spark, sf_dir, "lineitem")

@@ -41,8 +41,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # Round-8 rotation (driver records the FIRST 50 entries), priority order:
-# (0) the three queries NEW this round (snapshot diff, calendar gap
-# fill, keyless bucketed range join) — never driver-recorded before;
+# (0) the four queries NEW this round (snapshot diff, calendar gap
+# fill, keyless bucketed range join, distributed exact percentiles)
+# — never driver-recorded before;
 # (1) the 28 queries whose code or oracle CHANGED this round and must
 # re-stamp on current code: the 23 tokenizer-consuming queries updated
 # by the CJK-aware tokenizer (Spark + oracle in lockstep; see
@@ -50,10 +51,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # global ntile windows), q112/q113/q122 (anchor list threaded through
 # the portable IVF), q52 (merge schema-evolution matched-row
 # preservation + lock heartbeat); (2) the r5-era driver rows the r7
-# verdict's item 2 lists, stalest-first. Seven r5-era rows (q38-q41,
-# q53, q94, q101 — untouched since r5, locally green) do not fit the
-# 50-row window this round and roll to r9 — after which nothing older
-# than r6 remains anywhere. Every name here is also swept by
+# verdict's item 2 lists, stalest-first. Eight r5-era rows (q38-q41,
+# q51, q53, q94, q101 — untouched since r5, locally green) do not fit
+# the 50-row window this round and roll to r9 — after which nothing
+# older than r6 remains anywhere. Every name here is also swept by
 # tests/test_queries.py + tests/strict_gate.py against the same oracles,
 # so reordering changes what the driver RECORDS, never what is verified.
 _CHECK_FIRST = [
@@ -61,6 +62,7 @@ _CHECK_FIRST = [
     "q125_snapshot_diff",
     "q126_sales_gap_fill",
     "q127_peak_window_traffic",
+    "q128_distributed_percentiles",
     # --- (1) code/oracle changed this round ---
     "q22_docs_token_stats",
     "q23_docs_quality",
@@ -109,7 +111,6 @@ _CHECK_FIRST = [
     "q18_running_daily_sales",
     "q42_purchases_with_prior_views",
     "q43_purchase_asof_signup",
-    "q51_train_val_test_split",
 ]
 
 

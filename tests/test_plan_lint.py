@@ -89,9 +89,13 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "q79_rolling_7day_sales": 1,
     # merge_rank over the top-20 SURVIVOR set (limit applied first)
     "q81_bigram_merge_candidates": 1,
-    # three distributed-ntile passes; each leaves ONE global window over
-    # its <= shuffle-partitions-row OFFSETS frame (operators/ranking.py)
-    "q93_customer_rfm": 3,
+    # ONE fused distributed-ntile pass (append_global_ntile_multi): its
+    # single global window runs over the <= shuffle-partitions-row
+    # OFFSETS frame (operators/ranking.py)
+    "q93_customer_rfm": 1,
+    # distributed exact percentiles: one append_global_rank pass, same
+    # bounded OFFSETS-frame window
+    "q128_distributed_percentiles": 1,
     # z-score stats over the DAY grain
     "q97_daily_sales_anomalies": 1,
     # threshold sweep over <= 10 001 integer basis-point buckets

@@ -1,0 +1,72 @@
+"""Distributed exact percentiles vs the buffered reference aggregate."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from salesanalytics_etl_spark.operators.quantiles import (
+    exact_percentiles_distributed,
+)
+
+PS = {"p25": 0.25, "p50": 0.5, "p90": 0.9, "p99": 0.99, "pmin": 0.0, "pmax": 1.0}
+
+
+def _dist(spark, values, ps=PS):
+    df = spark.createDataFrame([(v,) for v in values], "v DOUBLE")
+    return exact_percentiles_distributed(df, "v", ps).collect()[0].asDict()
+
+
+def _buffered(spark, values, ps=PS):
+    df = spark.createDataFrame([(v,) for v in values], "v DOUBLE")
+    return (
+        df.agg(
+            *[
+                F.percentile("v", F.lit(p)).alias(name)
+                for name, p in ps.items()
+            ]
+        )
+        .collect()[0]
+        .asDict()
+    )
+
+
+def test_matches_buffered_percentile_on_random_data(spark):
+    rnd = random.Random(128)
+    for size in (1, 2, 3, 10, 101):
+        values = [round(rnd.uniform(0, 1000), 2) for _ in range(size)]
+        values += values[: size // 3]  # force ties
+        got = _dist(spark, values)
+        want = _buffered(spark, values)
+        for k in PS:
+            assert got[k] == pytest.approx(want[k], abs=1e-9), (size, k)
+
+
+def test_nulls_excluded_and_empty_is_null_row(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (3.0,)], "v DOUBLE"
+    )
+    got = exact_percentiles_distributed(df, "v", {"p50": 0.5}).collect()
+    assert got[0].p50 == 2.0  # nulls out, interpolates 1 and 3
+    empty = spark.createDataFrame([], "v DOUBLE")
+    row = exact_percentiles_distributed(empty, "v", {"p50": 0.5}).collect()
+    assert len(row) == 1 and row[0].p50 is None
+
+
+def test_invalid_args_raise(spark):
+    df = spark.range(3).selectExpr("CAST(id AS DOUBLE) AS v")
+    with pytest.raises(ValueError, match="outside"):
+        exact_percentiles_distributed(df, "v", {"p": 1.5})
+    with pytest.raises(ValueError, match="no percentiles"):
+        exact_percentiles_distributed(df, "v", {})
+
+
+def test_no_single_buffer_aggregate_in_plan(spark):
+    # the whole point: no percentile() ObjectHashAggregate over the
+    # data; the plan's aggregate runs over the rank-filtered rows
+    df = spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS v")
+    out = exact_percentiles_distributed(df, "v", {"p50": 0.5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in plan.lower().replace("percentiles", "")
