@@ -90,3 +90,58 @@ def exact_percentiles_distributed(
         v_hi = F.min(F.when(F.col("_r") == F.col("_hi_" + name), F.col("_v")))
         final.append((v_lo + frac * (v_hi - v_lo)).alias(name))
     return picked.agg(*final)
+
+
+def exact_percentiles_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column | str,
+    ps: dict[str, float],
+) -> DataFrame:
+    """Per-group exact interpolated percentiles — the grouped form of
+    :func:`exact_percentiles_distributed`, one output row per group.
+
+    ``groupBy(g).agg(percentile(...))`` holds each GROUP's values in one
+    aggregation buffer: with low-cardinality groups (segments,
+    languages, sources) every buffer is data-scaled. Here
+    ``append_group_rank`` range-partitions on (group, value) so big
+    groups span partitions, per-group N rides every row, the rank
+    filter keeps ≤ 2 rows per (group, percentile) map-side, and the
+    final aggregate is |groups|-bounded.
+    """
+    from salesanalytics_etl_spark.operators.ranking import append_group_rank
+
+    if not ps:
+        raise ValueError("exact_percentiles_grouped: no percentiles")
+    for name, p in ps.items():
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"percentile {name}={p} outside [0, 1]")
+    vcol = F.col(value) if isinstance(value, str) else value
+    vals = df.select(*group_cols, vcol.alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    ranked = append_group_rank(
+        vals, group_cols, [F.asc("_v")], out_col="_r", total_col="_n"
+    )
+    keep = None
+    bounded = ranked
+    for name, p in ps.items():
+        posx = (F.col("_n") - 1).cast("double") * F.lit(float(p))
+        bounded = bounded.withColumn(
+            "_lo_" + name, F.floor(posx).cast("bigint") + 1
+        ).withColumn("_hi_" + name, F.ceil(posx).cast("bigint") + 1)
+        cond = (F.col("_r") == F.col("_lo_" + name)) | (
+            F.col("_r") == F.col("_hi_" + name)
+        )
+        keep = cond if keep is None else (keep | cond)
+    picked = bounded.filter(keep)
+    final = []
+    for name, p in ps.items():
+        posx = (F.min("_n") - 1).cast("double") * F.lit(float(p))
+        frac = posx - F.floor(posx)
+        v_lo = F.min(F.when(F.col("_r") == F.col("_lo_" + name), F.col("_v")))
+        v_hi = F.min(F.when(F.col("_r") == F.col("_hi_" + name), F.col("_v")))
+        final.append((v_lo + frac * (v_hi - v_lo)).alias(name))
+    return picked.groupBy(*group_cols).agg(
+        F.min("_n").alias("_n_group"), *final
+    ).withColumnRenamed("_n_group", "n_rows")

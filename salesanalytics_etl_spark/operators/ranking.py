@@ -261,3 +261,70 @@ def append_global_ntile_multi(
         )
     )
     return df.join(pivoted, on=keys)
+
+
+def append_group_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    out_col: str = "rank",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Per-group exact row_number over ``order_cols`` WITHOUT per-group
+    sort funnels — the grouped analog of :func:`append_global_rank`.
+
+    ``Window.partitionBy(group).orderBy(...)`` sorts each group in ONE
+    task: fine for high-cardinality groups, a straggler/OOM when a few
+    huge groups hold the data (customer segments, languages, sources —
+    the usual low-cardinality grouping). Here the data range-partitions
+    on (group, order) so a big group SPANS partitions, local row_numbers
+    run per (partition, group) slice, and per-group offsets come from
+    the (partition × group) counts frame — bounded by
+    ``shuffle.partitions × |groups|`` — via a window partitioned BY
+    GROUP over partition ids (never unpartitioned, never data-scaled).
+
+    Same exchange-reuse requirement as :func:`append_global_rank`
+    (enforced there is not enough — this function has its own two
+    consumers of the ranged subtree), so the same loud guard applies.
+    """
+    spark = df.sparkSession
+    if spark.conf.get("spark.sql.exchange.reuse", "true").lower() == "false":
+        raise RuntimeError(
+            "append_group_rank requires spark.sql.exchange.reuse=true "
+            "(see append_global_rank: the counts and join branches must "
+            "observe one shared range exchange)"
+        )
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    gcols = [F.col(g) for g in group_cols]
+    ranged = df.repartitionByRange(nparts, *gcols, *order_cols).withColumn(
+        "_gk_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_gk_pid", *group_cols).orderBy(*order_cols)
+    local = ranged.withColumn("_gk_rn", F.row_number().over(w))
+    counts = local.groupBy("_gk_pid", *group_cols).agg(
+        F.count(F.lit(1)).alias("_gk_c")
+    )
+    # bounded counts frame: <= nparts × |groups| rows; windows are
+    # partitioned by group (grain = partitions-per-group)
+    wo = Window.partitionBy(*group_cols).orderBy("_gk_pid")
+    offsets = counts.select(
+        "_gk_pid",
+        *group_cols,
+        F.coalesce(
+            F.sum("_gk_c").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_gk_off"),
+        F.sum("_gk_c")
+        .over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("_gk_total"),
+    )
+    ranked = local.join(
+        F.broadcast(offsets), ["_gk_pid", *group_cols]
+    ).withColumn(out_col, F.col("_gk_off") + F.col("_gk_rn"))
+    keep = [c for c in df.columns] + [out_col]
+    if total_col is not None:
+        ranked = ranked.withColumn(total_col, F.col("_gk_total"))
+        keep.append(total_col)
+    return ranked.select(*keep)

@@ -1218,7 +1218,11 @@ def q67_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="per-segment order-value percentiles (extends q37's global "
     "percentiles to grouped): exact linear-interpolation quantiles, "
-    "per-order decimal accumulation cast to double before the quantile",
+    "per-order decimal accumulation cast to double before the quantile. "
+    "SCALE CAVEAT: groupBy+percentile holds each segment's values in "
+    "one aggregation buffer (data-scaled with 5 segments); q129 "
+    "computes the identical quantiles from distributed per-group ranks "
+    "and is the 100 TB path — this stays the engine-native twin",
 )
 def q68_segment_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from salesanalytics_etl_spark.functions.scalar import dec182
@@ -4591,6 +4595,117 @@ def q128_distributed_percentiles(
         return F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
 
     return res.select(
+        _r2(F.col("p50")).alias("p50"),
+        _r2(F.col("p90")).alias("p90"),
+        _r2(F.col("p99")).alias("p99"),
+    )
+
+
+@register(
+    "q129_segment_percentiles_distributed",
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey, c.c_mktsegment,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS order_total
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT c_mktsegment AS seg, order_total AS v,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY order_total) AS r,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM per_order
+    ), bounded AS (
+      SELECT seg, v, r, n,
+             CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 AS lo50,
+             CAST(CEIL(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 AS hi50,
+             CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1 AS lo90,
+             CAST(CEIL(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1 AS hi90,
+             CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 1 AS lo99,
+             CAST(CEIL(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 1 AS hi99
+      FROM ranked
+    ), picked AS (
+      SELECT * FROM bounded
+      WHERE r = lo50 OR r = hi50 OR r = lo90 OR r = hi90
+         OR r = lo99 OR r = hi99
+    )
+    SELECT seg AS c_mktsegment,
+      CAST(MIN(n) AS BIGINT) AS n_orders,
+      FLOOR((MIN(CASE WHEN r = lo50 THEN v END)
+             + (CAST(MIN(n) - 1 AS DOUBLE) * 0.5
+                - FLOOR(CAST(MIN(n) - 1 AS DOUBLE) * 0.5))
+               * (MIN(CASE WHEN r = hi50 THEN v END)
+                  - MIN(CASE WHEN r = lo50 THEN v END))) * 100 + 0.5)
+        / 100.0 AS p50,
+      FLOOR((MIN(CASE WHEN r = lo90 THEN v END)
+             + (CAST(MIN(n) - 1 AS DOUBLE) * 0.9
+                - FLOOR(CAST(MIN(n) - 1 AS DOUBLE) * 0.9))
+               * (MIN(CASE WHEN r = hi90 THEN v END)
+                  - MIN(CASE WHEN r = lo90 THEN v END))) * 100 + 0.5)
+        / 100.0 AS p90,
+      FLOOR((MIN(CASE WHEN r = lo99 THEN v END)
+             + (CAST(MIN(n) - 1 AS DOUBLE) * 0.99
+                - FLOOR(CAST(MIN(n) - 1 AS DOUBLE) * 0.99))
+               * (MIN(CASE WHEN r = hi99 THEN v END)
+                  - MIN(CASE WHEN r = lo99 THEN v END))) * 100 + 0.5)
+        / 100.0 AS p99
+    FROM picked GROUP BY seg
+    """,
+    doc="per-segment exact percentiles WITHOUT per-group aggregation "
+    "buffers (operators/quantiles.py:exact_percentiles_grouped): q68's "
+    "groupBy+percentile holds each SEGMENT's values in one buffer — "
+    "with 5 segments every buffer is |orders|/5, i.e. data-scaled. "
+    "Here append_group_rank range-partitions on (segment, value) so a "
+    "big segment SPANS partitions; per-group offsets come from the "
+    "(partitions x segments)-bounded counts frame via group-partitioned "
+    "windows (never unpartitioned); the rank filter keeps <= 2 rows per "
+    "(segment, percentile) map-side; the final aggregate is "
+    "|segments|-bounded. Oracle re-spells the per-group rank CTE + the "
+    "identical IEEE interpolation (see q128); q68 stays the "
+    "engine-native buffered twin",
+)
+def q129_segment_percentiles_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182
+    from salesanalytics_etl_spark.operators.quantiles import (
+        exact_percentiles_grouped,
+    )
+
+    customer, orders, lineitem = _t(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    per_order = (
+        lineitem.select("l_orderkey", "l_extendedprice")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(
+            F.sum(dec182("l_extendedprice")).cast("double").alias("order_total")
+        )
+    )
+    res = exact_percentiles_grouped(
+        per_order,
+        ["c_mktsegment"],
+        "order_total",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+    )
+
+    def _r2(c):
+        return F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+
+    return res.select(
+        "c_mktsegment",
+        F.col("n_rows").alias("n_orders"),
         _r2(F.col("p50")).alias("p50"),
         _r2(F.col("p90")).alias("p90"),
         _r2(F.col("p99")).alias("p99"),

@@ -70,3 +70,67 @@ def test_no_single_buffer_aggregate_in_plan(spark):
     out = exact_percentiles_distributed(df, "v", {"p50": 0.5})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "percentile" not in plan.lower().replace("percentiles", "")
+
+
+def test_grouped_matches_buffered_per_group(spark):
+    from salesanalytics_etl_spark.operators.quantiles import (
+        exact_percentiles_grouped,
+    )
+
+    rnd = random.Random(129)
+    rows = []
+    # group shapes: singleton, pair, large with ties
+    for g, size in (("a", 1), ("b", 2), ("c", 57), ("d", 8)):
+        vals = [round(rnd.uniform(0, 100), 2) for _ in range(size)]
+        vals += vals[: size // 2]  # ties
+        rows += [(g, v) for v in vals]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    ps = {"p50": 0.5, "p90": 0.9}
+    got = {
+        r.g: (r.n_rows, r.p50, r.p90)
+        for r in exact_percentiles_grouped(df, ["g"], "v", ps).collect()
+    }
+    want = {
+        r.g: (r.n, r.p50, r.p90)
+        for r in df.groupBy("g")
+        .agg(
+            F.count("v").alias("n"),
+            F.percentile("v", F.lit(0.5)).alias("p50"),
+            F.percentile("v", F.lit(0.9)).alias("p90"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][0] == want[g][0]
+        assert got[g][1] == pytest.approx(want[g][1], abs=1e-9)
+        assert got[g][2] == pytest.approx(want[g][2], abs=1e-9)
+
+
+def test_grouped_plans_no_unpartitioned_window(spark):
+    from salesanalytics_etl_spark.operators.quantiles import (
+        exact_percentiles_grouped,
+    )
+
+    df = spark.range(100).selectExpr(
+        "CAST(id % 3 AS STRING) AS g", "CAST(id AS DOUBLE) AS v"
+    )
+    out = exact_percentiles_grouped(df, ["g"], "v", {"p50": 0.5})
+    plan = out._jdf.queryExecution().executedPlan()
+
+    def walk(node):
+        yield node
+        if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            yield from walk(node.inputPlan())
+            return
+        it = node.children().iterator()
+        while it.hasNext():
+            yield from walk(it.next())
+
+    bad = [
+        n
+        for n in walk(plan)
+        if "Window" in n.getClass().getSimpleName()
+        and n.partitionSpec().isEmpty()
+    ]
+    assert not bad, "grouped percentiles must never plan a global window"
