@@ -4710,3 +4710,105 @@ def q129_segment_percentiles_distributed(
         _r2(F.col("p90")).alias("p90"),
         _r2(F.col("p99")).alias("p99"),
     )
+
+
+@register(
+    "q130_robust_order_outliers",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS v
+      FROM lineitem GROUP BY l_orderkey
+    ), ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r, COUNT(*) OVER () AS n
+      FROM per_order
+    ), med AS (
+      SELECT MIN(CASE WHEN r = CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5)
+                                   AS BIGINT) + 1 THEN v END)
+             + (CAST(MIN(n) - 1 AS DOUBLE) * 0.5
+                - FLOOR(CAST(MIN(n) - 1 AS DOUBLE) * 0.5))
+               * (MIN(CASE WHEN r = CAST(CEIL(CAST(n - 1 AS DOUBLE) * 0.5)
+                                         AS BIGINT) + 1 THEN v END)
+                  - MIN(CASE WHEN r = CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5)
+                                           AS BIGINT) + 1 THEN v END))
+               AS med
+      FROM ranked
+      WHERE r = CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1
+         OR r = CAST(CEIL(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1
+    ), dev AS (
+      SELECT ABS(p.v - m.med) AS av FROM per_order p CROSS JOIN med m
+    ), ranked2 AS (
+      SELECT av, ROW_NUMBER() OVER (ORDER BY av) AS r, COUNT(*) OVER () AS n
+      FROM dev
+    ), mad AS (
+      SELECT MIN(CASE WHEN r = CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5)
+                                   AS BIGINT) + 1 THEN av END)
+             + (CAST(MIN(n) - 1 AS DOUBLE) * 0.5
+                - FLOOR(CAST(MIN(n) - 1 AS DOUBLE) * 0.5))
+               * (MIN(CASE WHEN r = CAST(CEIL(CAST(n - 1 AS DOUBLE) * 0.5)
+                                         AS BIGINT) + 1 THEN av END)
+                  - MIN(CASE WHEN r = CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5)
+                                           AS BIGINT) + 1 THEN av END))
+               AS mad
+      FROM ranked2
+      WHERE r = CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1
+         OR r = CAST(CEIL(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1
+    )
+    SELECT FLOOR(m.med * 100 + 0.5) / 100.0 AS med,
+           FLOOR(d.mad * 100 + 0.5) / 100.0 AS mad,
+           CAST(COUNT(CASE WHEN ABS(p.v - m.med) > 3.0 * 1.4826 * d.mad
+                           THEN 1 END) AS BIGINT) AS n_outliers,
+           FLOOR(MAX(p.v) * 100 + 0.5) / 100.0 AS max_total
+    FROM per_order p CROSS JOIN med m CROSS JOIN mad d
+    GROUP BY m.med, d.mad
+    """,
+    doc="robust outlier census over per-order totals: median and MAD "
+    "(median absolute deviation) computed by COMPOSING the distributed "
+    "exact-percentile machinery twice (q128's rank path — no "
+    "single-buffer percentile anywhere), then the classic robust "
+    "z-score cut |v - med| > 3·1.4826·MAD counted in one scan. "
+    "Mean/stddev outlier rules (q97's z-score) are themselves dragged "
+    "by the outliers they hunt; MAD has a 50% breakdown point. Scale: "
+    "two narrow range exchanges + two 1-row broadcasts + one counting "
+    "scan; every aggregate buffer bounded. Oracle re-spells both rank "
+    "CTEs with the identical IEEE interpolation and the identical "
+    "un-rounded comparison threshold",
+)
+def q130_robust_order_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182
+    from salesanalytics_etl_spark.operators.quantiles import (
+        exact_percentiles_distributed,
+    )
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(dec182("l_extendedprice")).cast("double").alias("v")
+    )
+    med = exact_percentiles_distributed(per_order, "v", {"med": 0.5})
+    dev = per_order.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("v") - F.col("med")).alias("av")
+    )
+    mad = exact_percentiles_distributed(dev, "av", {"mad": 0.5})
+
+    def _r2(c):
+        return F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+
+    cut = F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    return (
+        per_order.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .groupBy("med", "mad")
+        .agg(
+            F.count(
+                F.when(F.abs(F.col("v") - F.col("med")) > cut, F.lit(1))
+            ).alias("n_outliers"),
+            F.max("v").alias("max_total"),
+        )
+        .select(
+            _r2(F.col("med")).alias("med"),
+            _r2(F.col("mad")).alias("mad"),
+            "n_outliers",
+            _r2(F.col("max_total")).alias("max_total"),
+        )
+    )

@@ -41,9 +41,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # Round-8 rotation (driver records the FIRST 50 entries), priority order:
-# (0) the five queries NEW this round (snapshot diff, calendar gap
+# (0) the six queries NEW this round (snapshot diff, calendar gap
 # fill, keyless bucketed range join, distributed exact percentiles
-# global + grouped) — never driver-recorded before;
+# global + grouped, robust median/MAD outliers) — never recorded;
 # (1) the 28 queries whose code or oracle CHANGED this round and must
 # re-stamp on current code: the 23 tokenizer-consuming queries updated
 # by the CJK-aware tokenizer (Spark + oracle in lockstep; see
@@ -51,9 +51,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # global ntile windows), q112/q113/q122 (anchor list threaded through
 # the portable IVF), q52 (merge schema-evolution matched-row
 # preservation + lock heartbeat); (2) the r5-era driver rows the r7
-# verdict's item 2 lists, stalest-first. Nine r5-era rows (q38-q41,
-# q43, q51, q53, q94, q101 — untouched since r5, locally green) do not
-# fit the 50-row window this round and roll to r9 — after which nothing
+# verdict's item 2 lists, stalest-first. Ten r5-era rows (q38-q43,
+# q51, q53, q94, q101 — untouched since r5, locally green) do not fit
+# the 50-row window this round and roll to r9 — after which nothing
 # older than r6 remains anywhere. Every name here is also swept by
 # tests/test_queries.py + tests/strict_gate.py against the same oracles,
 # so reordering changes what the driver RECORDS, never what is verified.
@@ -64,6 +64,7 @@ _CHECK_FIRST = [
     "q127_peak_window_traffic",
     "q128_distributed_percentiles",
     "q129_segment_percentiles_distributed",
+    "q130_robust_order_outliers",
     # --- (1) code/oracle changed this round ---
     "q22_docs_token_stats",
     "q23_docs_quality",
@@ -110,7 +111,6 @@ _CHECK_FIRST = [
     "q14_sales_daterange",
     "q17_view_sales_by_day_sql",
     "q18_running_daily_sales",
-    "q42_purchases_with_prior_views",
 ]
 
 

@@ -96,6 +96,12 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     # distributed exact percentiles: one append_global_rank pass, same
     # bounded OFFSETS-frame window
     "q128_distributed_percentiles": 1,
+    # median + MAD = two append_global_rank passes. The med subtree is
+    # CONSUMED twice (deviation input + final census join), so its
+    # bounded offsets-frame window appears twice more as TREE nodes —
+    # all four instances run over <= shuffle-partitions-row frames, and
+    # execution dedups the repeated subtree via exchange reuse
+    "q130_robust_order_outliers": 4,
     # z-score stats over the DAY grain
     "q97_daily_sales_anomalies": 1,
     # threshold sweep over <= 10 001 integer basis-point buckets
