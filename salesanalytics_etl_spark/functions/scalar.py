@@ -60,6 +60,16 @@ def safe_div(num: Column, den: Column, scale: int = 2) -> Column:
     return F.when(den > 0, F.floor(num / den * mult + F.lit(0.5)) / mult)
 
 
+def floor_cents(col: Column) -> Column:
+    """Round a non-negative double to cents via the engine-portable
+    floor formula ``floor(x*100 + 0.5)/100.0`` — the same convention as
+    :func:`safe_div` (see its docstring for why engine-native ROUND
+    diverges across Spark/DuckDB on interpolated midpoints). Used by
+    every percentile/interpolation query; the oracle twin must spell
+    the identical formula."""
+    return F.floor(col * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+
+
 def money_out(col: Column | str, scale: int = 2) -> Column:
     """Terminal money cast for the gate surface: ROUND(CAST(x AS DOUBLE), s).
 

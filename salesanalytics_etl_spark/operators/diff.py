@@ -61,6 +61,12 @@ def snapshot_diff(
         if compare_cols is not None
         else [c for c in old.columns if c not in keys]
     )
+    reserved = {"status", "n_changed_cols"} & {*keys, *compare}
+    if reserved:
+        raise ValueError(
+            f"snapshot_diff: column(s) {sorted(reserved)} collide with the "
+            "diff's output columns — rename them in the snapshots first"
+        )
     for side, df in (("old", old), ("new", new)):
         missing = [c for c in (*keys, *compare) if c not in df.columns]
         if missing:
@@ -112,9 +118,14 @@ def apply_changes(
     Semantics are MERGE-with-deletes: rows whose key appears in the feed
     are dropped from ``old`` (covers 'removed' and the stale half of
     'changed'), then the feed's 'added'/'changed' rows are unioned in
-    with their new-side values. Scale: one left-anti join plus a union —
-    both co-partitioned on the key, same shuffle class as the diff
-    itself; the feed is change-proportional, not table-proportional.
+    with their new-side values. The anti-join is NULL-SAFE on the keys:
+    snapshot_diff reports a null-keyed row as added+removed, so the
+    stale null-keyed row must also be evicted here or the roundtrip
+    would duplicate it. Output column order matches ``old`` exactly
+    (positional consumers — insertInto, union — stay aligned). Scale:
+    one left-anti join plus a union — both co-partitioned on the key,
+    same shuffle class as the diff itself; the feed is
+    change-proportional, not table-proportional.
     """
     if isinstance(keys, str):
         keys = [keys]
@@ -133,6 +144,13 @@ def apply_changes(
             "snapshot_diff(..., include_values=True) on this table"
         )
     touched = changes.select(*keys)
-    kept = old.select(*value_cols).join(touched, on=keys, how="left_anti")
-    incoming = changes.filter(F.col("status") != "removed").select(*value_cols)
-    return kept.unionByName(incoming)
+    cond = None
+    for k in keys:
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"t.{k}"))
+        cond = c if cond is None else (cond & c)
+    kept = old.alias("o").join(touched.alias("t"), cond, "left_anti")
+    incoming = changes.filter(F.col("status") != "removed")
+    # honor the snapshot's column ORDER, not the feed's keys-first order
+    return kept.select(*old.columns).unionByName(
+        incoming.select(*old.columns)
+    )

@@ -260,7 +260,18 @@ def append_global_ntile_multi(
             ]
         )
     )
-    return df.join(pivoted, on=keys)
+    # NULL-SAFE pivot-back join: groupBy treats NULL keys as one group
+    # (consistent with the uniqueness contract — one null-keyed row is
+    # legal), and a plain equi-join would silently drop that row
+    cond = None
+    for k in keys:
+        c = F.col(f"d.{k}").eqNullSafe(F.col(f"p.{k}"))
+        cond = c if cond is None else (cond & c)
+    return (
+        df.alias("d")
+        .join(pivoted.alias("p"), cond)
+        .select(*[F.col(f"d.{c}") for c in df.columns], *names)
+    )
 
 
 def append_group_rank(
@@ -320,11 +331,19 @@ def append_group_rank(
         )
         .alias("_gk_total"),
     )
-    ranked = local.join(
-        F.broadcast(offsets), ["_gk_pid", *group_cols]
-    ).withColumn(out_col, F.col("_gk_off") + F.col("_gk_rn"))
-    keep = [c for c in df.columns] + [out_col]
+    # NULL-SAFE on the group columns: Window.partitionBy ranks a NULL
+    # group as a normal group, and a plain equi-join here would silently
+    # DROP every null-group row instead (they'd never match offsets)
+    cond = F.col("l._gk_pid") == F.col("r._gk_pid")
+    for g in group_cols:
+        cond = cond & F.col(f"l.{g}").eqNullSafe(F.col(f"r.{g}"))
+    ranked = (
+        local.alias("l")
+        .join(F.broadcast(offsets).alias("r"), cond)
+        .withColumn(out_col, F.col("r._gk_off") + F.col("l._gk_rn"))
+    )
+    keep = [F.col(f"l.{c}") for c in df.columns] + [F.col(out_col)]
     if total_col is not None:
-        ranked = ranked.withColumn(total_col, F.col("_gk_total"))
-        keep.append(total_col)
+        ranked = ranked.withColumn(total_col, F.col("r._gk_total"))
+        keep.append(F.col(total_col))
     return ranked.select(*keep)

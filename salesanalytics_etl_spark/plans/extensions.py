@@ -1225,7 +1225,7 @@ def q67_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and is the 100 TB path — this stays the engine-native twin",
 )
 def q68_segment_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from salesanalytics_etl_spark.functions.scalar import dec182
+    from salesanalytics_etl_spark.functions.scalar import dec182, floor_cents
 
     customer, orders, lineitem = _t(
         spark, sf_dir, "customer", "orders", "lineitem"
@@ -1239,15 +1239,11 @@ def q68_segment_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "c_mktsegment")
         .agg(F.sum(dec182("l_extendedprice")).cast("double").alias("order_total"))
     )
-    # floor-formula rounding for interpolated midpoints (see q37)
-    def _r2(c):
-        return F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
-
     return per_order.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        _r2(F.percentile("order_total", F.lit(0.5))).alias("p50"),
-        _r2(F.percentile("order_total", F.lit(0.9))).alias("p90"),
-        _r2(F.percentile("order_total", F.lit(0.99))).alias("p99"),
+        floor_cents(F.percentile("order_total", F.lit(0.5))).alias("p50"),
+        floor_cents(F.percentile("order_total", F.lit(0.9))).alias("p90"),
+        floor_cents(F.percentile("order_total", F.lit(0.99))).alias("p99"),
     )
 
 
@@ -4578,7 +4574,7 @@ def q127_peak_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q128_distributed_percentiles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from salesanalytics_etl_spark.functions.scalar import dec182
+    from salesanalytics_etl_spark.functions.scalar import dec182, floor_cents
     from salesanalytics_etl_spark.operators.quantiles import (
         exact_percentiles_distributed,
     )
@@ -4591,13 +4587,10 @@ def q128_distributed_percentiles(
         per_order, "order_total", {"p50": 0.5, "p90": 0.9, "p99": 0.99}
     )
 
-    def _r2(c):
-        return F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
-
     return res.select(
-        _r2(F.col("p50")).alias("p50"),
-        _r2(F.col("p90")).alias("p90"),
-        _r2(F.col("p99")).alias("p99"),
+        floor_cents(F.col("p50")).alias("p50"),
+        floor_cents(F.col("p90")).alias("p90"),
+        floor_cents(F.col("p99")).alias("p99"),
     )
 
 
@@ -4670,7 +4663,7 @@ def q128_distributed_percentiles(
 def q129_segment_percentiles_distributed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from salesanalytics_etl_spark.functions.scalar import dec182
+    from salesanalytics_etl_spark.functions.scalar import dec182, floor_cents
     from salesanalytics_etl_spark.operators.quantiles import (
         exact_percentiles_grouped,
     )
@@ -4700,15 +4693,12 @@ def q129_segment_percentiles_distributed(
         {"p50": 0.5, "p90": 0.9, "p99": 0.99},
     )
 
-    def _r2(c):
-        return F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
-
     return res.select(
         "c_mktsegment",
         F.col("n_rows").alias("n_orders"),
-        _r2(F.col("p50")).alias("p50"),
-        _r2(F.col("p90")).alias("p90"),
-        _r2(F.col("p99")).alias("p99"),
+        floor_cents(F.col("p50")).alias("p50"),
+        floor_cents(F.col("p90")).alias("p90"),
+        floor_cents(F.col("p99")).alias("p99"),
     )
 
 
@@ -4776,7 +4766,7 @@ def q129_segment_percentiles_distributed(
     "un-rounded comparison threshold",
 )
 def q130_robust_order_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from salesanalytics_etl_spark.functions.scalar import dec182
+    from salesanalytics_etl_spark.functions.scalar import dec182, floor_cents
     from salesanalytics_etl_spark.operators.quantiles import (
         exact_percentiles_distributed,
     )
@@ -4791,9 +4781,6 @@ def q130_robust_order_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = exact_percentiles_distributed(dev, "av", {"mad": 0.5})
 
-    def _r2(c):
-        return F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
-
     cut = F.lit(3.0) * F.lit(1.4826) * F.col("mad")
     return (
         per_order.crossJoin(F.broadcast(med))
@@ -4806,9 +4793,9 @@ def q130_robust_order_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").alias("max_total"),
         )
         .select(
-            _r2(F.col("med")).alias("med"),
-            _r2(F.col("mad")).alias("mad"),
+            floor_cents(F.col("med")).alias("med"),
+            floor_cents(F.col("mad")).alias("mad"),
             "n_outliers",
-            _r2(F.col("max_total")).alias("max_total"),
+            floor_cents(F.col("max_total")).alias("max_total"),
         )
     )

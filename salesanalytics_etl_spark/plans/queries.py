@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from salesanalytics_etl_spark.functions.scalar import (
     concat_tsql,
     dec182,
+    floor_cents,
     money_out,
     null_label,
     safe_div,
@@ -663,16 +664,10 @@ def q37_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = lineitem.groupBy("l_orderkey").agg(
         F.sum(dec182("l_extendedprice")).cast("double").alias("order_total")
     )
-    # floor-formula rounding: interpolated percentiles of cent-grid
-    # values land on half-cent midpoints routinely, where engine-native
-    # double ROUND diverges (see safe_div) — identical IEEE ops instead
-    def _r2(c):
-        return F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
-
     return per_order.agg(
-        _r2(F.percentile("order_total", F.lit(0.5))).alias("p50"),
-        _r2(F.percentile("order_total", F.lit(0.9))).alias("p90"),
-        _r2(F.percentile("order_total", F.lit(0.99))).alias("p99"),
+        floor_cents(F.percentile("order_total", F.lit(0.5))).alias("p50"),
+        floor_cents(F.percentile("order_total", F.lit(0.9))).alias("p90"),
+        floor_cents(F.percentile("order_total", F.lit(0.99))).alias("p99"),
     )
 
 

@@ -129,3 +129,38 @@ def test_apply_changes_rejects_keys_only_feed(spark):
     feed = snapshot_diff(old, new, keys="k")  # no include_values
     with pytest.raises(ValueError, match="include_values"):
         apply_changes(old, feed, keys="k")
+
+
+def test_snapshot_diff_reserved_names_raise(spark):
+    old = spark.createDataFrame([(1, "x")], ["k", "status"])
+    with pytest.raises(ValueError, match="collide"):
+        snapshot_diff(old, old, keys="k")
+
+
+def test_apply_changes_null_key_roundtrip(spark):
+    from salesanalytics_etl_spark.operators.diff import apply_changes
+
+    old = spark.createDataFrame([(None, "x"), (1, "a")], "k INT, s STRING")
+    new = spark.createDataFrame([(None, "y"), (1, "a")], "k INT, s STRING")
+    feed = snapshot_diff(old, new, keys="k", include_values=True)
+    # null key reports as added+removed, never 'changed'
+    assert sorted(r.status for r in feed.collect()) == ["added", "removed"]
+    rebuilt = apply_changes(old, feed, keys="k")
+    assert sorted(map(tuple, rebuilt.collect()), key=repr) == sorted(
+        map(tuple, new.collect()), key=repr
+    )
+
+
+def test_apply_changes_preserves_column_order(spark):
+    from salesanalytics_etl_spark.operators.diff import apply_changes
+
+    # keys NOT leading: output order must match the snapshot, not the feed
+    old = spark.createDataFrame([("a", 1, "b")], ["c1", "k", "c2"])
+    new = spark.createDataFrame([("a", 1, "B"), ("x", 2, "y")],
+                                ["c1", "k", "c2"])
+    feed = snapshot_diff(old, new, keys="k", include_values=True)
+    rebuilt = apply_changes(old, feed, keys="k")
+    assert rebuilt.columns == ["c1", "k", "c2"]
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )

@@ -134,3 +134,22 @@ def test_grouped_plans_no_unpartitioned_window(spark):
         and n.partitionSpec().isEmpty()
     ]
     assert not bad, "grouped percentiles must never plan a global window"
+
+
+def test_grouped_keeps_all_null_group_like_buffered(spark):
+    from salesanalytics_etl_spark.operators.quantiles import (
+        exact_percentiles_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("x", None), (None, 5.0)],
+        "g STRING, v DOUBLE",
+    )
+    got = {
+        r.g: (r.n_rows, r.p50)
+        for r in exact_percentiles_grouped(df, ["g"], "v", {"p50": 0.5})
+        .collect()
+    }
+    # 'x' (all-NULL values) survives with n_rows 0 + NULL percentile,
+    # exactly like groupBy+percentile; NULL group value is its own group
+    assert got == {"a": (2, 2.0), "x": (0, None), None: (1, 5.0)}

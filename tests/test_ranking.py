@@ -157,3 +157,42 @@ def test_ntile_multi_rejects_bad_inputs(spark):
         append_global_ntile_multi(df, 4, {"q": F.col("d")}, keys=["k"])
     with pytest.raises(ValueError, match="bucket count"):
         append_global_ntile_multi(df, 0, {"q": F.col("k")}, keys=["k"])
+
+
+def test_group_rank_keeps_null_group(spark):
+    # Window.partitionBy ranks the NULL group as a normal group; the
+    # offsets join must be null-safe or those rows silently vanish
+    from salesanalytics_etl_spark.operators.ranking import append_group_rank
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0), (None, 1.0), ("a", 3.0)],
+        "g STRING, v DOUBLE",
+    )
+    got = {
+        (r.g, r.v): (r.rk, r.n)
+        for r in append_group_rank(
+            df, ["g"], [F.asc("v")], out_col="rk", total_col="n"
+        ).collect()
+    }
+    assert got == {
+        ("a", 1.0): (1, 2),
+        ("a", 3.0): (2, 2),
+        (None, 1.0): (1, 2),
+        (None, 2.0): (2, 2),
+    }
+
+
+def test_ntile_multi_keeps_null_key_row(spark):
+    from pyspark.sql import functions as F
+
+    from salesanalytics_etl_spark.operators.ranking import (
+        append_global_ntile_multi,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (None, 20), (3, 30)], "k INT, v INT"
+    )
+    out = append_global_ntile_multi(df, 2, {"q": F.col("v")}, keys=["k"])
+    assert out.count() == 3  # the null-keyed row must survive the pivot join
