@@ -4799,3 +4799,96 @@ def q130_robust_order_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             floor_cents(F.col("max_total")).alias("max_total"),
         )
     )
+
+
+@register(
+    "q131_orders_profile",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+             CAST(o_custkey AS VARCHAR) AS o_custkey,
+             o_orderstatus,
+             CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+               AS o_totalprice,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+             o_orderpriority
+      FROM orders
+    ), u AS (
+      SELECT 'o_orderkey' AS col_name, o_orderkey AS value FROM r
+      UNION ALL SELECT 'o_custkey', o_custkey FROM r
+      UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM r
+      UNION ALL SELECT 'o_totalprice', o_totalprice FROM r
+      UNION ALL SELECT 'o_orderdate', o_orderdate FROM r
+      UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM r
+    ), pv AS (
+      SELECT col_name, value, COUNT(*) AS cnt FROM u GROUP BY 1, 2
+    ), stats AS (
+      SELECT col_name,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COALESCE(SUM(CASE WHEN value IS NULL THEN cnt END), 0)
+                  AS BIGINT) AS n_nulls,
+             CAST(COUNT(value) AS BIGINT) AS n_distinct
+      FROM pv GROUP BY 1
+    ), top AS (
+      SELECT col_name, value AS top_value, cnt AS top_count
+      FROM (SELECT pv.*, ROW_NUMBER() OVER (
+              PARTITION BY col_name ORDER BY cnt DESC, value DESC) AS rk
+            FROM pv WHERE value IS NOT NULL) ranked
+      WHERE rk = 1
+    ), mm AS (
+      SELECT 'o_orderkey' AS col_name,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS max_value FROM orders
+      UNION ALL SELECT 'o_custkey',
+             CAST(MIN(o_custkey) AS VARCHAR),
+             CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+      UNION ALL SELECT 'o_orderstatus',
+             MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+      UNION ALL SELECT 'o_totalprice',
+             CAST(CAST(FLOOR(MIN(o_totalprice) * 100 + 0.5) AS BIGINT)
+                  AS VARCHAR),
+             CAST(CAST(FLOOR(MAX(o_totalprice) * 100 + 0.5) AS BIGINT)
+                  AS VARCHAR) FROM orders
+      UNION ALL SELECT 'o_orderdate',
+             CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR),
+             CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) FROM orders
+      UNION ALL SELECT 'o_orderpriority',
+             MIN(o_orderpriority), MAX(o_orderpriority) FROM orders
+    )
+    SELECT s.col_name, s.n_rows, s.n_nulls, s.n_distinct,
+           m.min_value, m.max_value, t.top_value, t.top_count
+    FROM stats s JOIN mm m USING (col_name)
+    LEFT JOIN top t USING (col_name)
+    """,
+    doc="one-pass table profiler (operators/profile.py) over orders: per "
+    "column, row/null counts, exact NDV, typed min/max, and the modal "
+    "value — the trust-the-load audit the reference approximates with "
+    "per-table head() prints. Scale: the naive form is k COUNT(DISTINCT) "
+    "scans or one Expand that multiplies rows ×k through a single "
+    "exchange; here the ×k unpivot is map-side codegen fused with the "
+    "scan, the ONE shuffle keys (col_name, value) with map-side partial "
+    "aggregation (a 99%-constant column pre-combines per task), and "
+    "everything downstream re-aggregates the bounded per-value frame "
+    "(two-phase top-1, broadcast |columns|-grain joins, typed min/max "
+    "from one narrow no-shuffle aggregate). Lossy renders are explicit: "
+    "cents-grid for the money double, date-grain for the timestamp — "
+    "NDV is over the rendered domain by contract",
+)
+def q131_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.profile import profile_columns
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    cents = lambda c: F.floor(c * F.lit(100.0) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    day = lambda c: c.cast("date")  # noqa: E731
+    return profile_columns(
+        orders,
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+        renders={"o_totalprice": cents, "o_orderdate": day},
+    )
