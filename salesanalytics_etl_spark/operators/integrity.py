@@ -99,3 +99,59 @@ def check_split(
     if ok is None:
         return df, df.limit(0)
     return df.filter(ok), df.filter(~F.coalesce(ok, F.lit(False)))
+
+
+def fk_audit(
+    edges: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity sweep: ONE summary row per FK edge.
+
+    ``edges`` is a list of (edge_name, child, child_key, parent,
+    parent_key). Per edge: total child rows, NULL-key rows (legal under
+    SQL FK semantics — not orphans), orphan rows (non-NULL key with no
+    parent), and the orphan share of non-NULL keys in integer basis
+    points (exact ``div`` arithmetic — float shares drift at
+    boundaries; same convention as the q124 skew audit).
+
+    Scale: each edge is one LEFT join of the child against the parent's
+    distinct key column (AQE picks broadcast-hash for dim-sized
+    parents; a genuinely huge parent degrades to a shuffle join, never
+    a collect) folded immediately into a 1-row aggregate — the union of
+    |edges| single-row frames. Nothing row-grain ever reaches the
+    driver, and no edge's work depends on another's (independent
+    subtrees, schedulable in parallel).
+    """
+    if not edges:
+        raise ValueError("fk_audit: no edges")
+    names = [e[0] for e in edges]
+    if len(set(names)) != len(names):
+        raise ValueError(f"fk_audit: duplicate edge names in {names}")
+    out = None
+    for name, child, child_key, parent, parent_key in edges:
+        keys = (
+            parent.select(F.col(parent_key).alias("_pk"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        joined = child.select(F.col(child_key).alias("_ck")).join(
+            keys, F.col("_ck") == F.col("_pk"), "left"
+        )
+        row = joined.agg(
+            F.lit(name).alias("edge"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("_ck").isNull(), 1)).alias("n_null_keys"),
+            F.count(
+                F.when(F.col("_ck").isNotNull() & F.col("_hit").isNull(), 1)
+            ).alias("n_orphans"),
+        ).select(
+            "edge",
+            "n_rows",
+            "n_null_keys",
+            "n_orphans",
+            F.expr(
+                "CASE WHEN n_rows - n_null_keys > 0 THEN "
+                "n_orphans * 10000 div (n_rows - n_null_keys) END"
+            ).alias("orphan_bp"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

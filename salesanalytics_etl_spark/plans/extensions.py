@@ -4892,3 +4892,186 @@ def q131_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         renders={"o_totalprice": cents, "o_orderdate": day},
     )
+
+
+@register(
+    "q132_nation_revenue_interpolated",
+    oracle="""
+    WITH daily AS (
+      SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), bounds AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+    ), spine AS (
+      SELECT n_name,
+             CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM nation, bounds
+    ), grid AS (
+      SELECT s.n_name, s.day, d.revenue
+      FROM spine s LEFT JOIN daily d
+        ON s.n_name = d.n_name AND s.day = d.day
+    ), w AS (
+      SELECT n_name, day, revenue,
+             LAST_VALUE(revenue IGNORE NULLS) OVER (
+               PARTITION BY n_name ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN revenue IS NOT NULL THEN day END
+                        IGNORE NULLS) OVER (
+               PARTITION BY n_name ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             FIRST_VALUE(revenue IGNORE NULLS) OVER (
+               PARTITION BY n_name ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN revenue IS NOT NULL THEN day END
+                         IGNORE NULLS) OVER (
+               PARTITION BY n_name ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM grid
+    )
+    SELECT n_name, day,
+           FLOOR((CASE WHEN revenue IS NOT NULL THEN revenue
+                       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                         pv + (nv - pv) *
+                         (CAST(DATEDIFF('day', pt, day) AS DOUBLE)
+                          / CAST(DATEDIFF('day', pt, nt) AS DOUBLE))
+                       WHEN pv IS NOT NULL THEN pv
+                       ELSE nv END) * 100 + 0.5) / 100.0 AS revenue,
+           revenue IS NULL AS is_gap
+    FROM w
+    """,
+    doc="gap-filled + linearly interpolated nation-grain daily revenue "
+    "(operators/temporal.py:interpolate_series): the q126 spine idea "
+    "per key, then LOCF/backfill-clamped linear interpolation — the "
+    "series shape forecasting and anomaly consumers actually train on "
+    "(a NULL gap would otherwise read as a crash to a z-score). Scale: "
+    "spine is |nations|x|days| (both bounded: dims and calendar), built "
+    "via a constant-key broadcast join + sequence/explode — NO "
+    "cartesian, no collect; the four IGNORE-NULLS running extrema ride "
+    "ONE window exchange partitioned by nation with calendar-bounded "
+    "frames; interpolation arithmetic is spelled in the identical IEEE "
+    "op order on both engines, emitted through the floor-cents formula",
+)
+def q132_nation_revenue_interpolated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182, floor_cents
+    from salesanalytics_etl_spark.operators.temporal import interpolate_series
+
+    customer, orders, nation = _t(
+        spark, sf_dir, "customer", "orders", "nation"
+    )
+    daily = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(dec182("o_totalprice")).cast("double").alias("revenue"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("_lo"), F.max("day").alias("_hi")
+    ).withColumn("_one", F.lit(1))
+    spine = (
+        nation.select("n_name")
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(bounds), "_one")
+        .select(
+            "n_name",
+            F.explode(F.sequence("_lo", "_hi")).alias("day"),
+        )
+    )
+    grid = spine.join(daily, ["n_name", "day"], "left").withColumn(
+        "is_gap", F.col("revenue").isNull()
+    )
+    filled = interpolate_series(
+        grid, ["n_name"], "day", "revenue", out_col="_filled"
+    )
+    return filled.select(
+        "n_name", "day", floor_cents(F.col("_filled")).alias("revenue"),
+        "is_gap"
+    )
+
+
+def _fk_edge_sql(name: str, child: str, ck: str, parent: str, pk: str) -> str:
+    return f"""
+    SELECT '{name}' AS edge,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN c.{ck} IS NULL THEN 1 END) AS BIGINT)
+             AS n_null_keys,
+           CAST(COUNT(CASE WHEN c.{ck} IS NOT NULL AND p.{pk} IS NULL
+                      THEN 1 END) AS BIGINT) AS n_orphans,
+           CASE WHEN COUNT(*) - COUNT(CASE WHEN c.{ck} IS NULL THEN 1 END) > 0
+                THEN CAST(COUNT(CASE WHEN c.{ck} IS NOT NULL
+                                AND p.{pk} IS NULL THEN 1 END) AS BIGINT)
+                     * 10000
+                     // (COUNT(*) - COUNT(CASE WHEN c.{ck} IS NULL
+                                          THEN 1 END))
+           END AS orphan_bp
+    FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+      ON c.{ck} = p.{pk}
+    """
+
+
+@register(
+    "q133_fk_integrity_sweep",
+    oracle=" UNION ALL ".join(
+        _fk_edge_sql(*e)
+        for e in [
+            ("orders.o_custkey->customer", "orders", "o_custkey",
+             "customer", "c_custkey"),
+            ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+             "orders", "o_orderkey"),
+            ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+             "part", "p_partkey"),
+            ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+             "supplier", "s_suppkey"),
+            ("customer.c_nationkey->nation", "customer", "c_nationkey",
+             "nation", "n_nationkey"),
+            ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+             "nation", "n_nationkey"),
+            ("nation.n_regionkey->region", "nation", "n_regionkey",
+             "region", "r_regionkey"),
+        ]
+    ),
+    doc="whole-schema referential-integrity sweep "
+    "(operators/integrity.py:fk_audit): every FK edge audited in one "
+    "query — child rows, NULL keys (legal, not orphans), orphans, and "
+    "the orphan share in exact integer basis points. The load-health "
+    "dashboard row the reference's per-FK isin() masks imply but never "
+    "aggregate. Scale: per edge ONE left join against the parent's "
+    "distinct keys (AQE broadcasts dim-sized parents) folded straight "
+    "into a 1-row aggregate; the result is a |edges|-row union of "
+    "independent subtrees — nothing row-grain leaves the executors",
+)
+def q133_fk_integrity_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.integrity import fk_audit
+
+    customer, supplier, part, orders, lineitem, nation, region = _t(
+        spark, sf_dir, "customer", "supplier", "part", "orders",
+        "lineitem", "nation", "region",
+    )
+    return fk_audit(
+        [
+            ("orders.o_custkey->customer", orders, "o_custkey",
+             customer, "c_custkey"),
+            ("lineitem.l_orderkey->orders", lineitem, "l_orderkey",
+             orders, "o_orderkey"),
+            ("lineitem.l_partkey->part", lineitem, "l_partkey",
+             part, "p_partkey"),
+            ("lineitem.l_suppkey->supplier", lineitem, "l_suppkey",
+             supplier, "s_suppkey"),
+            ("customer.c_nationkey->nation", customer, "c_nationkey",
+             nation, "n_nationkey"),
+            ("supplier.s_nationkey->nation", supplier, "s_nationkey",
+             nation, "n_nationkey"),
+            ("nation.n_regionkey->region", nation, "n_regionkey",
+             region, "r_regionkey"),
+        ]
+    )

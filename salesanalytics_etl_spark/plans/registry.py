@@ -41,9 +41,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # Round-8 rotation (driver records the FIRST 50 entries), priority order:
-# (0) the six queries NEW this round (snapshot diff, calendar gap
+# (0) the nine queries NEW this round (snapshot diff, calendar gap
 # fill, keyless bucketed range join, distributed exact percentiles
-# global + grouped, robust median/MAD outliers) — never recorded;
+# global + grouped, robust median/MAD outliers, table profiler,
+# interpolated series, FK integrity sweep) — never recorded;
 # (1) the 28 queries whose code or oracle CHANGED this round and must
 # re-stamp on current code: the 23 tokenizer-consuming queries updated
 # by the CJK-aware tokenizer (Spark + oracle in lockstep; see
@@ -51,14 +52,17 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # global ntile windows), q112/q113/q122 (anchor list threaded through
 # the portable IVF), q52 (merge schema-evolution matched-row
 # preservation + lock heartbeat); (2) the r5-era driver rows the r7
-# verdict's item 2 lists, stalest-first. Ten r5-era rows (q38-q43,
-# q51, q53, q94, q101 — untouched since r5, locally green) do not fit
-# the 50-row window this round and roll to r9 — after which nothing
-# older than r6 remains anywhere. Every name here is also swept by
+# verdict's item 2 lists, stalest-first. Thirteen r5-era rows (q38-q43,
+# q51, q53, q94, q101, and now q14/q17/q18 — untouched since r5,
+# locally green) do not fit the 50-row window this round and roll to
+# r9 — after which nothing older than r6 remains anywhere. Every name here is also swept by
 # tests/test_queries.py + tests/strict_gate.py against the same oracles,
 # so reordering changes what the driver RECORDS, never what is verified.
 _CHECK_FIRST = [
     # --- (0) new this round, never recorded ---
+    "q131_orders_profile",
+    "q132_nation_revenue_interpolated",
+    "q133_fk_integrity_sweep",
     "q125_snapshot_diff",
     "q126_sales_gap_fill",
     "q127_peak_window_traffic",
@@ -108,9 +112,6 @@ _CHECK_FIRST = [
     "q11_last_order_details",
     "q12_order_totals",
     "q13_order_reconciliation",
-    "q14_sales_daterange",
-    "q17_view_sales_by_day_sql",
-    "q18_running_daily_sales",
 ]
 
 
