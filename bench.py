@@ -126,15 +126,22 @@ def main() -> None:
     # triage would otherwise have to re-measure by hand.
     floor = dict(timings)
     floor.update(retime)
+    # r9 (verdict item 5): the floors of the TOP-10 most expensive
+    # queries ride EVERY round's record — the driver record now
+    # separates load from regression for the whole expensive tail the
+    # way q102's floor did, instead of only for queries whose delta
+    # happened to cross the materiality cut that round.
+    top10 = set(sorted(timings, key=timings.get, reverse=True)[:10])
     noisy = sorted(
         (
-            (name, t)
-            for name, t in retime.items()
-            if timings[name] - t > max(0.15, 0.2 * timings[name])
+            (name, floor[name])
+            for name, t in timings.items()
+            if name in top10
+            or (name in retime and t - retime[name] > max(0.15, 0.2 * t))
         ),
         key=lambda kv: timings[kv[0]] - kv[1],
         reverse=True,
-    )[:15]  # largest deltas only — keeps the line under the driver's tail
+    )[:18]  # bounded — keeps the line under the driver's tail
     qmin = {name.split("_", 1)[0]: round(t, 2) for name, t in noisy}
     out = {
         "metric": "total_query_wall_seconds",

@@ -75,6 +75,17 @@ def profile_columns(
     unknown = sorted(set(renders) - set(cols))
     if unknown:
         raise ValueError(f"profile_columns: renders for {unknown} not profiled")
+    # column names are interpolated into the stack() selectExpr string
+    # below ('{c}' literals and `_r_{c}` backtick-quoted identifiers):
+    # a quote/backtick in a name would break the generated SQL with an
+    # opaque parse error — refuse loudly instead
+    bad = [c for c in cols if "'" in c or "`" in c]
+    if bad:
+        raise ValueError(
+            f"profile_columns: column names {bad} contain quotes/"
+            "backticks, which the stack() unpivot cannot quote — "
+            "rename (withColumnRenamed) before profiling"
+        )
 
     def rendered(c: str, src: Column) -> Column:
         out = renders[c](src) if c in renders else src

@@ -4,9 +4,12 @@
 every value into ONE aggregation buffer in the final reduce — at 10⁹+
 rows that buffer is a single-task OOM: the same scale-killer class as an
 unpartitioned sort, just hidden inside an aggregate where the window
-lint can't see it. q37/q68 keep the buffered form as small-side twins;
-this module computes the identical interpolated quantile from
-DISTRIBUTED exact ranks (operators/ranking.py):
+lint can't see it (since r9 the aggregate-buffer lint in
+tests/test_plan_lint.py CAN see it, across every registered plan).
+q37/q68 ride this module's distributed path; the buffered form survives
+only as the value-identity twin in tests/test_quantiles.py. The
+identical interpolated quantile comes from DISTRIBUTED exact ranks
+(operators/ranking.py):
 
 1. ``append_global_rank`` / ``append_group_rank`` over the value —
    range partition + local row_number + offset join; ties need no
@@ -31,12 +34,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _validate(ps: dict[str, float], who: str) -> None:
+def _validate(
+    ps: dict[str, float], who: str, group_cols: list[str] | None = None
+) -> None:
     if not ps:
         raise ValueError(f"{who}: no percentiles")
     for name, p in ps.items():
         if not (0.0 <= p <= 1.0):
             raise ValueError(f"percentile {name}={p} outside [0, 1]")
+    # output names land next to n_rows/group columns and the _v/_r/_n/
+    # _lo_*/_hi_* working columns — a colliding key would yield
+    # duplicate/ambiguous output columns instead of a loud error
+    # (mirrors snapshot_diff's reserved-name check)
+    reserved = {"n_rows", "_v", "_r", "_n", *(group_cols or [])}
+    bad = sorted(
+        name
+        for name in ps
+        if name in reserved or name.startswith(("_lo_", "_hi_"))
+    )
+    if bad:
+        raise ValueError(
+            f"{who}: percentile output name(s) {bad} collide with "
+            "n_rows / group columns / internal working columns — "
+            "rename the ps keys"
+        )
 
 
 def _pick_and_interpolate(
@@ -121,7 +142,7 @@ def exact_percentiles_grouped(
     """
     from salesanalytics_etl_spark.operators.ranking import append_group_rank
 
-    _validate(ps, "exact_percentiles_grouped")
+    _validate(ps, "exact_percentiles_grouped", group_cols)
     vcol = F.col(value) if isinstance(value, str) else value
     vals = df.select(*group_cols, vcol.alias("_v")).filter(
         F.col("_v").isNotNull()

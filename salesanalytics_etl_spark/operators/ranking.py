@@ -157,9 +157,18 @@ def append_global_ntile_multi(
       descending orders by negation (numerics) or ``-unix_date`` /
       ``-unix_timestamp`` (dates/timestamps) — strictly order-reversing,
       tie-preserving. Supported slot types: integral (exact bigint
-      slot), float/double (double slot), string. Anything else raises —
-      silently casting (e.g. decimal→double) could merge values a typed
-      order keeps distinct.
+      slot), float/double (double slot), string, and DECIMAL with
+      precision <= 18 (routed EXACTLY through the bigint slot as the
+      unscaled value ``v * 10^scale`` — decimal negation and the
+      rescale are both exact, so DESC-by-negation decimals keep every
+      tie distinct). DECIMAL(p>18) raises — its unscaled value can
+      overflow bigint and a silent cast to double would merge values
+      >2^53 apart by <1 ulp. PRECISION NOTE on the double slot: doubles
+      are ranked bit-exactly AS DOUBLES (negation is a sign-bit flip,
+      order- and tie-exact at any magnitude, property-tested >2^53);
+      but if the double was itself produced by casting a wider exact
+      type, values that collided IN THE CAST are ties here too — rank
+      the exact source type instead (bigint/decimal slots).
     - ``keys``: the tiebreak AND pivot-back identity — must be UNIQUE
       per row (SQL NTILE determinism needs a total order anyway);
       duplicate keys would merge distinct rows' buckets in the pivot.
@@ -182,28 +191,40 @@ def append_global_ntile_multi(
 
     from pyspark.sql import types as T
 
-    def slot_of(col: Column) -> str:
+    def slot_of(col: Column) -> tuple[str, Column]:
+        """(slot name, order-exact transformed column) for a metric."""
         dt = df.select(col).schema[0].dataType
         if isinstance(
             dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
         ):
-            return "_v_long"
+            return "_v_long", col
         if isinstance(dt, (T.FloatType, T.DoubleType)):
-            return "_v_dbl"
+            return "_v_dbl", col
         if isinstance(dt, T.StringType):
-            return "_v_str"
+            return "_v_str", col
+        if isinstance(dt, T.DecimalType):
+            if dt.precision > 18:
+                raise ValueError(
+                    f"append_global_ntile_multi: DECIMAL({dt.precision},"
+                    f"{dt.scale}) metric — unscaled value can overflow "
+                    "the exact bigint slot; rescale to precision <= 18 "
+                    "or rank a bigint surrogate"
+                )
+            # exact: v*10^s is integral with |unscaled| < 10^18 < 2^63;
+            # the product stays decimal (precision p+s+1 <= 37) until
+            # the final bigint cast, so no double ever intervenes
+            return "_v_long", (col * F.lit(10 ** dt.scale)).cast("bigint")
         raise ValueError(
             f"append_global_ntile_multi: unsupported metric type {dt} — "
-            "pre-convert to an exact integral/double/string order key "
-            "(e.g. -unix_date for a descending date)"
+            "pre-convert to an exact integral/decimal(<=18)/double/"
+            "string order key (e.g. -unix_date for a descending date)"
         )
 
     slots = ["_v_long", "_v_dbl", "_v_str"]
     casts = {"_v_long": "bigint", "_v_dbl": "double", "_v_str": "string"}
     parts = []
     for i, name in enumerate(names):
-        col = metrics[name]
-        mine = slot_of(col)
+        mine, col = slot_of(metrics[name])
         parts.append(
             df.select(
                 *keys,
@@ -337,9 +358,16 @@ def append_group_rank(
     cond = F.col("l._gk_pid") == F.col("r._gk_pid")
     for g in group_cols:
         cond = cond & F.col(f"l.{g}").eqNullSafe(F.col(f"r.{g}"))
+    # NO broadcast hint on offsets: the frame is shuffle.partitions ×
+    # |groups| rows — bounded for the low-cardinality groups this
+    # operator targets, but |groups| is caller-controlled and a FORCED
+    # broadcast of a high-cardinality offsets frame would OOM the
+    # driver. AQE sizes the built side at runtime and broadcasts
+    # exactly when it is actually small (the global form keeps its
+    # hint: its frame is <= shuffle.partitions rows at ANY cardinality)
     ranked = (
         local.alias("l")
-        .join(F.broadcast(offsets).alias("r"), cond)
+        .join(offsets.alias("r"), cond)
         .withColumn(out_col, F.col("r._gk_off") + F.col("l._gk_rn"))
     )
     keep = [F.col(f"l.{c}") for c in df.columns] + [F.col(out_col)]

@@ -644,30 +644,74 @@ def q36_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_order AS (
       SELECT l_orderkey,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS order_total
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS order_total
       FROM lineitem GROUP BY l_orderkey
+    ), ranked AS (
+      SELECT order_total AS v,
+             ROW_NUMBER() OVER (ORDER BY order_total) AS r,
+             COUNT(*) OVER () AS n
+      FROM per_order
+    ), bounded AS (
+      SELECT v, r, n,
+             CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 AS lo50,
+             CAST(CEIL(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 AS hi50,
+             CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1 AS lo90,
+             CAST(CEIL(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1 AS hi90,
+             CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 1 AS lo99,
+             CAST(CEIL(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 1 AS hi99
+      FROM ranked
+    ), picked AS (
+      SELECT * FROM bounded
+      WHERE r = lo50 OR r = hi50 OR r = lo90 OR r = hi90
+         OR r = lo99 OR r = hi99
     )
-    SELECT FLOOR(quantile_cont(order_total, 0.5) * 100 + 0.5) / 100.0 AS p50,
-           FLOOR(quantile_cont(order_total, 0.9) * 100 + 0.5) / 100.0 AS p90,
-           FLOOR(quantile_cont(order_total, 0.99) * 100 + 0.5) / 100.0 AS p99
-    FROM per_order
+    SELECT
+      FLOOR((MIN(CASE WHEN r = lo50 THEN v END)
+             + (CAST(MIN(n) - 1 AS DOUBLE) * 0.5
+                - FLOOR(CAST(MIN(n) - 1 AS DOUBLE) * 0.5))
+               * (MIN(CASE WHEN r = hi50 THEN v END)
+                  - MIN(CASE WHEN r = lo50 THEN v END))) * 100 + 0.5)
+        / 100.0 AS p50,
+      FLOOR((MIN(CASE WHEN r = lo90 THEN v END)
+             + (CAST(MIN(n) - 1 AS DOUBLE) * 0.9
+                - FLOOR(CAST(MIN(n) - 1 AS DOUBLE) * 0.9))
+               * (MIN(CASE WHEN r = hi90 THEN v END)
+                  - MIN(CASE WHEN r = lo90 THEN v END))) * 100 + 0.5)
+        / 100.0 AS p90,
+      FLOOR((MIN(CASE WHEN r = lo99 THEN v END)
+             + (CAST(MIN(n) - 1 AS DOUBLE) * 0.99
+                - FLOOR(CAST(MIN(n) - 1 AS DOUBLE) * 0.99))
+               * (MIN(CASE WHEN r = hi99 THEN v END)
+                  - MIN(CASE WHEN r = lo99 THEN v END))) * 100 + 0.5)
+        / 100.0 AS p99
+    FROM picked
     """,
-    doc="exact percentiles (linear interpolation) of per-order totals — "
-    "Spark percentile() ≡ DuckDB quantile_cont. SCALE CAVEAT: "
-    "percentile() collects every value into one final-reduce buffer "
-    "(single-task memory at 10^9 rows); q128 computes the identical "
-    "quantile from distributed exact ranks and is the 100 TB path — "
-    "this query stays as the engine-native reference twin",
+    doc="exact percentiles (linear interpolation) of per-order totals, "
+    "computed on the DISTRIBUTED rank path (operators/quantiles.py — "
+    "r9: re-pointed per the r8 verdict; the buffered F.percentile "
+    "form collected every value into one final-reduce buffer, a "
+    "single-task OOM at 10^9 rows, and now lives only in unit tests "
+    "as the value-identity twin, tests/test_quantiles.py). Oracle "
+    "re-spells the rank CTE + the identical IEEE interpolation (NOT "
+    "quantile_cont — algebraically equal forms differ in the last ulp)",
 )
 def q37_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.quantiles import (
+        exact_percentiles_distributed,
+    )
+
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     per_order = lineitem.groupBy("l_orderkey").agg(
         F.sum(dec182("l_extendedprice")).cast("double").alias("order_total")
     )
-    return per_order.agg(
-        floor_cents(F.percentile("order_total", F.lit(0.5))).alias("p50"),
-        floor_cents(F.percentile("order_total", F.lit(0.9))).alias("p90"),
-        floor_cents(F.percentile("order_total", F.lit(0.99))).alias("p99"),
+    res = exact_percentiles_distributed(
+        per_order, "order_total", {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    )
+    return res.select(
+        floor_cents(F.col("p50")).alias("p50"),
+        floor_cents(F.col("p90")).alias("p90"),
+        floor_cents(F.col("p99")).alias("p99"),
     )
 
 

@@ -164,3 +164,151 @@ def test_apply_changes_preserves_column_order(spark):
     assert sorted(map(tuple, rebuilt.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_snapshot_diff_validate_unique_catches_dup_keys(spark):
+    from salesanalytics_etl_spark.operators.diff import snapshot_diff
+
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "k INT, v STRING")
+    # clean sides pass with validation on
+    assert (
+        snapshot_diff(clean, clean, ["k"], validate_unique=True).count() == 0
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="one-row-per-key"):
+        snapshot_diff(dup, clean, ["k"], validate_unique=True)
+    with pytest.raises(ValueError, match="new snapshot"):
+        snapshot_diff(clean, dup, ["k"], validate_unique=True)
+    # NULL-keyed rows never equi-match, so duplicates among them are
+    # exempt from the uniqueness contract (each surfaces independently)
+    nulls = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (1, "c")], "k INT, v STRING"
+    )
+    assert (
+        snapshot_diff(nulls, clean, ["k"], validate_unique=True).count() > 0
+    )
+
+
+# ---- partition-pruned CDC (r9) ---------------------------------------------
+
+
+def _snap_pair(spark):
+    """Two snapshots over 6 partitions; changes confined to p in {1,2,5}."""
+    old = spark.createDataFrame(
+        [(i, i % 6, f"v{i}", float(i)) for i in range(60)],
+        "k INT, p INT, s STRING, v DOUBLE",
+    )
+    new = spark.createDataFrame(
+        # k=13 (p=1) changed value; k=2 (p=2) removed; k=101 (p=5) added
+        [
+            (i, i % 6, ("CHANGED" if i == 13 else f"v{i}"), float(i))
+            for i in range(60)
+            if i != 2
+        ]
+        + [(101, 5, "new", 101.0)],
+        "k INT, p INT, s STRING, v DOUBLE",
+    )
+    return old, new
+
+
+def test_pruned_diff_matches_full_diff(spark):
+    from salesanalytics_etl_spark.operators.diff import snapshot_diff_pruned
+
+    old, new = _snap_pair(spark)
+    got = sorted(
+        (r.k, r.status, r.n_changed_cols, r.p)
+        for r in snapshot_diff_pruned(old, new, "k", ["p"]).collect()
+    )
+    want = sorted(
+        (r.k, r.status, r.n_changed_cols, r.p)
+        for r in snapshot_diff(
+            old, new, "k", locator_cols=["p"]
+        ).collect()
+    )
+    assert got == want
+    assert got == [
+        (2, "removed", None, 2),
+        (13, "changed", 1, 1),
+        (101, "added", None, 5),
+    ]
+    # removed row still carries its partition (locator coalesce)
+    assert all(p is not None for (_, _, _, p) in got)
+
+
+def test_pruned_diff_identical_snapshots_is_empty(spark):
+    from salesanalytics_etl_spark.operators.diff import snapshot_diff_pruned
+
+    old, _ = _snap_pair(spark)
+    out = snapshot_diff_pruned(old, old, "k", ["p"])
+    assert out.count() == 0
+    assert out.columns == ["k", "status", "n_changed_cols", "p"]
+
+
+def test_pruned_diff_budget_is_loud(spark):
+    from salesanalytics_etl_spark.operators.diff import snapshot_diff_pruned
+
+    old, new = _snap_pair(spark)
+    with pytest.raises(ValueError, match="partitions"):
+        snapshot_diff_pruned(old, new, "k", ["p"], max_changed_partitions=2)
+
+
+def test_changed_partitions_exactly_the_touched_ones(spark):
+    from salesanalytics_etl_spark.operators.diff import changed_partitions
+
+    old, new = _snap_pair(spark)
+    got = sorted(
+        r.p
+        for r in changed_partitions(
+            old, new, ["p"], ["k", "p", "s", "v"]
+        ).collect()
+    )
+    assert got == [1, 2, 5]
+
+
+def test_apply_changes_partitioned_roundtrip(spark, tmp_path):
+    import os
+
+    from salesanalytics_etl_spark.operators.diff import (
+        apply_changes_partitioned,
+        snapshot_diff_pruned,
+    )
+
+    old, new = _snap_pair(spark)
+    path = str(tmp_path / "tbl")
+    old.write.partitionBy("p").parquet(path)
+    feed = snapshot_diff_pruned(old, new, "k", ["p"], include_values=True)
+    # untouched partition files must survive the apply BYTE-identical
+    untouched = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(path, "p=0"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    mtimes = {f: os.path.getmtime(f) for f in untouched}
+    n = apply_changes_partitioned(spark, path, feed, "k", ["p"])
+    assert n == 3  # partitions 1, 2, 5
+    got = sorted(
+        (r.k, r.p, r.s, r.v)
+        for r in spark.read.parquet(path).collect()
+    )
+    want = sorted((r.k, r.p, r.s, r.v) for r in new.collect())
+    assert got == want
+    for f, m in mtimes.items():
+        assert os.path.getmtime(f) == m, f"untouched partition rewritten: {f}"
+
+
+def test_apply_changes_partitioned_rejects_locatorless_feed(spark, tmp_path):
+    from salesanalytics_etl_spark.operators.diff import (
+        apply_changes_partitioned,
+    )
+
+    old, new = _snap_pair(spark)
+    path = str(tmp_path / "tbl2")
+    old.write.partitionBy("p").parquet(path)
+    feed = snapshot_diff(old, new, "k", include_values=True)
+    # p IS in the feed (it's a compare col) but NOT as a locator: the
+    # removed row carries p=NULL and the apply must refuse loudly
+    with pytest.raises(ValueError, match="NULL partition"):
+        apply_changes_partitioned(spark, path, feed, "k", ["p"])

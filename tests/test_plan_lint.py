@@ -96,6 +96,10 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     # distributed exact percentiles: one append_global_rank pass, same
     # bounded OFFSETS-frame window
     "q128_distributed_percentiles": 1,
+    # q37 rides the same exact_percentiles_distributed path as q128
+    # since r9 (the r8 verdict's item 1) — one bounded offsets-frame
+    # window
+    "q37_order_value_percentiles": 1,
     # median + MAD = two append_global_rank passes. The med subtree is
     # CONSUMED twice (deviation input + final census join), so its
     # bounded offsets-frame window appears twice more as TREE nodes —
@@ -107,6 +111,67 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     # threshold sweep over <= 10 001 integer basis-point buckets
     "q117_quality_threshold_calibration": 2,
 }
+
+
+# --- aggregate-buffer lint (r8 verdict item 2) -----------------------------
+# Value-COLLECTING aggregates (exact percentile/median, collect_list,
+# collect_set, mode) hold every input value of a group in ONE aggregation
+# buffer: over a data-scaled group (or ungrouped) that buffer is a
+# single-task OOM at 10^9 rows — the same scale-killer class as an
+# unpartitioned sort, hidden where the window lint can't see it (this is
+# exactly how q37/q68 stayed "correct but wrong shape" until r9).
+# Sketch-bounded aggregates (percentile_approx / approx_percentile — GK,
+# buffer bounded by the accuracy parameter) are NOT flagged.
+#
+# Allowlist: per query, the number of Aggregate NODES allowed to carry a
+# collecting function, each justified by a bound on the GROUP size that
+# does not scale with the data (per-document, per-bucket-cap, top-k...).
+import re as _re
+
+_COLLECTING = _re.compile(
+    r"(?<!_)(?<!approx_)percentile\(|collect_list\(|collect_set\(|(?<![a-z_])mode\("
+)
+
+_AGG_BUFFER_ALLOWLIST = {
+    # two per-DOC shingle collect_sets (one per join side): group = one
+    # document, buffer bounded by document length, never by corpus size
+    "q57_ngram_jaccard_pairs": 2,
+    # postings list capped at max_postings=20 by the rank-gated WHEN
+    # inside the collect (operators/text.py:432) — k-bounded buffer
+    "q66_inverted_index": 1,
+    # (calibrated r9 against every registered plan: these are the ONLY
+    # two queries whose physical plans carry a collecting aggregate —
+    # the LSH/simhash/jaccard family's per-doc collects run in eager
+    # pre-stages or fold before the registered plan; q37/q68 now ride
+    # the distributed rank path and plan none)
+}
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_no_unbounded_collecting_aggregate(spark, sf_dir, name):
+    df = all_queries()[name](spark, sf_dir)
+    hits = []
+    for n in _iter_plan_nodes(df._jdf.queryExecution().executedPlan()):
+        cls = n.getClass().getSimpleName()
+        if "Aggregate" not in cls:
+            continue
+        s = n.simpleString(100)
+        # count LOGICAL aggregates: the partial (map-side) node of a
+        # partial/final pair carries the same functions — skip it so the
+        # allowlist counts aggregates, not physical node pairs
+        if "partial_" in s:
+            continue
+        if _COLLECTING.search(s):
+            hits.append(s[:160])
+    allowed = _AGG_BUFFER_ALLOWLIST.get(name, 0)
+    assert len(hits) <= allowed, (
+        f"{name} plans {len(hits)} value-collecting aggregate nodes "
+        f"(allowlisted: {allowed}) — exact percentile/collect_list/"
+        f"collect_set/mode buffers every group value in one task; use "
+        f"operators/quantiles.py (distributed exact percentiles) or a "
+        f"bounded/capped collect, and allowlist with the documented "
+        f"group-size bound:\n" + "\n".join(hits)
+    )
 
 
 @pytest.mark.parametrize("name", ALL)

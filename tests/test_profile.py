@@ -92,3 +92,15 @@ def test_profile_single_shuffle_over_data(spark):
     # the per-value shuffle + the two-phase top-k's bounded window are
     # expected; no SortMergeJoin anywhere (all joins broadcast)
     assert "SortMergeJoin" not in plan
+
+
+def test_profile_rejects_quote_backtick_column_names(spark):
+    import pytest
+
+    from salesanalytics_etl_spark.operators.profile import profile_columns
+
+    df = spark.range(3).selectExpr("id AS `it``s`", "id AS ok")
+    with pytest.raises(ValueError, match="quotes/"):
+        profile_columns(df)
+    # the clean column alone still profiles
+    assert profile_columns(df, ["ok"]).count() == 1

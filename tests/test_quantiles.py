@@ -153,3 +153,25 @@ def test_grouped_keeps_all_null_group_like_buffered(spark):
     # 'x' (all-NULL values) survives with n_rows 0 + NULL percentile,
     # exactly like groupBy+percentile; NULL group value is its own group
     assert got == {"a": (2, 2.0), "x": (0, None), None: (1, 5.0)}
+
+
+def test_ps_key_collisions_raise(spark):
+    from salesanalytics_etl_spark.operators.quantiles import (
+        exact_percentiles_distributed,
+        exact_percentiles_grouped,
+    )
+
+    df = spark.range(10).selectExpr(
+        "CAST(id % 2 AS STRING) AS g", "CAST(id AS DOUBLE) AS v"
+    )
+    for bad in ("_v", "_r", "_n", "_lo_x", "_hi_x"):
+        with pytest.raises(ValueError, match="collide"):
+            exact_percentiles_distributed(df, "v", {bad: 0.5})
+    with pytest.raises(ValueError, match="collide"):
+        exact_percentiles_grouped(df, ["g"], "v", {"n_rows": 0.5})
+    with pytest.raises(ValueError, match="collide"):
+        exact_percentiles_grouped(df, ["g"], "v", {"g": 0.5})
+    # n_rows only reserved on the grouped path's OUTPUT — but keep the
+    # rule uniform across both paths (one _validate, one contract)
+    with pytest.raises(ValueError, match="collide"):
+        exact_percentiles_distributed(df, "v", {"n_rows": 0.5})

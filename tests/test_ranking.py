@@ -150,13 +150,110 @@ def test_ntile_multi_rejects_bad_inputs(spark):
         append_global_ntile_multi,
     )
 
-    df = spark.range(5).selectExpr("id AS k", "CAST(id AS DECIMAL(10,2)) AS d")
+    df = spark.range(5).selectExpr(
+        "id AS k",
+        "CAST(id AS DECIMAL(20,2)) AS dwide",
+        "DATE '2024-01-01' AS dt",
+    )
     with pytest.raises(ValueError, match="no metrics"):
         append_global_ntile_multi(df, 4, {}, keys=["k"])
     with pytest.raises(ValueError, match="unsupported metric type"):
-        append_global_ntile_multi(df, 4, {"q": F.col("d")}, keys=["k"])
+        append_global_ntile_multi(df, 4, {"q": F.col("dt")}, keys=["k"])
+    # DECIMAL precision > 18: unscaled value can overflow bigint — loud
+    with pytest.raises(ValueError, match="DECIMAL\\(20,2\\)"):
+        append_global_ntile_multi(df, 4, {"q": F.col("dwide")}, keys=["k"])
     with pytest.raises(ValueError, match="bucket count"):
         append_global_ntile_multi(df, 0, {"q": F.col("k")}, keys=["k"])
+
+
+def test_ntile_multi_decimal_slot_is_exact(spark):
+    # DECIMAL(<=18) rides the bigint slot as the exact unscaled value:
+    # ntile buckets must match F.ntile over the decimal's native order,
+    # including DESC-by-negation and cent-sized ties a double cast at
+    # this magnitude could NOT merge — and, critically, values whose
+    # DOUBLE images collide (>2^53) must stay distinct
+    from pyspark.sql import Window
+
+    from salesanalytics_etl_spark.operators.ranking import (
+        append_global_ntile_multi,
+    )
+
+    # 92233720368547758.07 is near the decimal(18,2) max; steps of 0.01
+    # are far below double resolution at this magnitude (ulp ~ 16.0)
+    rows = [(i, f"922337203685477{i:02d}.{i % 100:02d}") for i in range(40)]
+    df = spark.createDataFrame(rows, "k INT, s STRING").select(
+        "k", F.col("s").cast("decimal(18,2)").alias("d")
+    )
+    # sanity: the double image of adjacent values actually collides
+    assert (
+        df.select(F.count_distinct(F.col("d").cast("double")).alias("n"))
+        .collect()[0].n
+        < 40
+    )
+    got = {
+        r.k: (r.qa, r.qd)
+        for r in append_global_ntile_multi(
+            df, 4, {"qa": F.col("d"), "qd": -F.col("d")}, keys=["k"]
+        ).collect()
+    }
+    ref = {
+        r.k: (r.qa, r.qd)
+        for r in df.select(
+            "k",
+            F.ntile(4).over(Window.orderBy(F.asc("d"), F.asc("k"))).alias("qa"),
+            F.ntile(4).over(Window.orderBy(F.desc("d"), F.asc("k"))).alias("qd"),
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_ntile_multi_long_slot_exact_above_2_53(spark):
+    # bigint metrics above 2^53 (where doubles merge neighbors) must
+    # rank exactly — the long slot never converts to double
+    from pyspark.sql import Window
+
+    from salesanalytics_etl_spark.operators.ranking import (
+        append_global_ntile_multi,
+    )
+
+    base = 2**53
+    rows = [(i, base + i) for i in range(32)]  # doubles merge even/odd here
+    df = spark.createDataFrame(rows, "k INT, v LONG")
+    got = {
+        r.k: r.q
+        for r in append_global_ntile_multi(
+            df, 4, {"q": -F.col("v")}, keys=["k"]
+        ).collect()
+    }
+    ref = {
+        r.k: r.q
+        for r in df.select(
+            "k",
+            F.ntile(4).over(Window.orderBy(F.desc("v"), F.asc("k"))).alias("q"),
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_ntile_multi_null_metric_sorts_first_pinned(spark):
+    # documented contract (asc_nulls_first): a NULL metric value lands in
+    # bucket 1, unlike F.desc chains where NULLs sort last — pinned here
+    # so the divergence stays a tested contract, not prose
+    from salesanalytics_etl_spark.operators.ranking import (
+        append_global_ntile_multi,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, 20)], "k INT, v INT"
+    )
+    got = {
+        r.k: r.q
+        for r in append_global_ntile_multi(
+            df, 4, {"q": F.col("v")}, keys=["k"]
+        ).collect()
+    }
+    assert got[2] == 1, "NULL metric must take bucket 1 (NULLS FIRST)"
+    assert got == {2: 1, 1: 2, 4: 3, 3: 4}
 
 
 def test_group_rank_keeps_null_group(spark):
