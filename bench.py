@@ -131,17 +131,22 @@ def main() -> None:
     # separates load from regression for the whole expensive tail the
     # way q102's floor did, instead of only for queries whose delta
     # happened to cross the materiality cut that round.
-    top10 = set(sorted(timings, key=timings.get, reverse=True)[:10])
-    noisy = sorted(
+    top10 = sorted(timings, key=timings.get, reverse=True)[:10]
+    material = sorted(
         (
-            (name, floor[name])
+            name
             for name, t in timings.items()
-            if name in top10
-            or (name in retime and t - retime[name] > max(0.15, 0.2 * t))
+            if name not in set(top10)
+            and name in retime
+            and t - retime[name] > max(0.15, 0.2 * t)
         ),
-        key=lambda kv: timings[kv[0]] - kv[1],
+        key=lambda n: timings[n] - retime[n],
         reverse=True,
-    )[:18]  # bounded — keeps the line under the driver's tail
+    )
+    # top-10 floors ALWAYS ride (the contract); material-delta extras
+    # fill to 12 total — bounded so the line stays under the driver's
+    # ~1900-char tail (measured r9: 138 queries + 18 qmin = 1869 chars)
+    noisy = [(n, floor[n]) for n in [*top10, *material][:12]]
     qmin = {name.split("_", 1)[0]: round(t, 2) for name, t in noisy}
     out = {
         "metric": "total_query_wall_seconds",

@@ -5213,95 +5213,6 @@ def q134_pruned_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q135_event_funnel",
-    oracle="""
-    WITH v AS (
-      SELECT user_id, MIN(ts) AS t1 FROM events
-      WHERE event_type = 'view' GROUP BY 1
-    ), c AS (
-      SELECT e.user_id, MIN(e.ts) AS t2
-      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
-      WHERE e.event_type = 'click' GROUP BY 1
-    ), p AS (
-      SELECT e.user_id, MIN(e.ts) AS t3
-      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
-      WHERE e.event_type = 'purchase' GROUP BY 1
-    ), n AS (
-      SELECT (SELECT COUNT(*) FROM v) AS n1,
-             (SELECT COUNT(*) FROM c) AS n2,
-             (SELECT COUNT(*) FROM p) AS n3
-    )
-    SELECT '1_view' AS step, CAST(n1 AS BIGINT) AS n_users,
-           CAST(10000 AS INT) AS conv_bp FROM n
-    UNION ALL
-    SELECT '2_click', CAST(n2 AS BIGINT),
-           CASE WHEN n1 > 0 THEN CAST((n2 * 10000) // n1 AS INT) END FROM n
-    UNION ALL
-    SELECT '3_purchase', CAST(n3 AS BIGINT),
-           CASE WHEN n2 > 0 THEN CAST((n3 * 10000) // n2 AS INT) END FROM n
-    """,
-    doc="sequential conversion funnel (view -> click AFTER first view -> "
-    "purchase AFTER that click) — the ordered-step semantics product "
-    "analytics needs (a click BEFORE the first view does not convert; "
-    "simple per-type counts overstate every step). Scale: each step is "
-    "one type-filtered scan (predicate pushed to the parquet scan) "
-    "joined to the previous step's |users|-grain frame, co-partitioned "
-    "on user_id; step frames shrink monotonically; the final stage is "
-    "three 1-row counts cross-joined broadcast (q130's bounded "
-    "pattern) into a 3-row output. Conversion in exact integer basis "
-    "points (bigint div — no float boundary flips)",
-)
-def q135_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (events,) = _t(spark, sf_dir, "events")
-    ev = events.select("user_id", "ts", "event_type")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    n1 = v.agg(F.count(F.lit(1)).alias("n1"))
-    n2 = c.agg(F.count(F.lit(1)).alias("n2"))
-    n3 = p.agg(F.count(F.lit(1)).alias("n3"))
-    n = (
-        n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
-    )  # three 1-row frames — bounded by construction
-    step1 = n.select(
-        F.lit("1_view").alias("step"),
-        F.col("n1").alias("n_users"),
-        F.lit(10000).cast("int").alias("conv_bp"),
-    )
-    step2 = n.select(
-        F.lit("2_click").alias("step"),
-        F.col("n2").alias("n_users"),
-        F.when(F.col("n1") > 0, F.expr("n2 * 10000 div n1"))
-        .cast("int")
-        .alias("conv_bp"),
-    )
-    step3 = n.select(
-        F.lit("3_purchase").alias("step"),
-        F.col("n3").alias("n_users"),
-        F.when(F.col("n2") > 0, F.expr("n3 * 10000 div n2"))
-        .cast("int")
-        .alias("conv_bp"),
-    )
-    return step1.unionByName(step2).unionByName(step3)
-
-
-@register(
     "q136_retention_cohorts",
     oracle="""
     WITH om AS (
@@ -5365,5 +5276,259 @@ def q136_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.mi") - F.col("a.c_mi")).cast("int").alias("month_offset"),
             F.col("a.n_active").cast("bigint").alias("n_active"),
             F.expr("n_active * 10000 div n0").cast("int").alias("retention_bp"),
+        )
+    )
+
+
+@register(
+    "q137_order_value_histogram",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS order_total
+      FROM lineitem GROUP BY l_orderkey
+    ), b AS (
+      SELECT order_total,
+             NTILE(10) OVER (ORDER BY order_total, l_orderkey) AS bucket
+      FROM per_order
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(order_total) AS lo,
+           MAX(order_total) AS hi
+    FROM b GROUP BY bucket
+    """,
+    doc="exact equi-DEPTH histogram of per-order totals: 10 buckets of "
+    "equal population with their exact value boundaries — the "
+    "data-profiling shape equi-width histograms (q07) can't give on "
+    "skewed money distributions (one bucket would hold everything). "
+    "Buckets come from the DISTRIBUTED exact NTILE "
+    "(operators/ranking.py:append_global_ntile — range exchange + "
+    "offsets join, never a single-partition sort); the per-bucket "
+    "min/max/count re-aggregate is 10-row bounded. Total order "
+    "(order_total, l_orderkey) makes tie placement deterministic on "
+    "both engines",
+)
+def q137_order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182
+    from salesanalytics_etl_spark.operators.ranking import append_global_ntile
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(dec182("l_extendedprice")).cast("double").alias("order_total")
+    )
+    bucketed = append_global_ntile(
+        per_order, 10, [F.asc("order_total"), F.asc("l_orderkey")], "bucket"
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("order_total").alias("lo"),
+        F.max("order_total").alias("hi"),
+    )
+
+
+# Benford expectations floor(log10(1+1/d)*10000 + 0.5), precomputed so
+# BOTH engines read the same integer literals (engine log10 never runs)
+_BENFORD_BP = {1: 3010, 2: 1761, 3: 1249, 4: 969, 5: 792, 6: 669,
+               7: 580, 8: 512, 9: 458}
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {bp}" for d, bp in _BENFORD_BP.items()
+) + " END"
+
+
+@register(
+    "q138_benford_digit_audit",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), d AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+             COUNT(*) AS n
+      FROM c WHERE cents > 0 GROUP BY 1
+    ), t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tot FROM d
+    )
+    SELECT digit,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST((n * 10000) // tot AS INT) AS share_bp,
+           CAST({_BENFORD_SQL_CASE} AS INT) AS benford_bp,
+           CAST((n * 10000) // tot - {_BENFORD_SQL_CASE} AS INT) AS dev_bp
+    FROM d, t
+    """,
+    doc="Benford first-digit audit of order totals — the classic "
+    "anomaly/fraud screen: leading-digit shares vs Benford's law in "
+    "exact integer basis points. First digit is taken from the BIGINT "
+    "cents rendering (floor(x*100+0.5) — the portable cents grid), "
+    "never from engine float formatting or log10 (expectations are "
+    "precomputed integer literals on both sides). Scale: one map-side "
+    "projection + a 9-group aggregate; the total rides a broadcast "
+    "1-row frame",
+)
+def q138_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents")
+    ).filter(F.col("cents") > 0)
+    d = cents.groupBy(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = d.agg(F.sum("n").alias("tot"))
+    benford = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_BP.items() for x in kv]
+    )[F.col("digit")].cast("int")
+    share = F.expr("n * 10000 div tot").cast("int")
+    return (
+        d.crossJoin(F.broadcast(t))  # 1-row total frame
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n_orders"),
+            share.alias("share_bp"),
+            benford.alias("benford_bp"),
+            (share - benford).cast("int").alias("dev_bp"),
+        )
+    )
+
+
+@register(
+    "q135_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), outs AS (
+      SELECT from_type, SUM(n) AS n_out FROM pairs GROUP BY 1
+    )
+    SELECT p.from_type, p.to_type,
+           CAST(p.n AS BIGINT) AS n_transitions,
+           CAST((p.n * 10000) // o.n_out AS INT) AS prob_bp
+    FROM pairs p JOIN outs o ON p.from_type = o.from_type
+    """,
+    doc="first-order event-transition matrix: for each ordered pair of "
+    "consecutive event types WITHIN a user's timeline, the transition "
+    "count and conditional probability in exact integer basis points — "
+    "the Markov-chain surface behind next-action prediction and "
+    "anomalous-flow detection (q80's funnel counts fixed steps; this "
+    "measures EVERY observed step). Per-user ordering is a window "
+    "PARTITIONED BY user_id (high-cardinality grain — never global), "
+    "tie-broken by event_id so both engines pick the same successor; "
+    "the transition/out-degree frames are |event_types|^2-bounded",
+)
+def q135_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    outs = pairs.groupBy("from_type").agg(F.sum("n").alias("n_out"))
+    return (
+        pairs.join(outs, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n_transitions"),
+            F.expr("n * 10000 div n_out").cast("int").alias("prob_bp"),
+        )
+    )
+
+
+@register(
+    "q139_winsorized_order_stats",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_orderkey
+    ), ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents) AS r,
+             COUNT(*) OVER () AS n
+      FROM per_order
+    ), b AS (
+      SELECT MIN(CASE WHEN r = (n + 99) // 100 THEN cents END) AS lo,
+             MIN(CASE WHEN r = (n * 99 + 99) // 100 THEN cents END) AS hi
+      FROM ranked
+      WHERE r = (n + 99) // 100 OR r = (n * 99 + 99) // 100
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(b.lo) AS BIGINT) AS lo_cents,
+           CAST(MIN(b.hi) AS BIGINT) AS hi_cents,
+           CAST(SUM(CASE WHEN p.cents < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_lo,
+           CAST(SUM(CASE WHEN p.cents > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_hi,
+           CAST(SUM(p.cents) AS BIGINT) AS raw_sum_cents,
+           CAST(SUM(LEAST(GREATEST(p.cents, b.lo), b.hi)) AS BIGINT)
+             AS winsorized_sum_cents
+    FROM per_order p, b
+    """,
+    doc="winsorized order-value statistics: nearest-rank p01/p99 "
+    "boundaries from the DISTRIBUTED rank path, then one scan counting "
+    "and summing with values clamped to [p01, p99] — the robust "
+    "aggregate that keeps a handful of fat-finger orders from moving "
+    "the mean (complements q130's median/MAD census: winsorizing "
+    "preserves mass, MAD rejects). EVERYTHING is exact integer cents: "
+    "nearest-rank picks (all-integer (n+99) div 100 arithmetic — no "
+    "IEEE ceil(p*N) boundary flips), clamps, and sums, so both engines "
+    "agree bit-for-bit with zero float renders. Scale: one range "
+    "exchange for the rank, a 1-row bounds frame broadcast into the "
+    "clamping scan, one bounded final aggregate",
+)
+def q139_winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182
+    from salesanalytics_etl_spark.operators.ranking import append_global_rank
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        (F.sum(dec182("l_extendedprice")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = append_global_rank(
+        per_order.select("cents"), [F.asc("cents")], out_col="_r",
+        total_col="_n",
+    )
+    lo_r = F.expr("(_n + 99) div 100")
+    hi_r = F.expr("(_n * 99 + 99) div 100")
+    bounds = (
+        ranked.filter((F.col("_r") == lo_r) | (F.col("_r") == hi_r))
+        .agg(
+            F.min(F.when(F.col("_r") == lo_r, F.col("cents"))).alias("lo"),
+            F.min(F.when(F.col("_r") == hi_r, F.col("cents"))).alias("hi"),
+        )
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return (
+        per_order.crossJoin(F.broadcast(bounds))  # 1-row bounds frame
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("lo").alias("lo_cents"),
+            F.min("hi").alias("hi_cents"),
+            F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
+            .alias("n_clamped_lo"),
+            F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+            .alias("n_clamped_hi"),
+            F.sum("cents").alias("raw_sum_cents"),
+            F.sum(clamped).alias("winsorized_sum_cents"),
         )
     )

@@ -40,78 +40,79 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-# Round-8 rotation (driver records the FIRST 50 entries), priority order:
-# (0) the nine queries NEW this round (snapshot diff, calendar gap
-# fill, keyless bucketed range join, distributed exact percentiles
-# global + grouped, robust median/MAD outliers, table profiler,
-# interpolated series, FK integrity sweep) — never recorded;
-# (1) the 28 queries whose code or oracle CHANGED this round and must
-# re-stamp on current code: the 23 tokenizer-consuming queries updated
-# by the CJK-aware tokenizer (Spark + oracle in lockstep; see
-# tests/test_text_cjk.py), q93 (distributed exact NTILE replaced the
-# global ntile windows), q112/q113/q122 (anchor list threaded through
-# the portable IVF), q52 (merge schema-evolution matched-row
-# preservation + lock heartbeat); (2) the r5-era driver rows the r7
-# verdict's item 2 lists, stalest-first. Thirteen r5-era rows (q38-q43,
-# q51, q53, q94, q101, and now q14/q17/q18 — untouched since r5,
-# locally green) do not fit the 50-row window this round and roll to
-# r9 — after which nothing older than r6 remains anywhere. Every name here is also swept by
+# Round-9 rotation (driver records the FIRST 50 entries), priority order:
+# (0) the six queries NEW this round (partition-pruned CDC diff, event
+# transition matrix, retention cohorts, equi-depth histogram, Benford
+# digit audit, winsorized robust stats) — never recorded; (1) the queries whose code or oracle
+# CHANGED this round and must re-stamp on current code: q37/q68
+# (re-pointed onto the distributed exact-percentile path, oracles
+# re-spelled as rank CTEs — the r8 verdict's item 1), q129 (grouped
+# rank lost its forced offsets broadcast), q125 (snapshot_diff emit
+# path refactored for locator columns), q93 (ntile_multi slot typing
+# extended), q131 (profiler input validation); (2) ALL 13 r5-era
+# driver rows — the r8 verdict's item 3 CORRECT list (q14, q17, q18,
+# q38-q43, q51, q53, q94, q101; ROUND8.md had undercounted 7); (3) the
+# stalest r6-era rows in query order. 25 of the 32 remaining r6 rows
+# fit; the six r6-era portable replays (q109/q110/q111/q114/q115/q116)
+# and q84 roll to r10, after which nothing older than r6 remains and
+# only those seven r6 rows are left anywhere. Every name here is also swept by
 # tests/test_queries.py + tests/strict_gate.py against the same oracles,
 # so reordering changes what the driver RECORDS, never what is verified.
 _CHECK_FIRST = [
     # --- (0) new this round, never recorded ---
-    "q131_orders_profile",
-    "q132_nation_revenue_interpolated",
-    "q133_fk_integrity_sweep",
-    "q125_snapshot_diff",
-    "q126_sales_gap_fill",
-    "q127_peak_window_traffic",
-    "q128_distributed_percentiles",
-    "q129_segment_percentiles_distributed",
-    "q130_robust_order_outliers",
+    "q134_pruned_snapshot_diff",
+    "q135_event_transitions",
+    "q136_retention_cohorts",
+    "q137_order_value_histogram",
+    "q138_benford_digit_audit",
+    "q139_winsorized_order_stats",
     # --- (1) code/oracle changed this round ---
-    "q22_docs_token_stats",
-    "q23_docs_quality",
-    "q26_simhash_neardup",
-    "q47_docs_chunking",
-    "q52_merge_upsert",
-    "q65_tfidf_top_terms",
-    "q66_inverted_index",
-    "q69_repetition_filter",
-    "q70_benchmark_decontamination",
-    "q71_sequence_packing",
-    "q72_language_rebalance",
-    "q75_curation_pipeline",
-    "q81_bigram_merge_candidates",
-    "q86_bm25_search",
-    "q90_weighted_priority_sample",
+    "q37_order_value_percentiles",
+    "q68_segment_percentiles",
+    "q129_segment_percentiles_distributed",
+    "q125_snapshot_diff",
     "q93_customer_rfm",
-    "q102_exact_jaccard_join",
-    "q103_duplicate_spans",
-    "q104_unigram_surprisal",
-    "q105_cluster_representatives",
-    "q106_token_budget_mixture",
-    "q112_ivf_replay",
-    "q113_cell_stats_replay",
-    "q117_quality_threshold_calibration",
-    "q118_fuzzy_decontamination",
-    "q119_bigram_surprisal",
-    "q120_source_kl_divergence",
-    "q122_ivf_recall_audit",
-    # --- (2) r5-era driver rows, stalest-first (r7 verdict item 2) ---
-    "q01_table_counts",
-    "q02_orders_sample_topk",
-    "q03_sales_by_day",
-    "q04_sales_by_month",
-    "q05_top_products",
-    "q06_top_customers",
-    "q07_status_histogram",
-    "q08_avg_order_value",
-    "q09_parts_no_sales",
-    "q10_customers_no_orders",
-    "q11_last_order_details",
-    "q12_order_totals",
-    "q13_order_reconciliation",
+    "q131_orders_profile",
+    # --- (2) the 13 r5-era driver rows (r8 verdict item 3) ---
+    "q14_sales_daterange",
+    "q17_view_sales_by_day_sql",
+    "q18_running_daily_sales",
+    "q38_repeat_customers_intersect",
+    "q39_events_json_props",
+    "q40_churned_customers_except",
+    "q41_part_name_search",
+    "q42_purchases_with_prior_views",
+    "q43_purchase_asof_signup",
+    "q51_train_val_test_split",
+    "q53_customer_sample_topk",
+    "q94_scd2_customers",
+    "q101_heavy_hitter_shingles",
+    # --- (3) r6-era rows, query order (q109-q116 replays roll to r10) ---
+    "q20_docs_fingerprint",
+    "q21_docs_exact_dedupe",
+    "q24_docs_langid",
+    "q27_ann_cosine_topk",
+    "q28_ann_cosine_lsh",
+    "q29_events_hourly",
+    "q30_events_sessionize",
+    "q32_embedding_neardup",
+    "q33_token_frequencies",
+    "q54_part_sample_topk",
+    "q55_lineitem_sample_topk",
+    "q56_conformance_coercion",
+    "q57_ngram_jaccard_pairs",
+    "q58_mom_sales_growth",
+    "q59_salted_event_rollup",
+    "q60_winnowing_fingerprints",
+    "q61_small_quantity_revenue",
+    "q62_check_violations",
+    "q63_sales_cube",
+    "q76_incremental_dedupe",
+    "q77_label_centroids",
+    "q78_regional_supplier_revenue",
+    "q79_rolling_7day_sales",
+    "q80_event_funnel",
+    "q83_sentence_dedup_stats",
 ]
 
 

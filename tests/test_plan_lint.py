@@ -56,8 +56,20 @@ def _iter_plan_nodes(node):
     yield node
     # AQE wraps the real tree in a leaf-like AdaptiveSparkPlanExec;
     # descend into its input plan or the traversal sees nothing
-    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
         yield from _iter_plan_nodes(node.inputPlan())
+        return
+    # a persist() boundary makes the cached subtree a LEAF
+    # (InMemoryTableScan) — descend into the cached plan or anything an
+    # operator persists (LSH signature frames, IVF anchors, linkage
+    # variants) is invisible to every lint below (r9: closes the blind
+    # spot the window/aggregate lints shared)
+    if cls == "InMemoryTableScanExec":
+        try:
+            yield from _iter_plan_nodes(node.relation().cachedPlan())
+        except Exception:
+            pass  # cached-plan accessor drift across Spark versions
         return
     it = node.children().iterator()
     while it.hasNext():
@@ -100,6 +112,12 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     # since r9 (the r8 verdict's item 1) — one bounded offsets-frame
     # window
     "q37_order_value_percentiles": 1,
+    # equi-depth histogram: one append_global_ntile pass, same bounded
+    # <= shuffle-partitions-row OFFSETS-frame window
+    "q137_order_value_histogram": 1,
+    # winsorized stats: one append_global_rank pass for the nearest-rank
+    # bounds, same bounded OFFSETS-frame window
+    "q139_winsorized_order_stats": 1,
     # median + MAD = two append_global_rank passes. The med subtree is
     # CONSUMED twice (deviation input + final census join), so its
     # bounded offsets-frame window appears twice more as TREE nodes —
