@@ -226,16 +226,27 @@ def partition_fingerprints(
 
     ``_fp`` is the order-insensitive XOR of per-row ``xxhash64`` over
     ``cols`` (keys + compare + partition columns — the full identity of
-    a row), ``_cnt`` the row count. XOR is safe under the one-row-per-
+    a row), ``_cnt`` the row count. Each column is hashed alongside an
+    explicit ``isnull`` marker: ``xxhash64`` CHAINS its arguments and a
+    NULL argument leaves the running seed untouched, so without the
+    markers ``(5, NULL)`` and ``(NULL, 5)`` in same-typed columns would
+    hash identically — a value shifting across a NULL within a row
+    (count unchanged) would be missed DETERMINISTICALLY, not at hash-
+    collision odds. With the interleaved markers the fed sequence
+    disambiguates which columns were NULL, restoring the ~2^-64
+    per-partition collision bound. XOR is safe under the one-row-per-
     key contract (two identical full rows cannot coexist, so nothing
-    self-cancels); a changed partition escapes detection only on a
-    64-bit hash collision ACROSS the xor-sum (~2^-64 per partition).
-    Scale: one map-side-combined shuffle of |partitions| rows.
+    self-cancels). Scale: one map-side-combined shuffle of
+    |partitions| rows.
     """
+    hash_args: list[str] = []
+    for c in cols:
+        hash_args.append(f"`{c}`")
+        hash_args.append(f"cast(isnull(`{c}`) as int)")
     return df.groupBy(*partition_cols).agg(
-        F.expr(
-            "bit_xor(xxhash64({}))".format(", ".join(f"`{c}`" for c in cols))
-        ).alias("_fp"),
+        F.expr("bit_xor(xxhash64({}))".format(", ".join(hash_args))).alias(
+            "_fp"
+        ),
         F.count(F.lit(1)).alias("_cnt"),
     )
 
@@ -302,11 +313,13 @@ def snapshot_diff_pruned(
         if compare_cols is not None
         else [c for c in old.columns if c not in keys]
     )
-    missing = [c for c in partition_cols if c not in old.columns]
-    if missing:
-        raise ValueError(
-            f"snapshot_diff_pruned: partition columns {missing} absent"
-        )
+    for side, df in (("old", old), ("new", new)):
+        missing = [c for c in partition_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"snapshot_diff_pruned: {side} snapshot lacks partition "
+                f"columns {missing}"
+            )
     identity = [*keys, *dict.fromkeys([*compare, *partition_cols])]
     changed = changed_partitions(old, new, partition_cols, identity)
     tuples = changed.limit(max_changed_partitions + 1).collect()
@@ -410,5 +423,61 @@ def apply_changes_partitioned(
                 c for c in value_cols if c not in keys
             ]), keys
         )
+        # Deletes can EMPTY a touched partition: ``merged`` then carries
+        # no rows for it, and the dynamic partition overwrite only
+        # replaces partitions PRESENT in the written data — the emptied
+        # partition's old files would survive on disk and the deleted
+        # rows resurrect on the next read. Diff the touched tuples
+        # against the partitions that actually survive in ``merged``
+        # (one extra bounded job over the already-pruned subset) and
+        # locate the emptied partitions' leaf directories via the ACTUAL
+        # files Spark reads for them — input_file_name through a pruned
+        # scan — rather than re-deriving Spark's partition-path escaping
+        # by hand. The directories are removed AFTER the swap succeeds,
+        # still under the single-writer lock.
+        surviving = {
+            tuple(r[c] for c in partition_by)
+            for r in merged.select(*partition_by).distinct().collect()
+        }
+        emptied = [
+            t
+            for t in touched
+            if tuple(t[c] for c in partition_by) not in surviving
+        ]
+        doomed_dirs: set[str] = set()
+        if emptied:
+            from urllib.parse import unquote, urlparse
+
+            epred = _partition_predicate(emptied, partition_by)
+            files = (
+                spark.read.schema(schema)
+                .parquet(path)
+                .filter(epred)
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .collect()
+            )
+            root = os.path.realpath(path)
+            for row in files:
+                uri = urlparse(row.f)
+                if uri.scheme not in ("", "file"):
+                    raise NotImplementedError(
+                        "apply_changes_partitioned: emptied-partition "
+                        f"cleanup on {uri.scheme}:// paths needs a "
+                        "filesystem-specific delete; only local paths "
+                        "are supported"
+                    )
+                leaf = os.path.realpath(
+                    os.path.dirname(unquote(uri.path or row.f))
+                )
+                # never delete the table root itself (unpartitioned file
+                # layout would put files directly under it)
+                if leaf != root and leaf.startswith(root + os.sep):
+                    doomed_dirs.add(leaf)
         _stage_and_swap(spark, merged, path, partition_by, schema)
+        if doomed_dirs:
+            import shutil
+
+            for d in doomed_dirs:
+                shutil.rmtree(d, ignore_errors=True)
         return len(touched)

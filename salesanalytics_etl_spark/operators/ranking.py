@@ -203,12 +203,17 @@ def append_global_ntile_multi(
         if isinstance(dt, T.StringType):
             return "_v_str", col
         if isinstance(dt, T.DecimalType):
-            if dt.precision > 18:
+            if dt.precision > 18 or dt.scale < 0:
+                # p>18: unscaled value can overflow bigint. scale<0
+                # (spark.sql.legacy.allowNegativeScaleOfDecimal):
+                # 10**scale is a Python FLOAT, so the product would
+                # silently route through double — the exact inexactness
+                # this slot exists to prevent.
                 raise ValueError(
                     f"append_global_ntile_multi: DECIMAL({dt.precision},"
-                    f"{dt.scale}) metric — unscaled value can overflow "
-                    "the exact bigint slot; rescale to precision <= 18 "
-                    "or rank a bigint surrogate"
+                    f"{dt.scale}) metric — the exact bigint slot needs "
+                    "precision <= 18 and scale >= 0; rescale or rank a "
+                    "bigint surrogate"
                 )
             # exact: v*10^s is integral with |unscaled| < 10^18 < 2^63;
             # the product stays decimal (precision p+s+1 <= 37) until

@@ -312,3 +312,98 @@ def test_apply_changes_partitioned_rejects_locatorless_feed(spark, tmp_path):
     # removed row carries p=NULL and the apply must refuse loudly
     with pytest.raises(ValueError, match="NULL partition"):
         apply_changes_partitioned(spark, path, feed, "k", ["p"])
+
+
+def test_apply_changes_partitioned_deletes_emptying_a_partition(
+    spark, tmp_path
+):
+    """A feed that removes EVERY row of a partition must delete that
+    partition's files on disk — the dynamic overwrite alone never
+    touches a partition absent from the written data, so without the
+    explicit directory delete the removed rows would resurrect."""
+    import os
+
+    from salesanalytics_etl_spark.operators.diff import (
+        apply_changes_partitioned,
+        snapshot_diff_pruned,
+    )
+
+    old = spark.createDataFrame(
+        [(i, i % 4, f"v{i}", float(i)) for i in range(40)],
+        "k INT, p INT, s STRING, v DOUBLE",
+    )
+    # new snapshot drops partition p=3 ENTIRELY and changes one p=1 row
+    new = spark.createDataFrame(
+        [
+            (i, i % 4, ("CHANGED" if i == 5 else f"v{i}"), float(i))
+            for i in range(40)
+            if i % 4 != 3
+        ],
+        "k INT, p INT, s STRING, v DOUBLE",
+    )
+    path = str(tmp_path / "tbl_empty")
+    old.write.partitionBy("p").parquet(path)
+    feed = snapshot_diff_pruned(old, new, "k", ["p"], include_values=True)
+    untouched = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(path, "p=0"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    mtimes = {f: os.path.getmtime(f) for f in untouched}
+    n = apply_changes_partitioned(spark, path, feed, "k", ["p"])
+    assert n == 2  # p=1 (changed row) and p=3 (fully removed)
+    got = sorted(
+        (r.k, r.p, r.s, r.v) for r in spark.read.parquet(path).collect()
+    )
+    want = sorted((r.k, r.p, r.s, r.v) for r in new.collect())
+    assert got == want  # deleted rows did NOT resurrect
+    # the emptied partition's directory is gone from disk
+    assert not os.path.exists(os.path.join(path, "p=3"))
+    # untouched partitions stay byte-identical
+    for f, m in mtimes.items():
+        assert os.path.getmtime(f) == m, f"untouched partition rewritten: {f}"
+    # idempotent second read (no stale staging dirs)
+    assert spark.read.parquet(path).count() == 30
+
+
+def test_partition_fingerprints_detect_null_shift(spark):
+    """(5, NULL) -> (NULL, 5) within a row (count unchanged) must
+    change the partition fingerprint: xxhash64 chains arguments and a
+    NULL leaves the seed untouched, so without null markers this shift
+    is missed deterministically, not at 2^-64 odds."""
+    from salesanalytics_etl_spark.operators.diff import (
+        changed_partitions,
+        partition_fingerprints,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 0, 5, None), (2, 1, 7, 7)], "k INT, p INT, a INT, b INT"
+    )
+    new = spark.createDataFrame(
+        [(1, 0, None, 5), (2, 1, 7, 7)], "k INT, p INT, a INT, b INT"
+    )
+    cols = ["k", "p", "a", "b"]
+    fp_old = {
+        r.p: (r._fp, r._cnt)
+        for r in partition_fingerprints(old, ["p"], cols).collect()
+    }
+    fp_new = {
+        r.p: (r._fp, r._cnt)
+        for r in partition_fingerprints(new, ["p"], cols).collect()
+    }
+    assert fp_old[1] == fp_new[1]  # untouched partition agrees
+    assert fp_old[0] != fp_new[0]  # NULL-shift partition differs
+    got = [r.p for r in changed_partitions(old, new, ["p"], cols).collect()]
+    assert got == [0]
+
+
+def test_pruned_diff_checks_partition_cols_on_both_sides(spark):
+    from salesanalytics_etl_spark.operators.diff import snapshot_diff_pruned
+
+    old = spark.createDataFrame([(1, 0, "a")], "k INT, p INT, s STRING")
+    new_no_p = spark.createDataFrame([(1, "a")], "k INT, s STRING")
+    with pytest.raises(ValueError, match="new snapshot lacks partition"):
+        snapshot_diff_pruned(old, new_no_p, "k", ["p"])
+    with pytest.raises(ValueError, match="old snapshot lacks partition"):
+        snapshot_diff_pruned(new_no_p, old, "k", ["p"])

@@ -164,6 +164,31 @@ def test_ntile_multi_rejects_bad_inputs(spark):
         append_global_ntile_multi(df, 4, {"q": F.col("dwide")}, keys=["k"])
     with pytest.raises(ValueError, match="bucket count"):
         append_global_ntile_multi(df, 0, {"q": F.col("k")}, keys=["k"])
+    # negative-scale DECIMAL (legacy.allowNegativeScaleOfDecimal):
+    # 10**scale would be a Python FLOAT, silently routing the "exact"
+    # slot through double — must raise, not degrade
+    prev = spark.conf.get("spark.sql.legacy.allowNegativeScaleOfDecimal")
+    spark.conf.set("spark.sql.legacy.allowNegativeScaleOfDecimal", "true")
+    try:
+        from pyspark.sql import types as T
+
+        dneg = spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("k", T.LongType()),
+                    T.StructField("dneg", T.DecimalType(6, -2)),
+                ]
+            ),
+        )
+        with pytest.raises(ValueError, match="DECIMAL\\(6,-2\\)"):
+            append_global_ntile_multi(
+                dneg, 4, {"q": F.col("dneg")}, keys=["k"]
+            )
+    finally:
+        spark.conf.set(
+            "spark.sql.legacy.allowNegativeScaleOfDecimal", prev
+        )
 
 
 def test_ntile_multi_decimal_slot_is_exact(spark):
