@@ -143,29 +143,36 @@ def main() -> None:
         key=lambda n: timings[n] - retime[n],
         reverse=True,
     )
-    # top-10 floors ALWAYS ride (the contract); material-delta extras
-    # fill to 12 total — bounded so the line stays under the driver's
-    # ~1900-char tail (measured r9: 138 queries + 18 qmin = 1869 chars)
-    noisy = [(n, floor[n]) for n in [*top10, *material][:12]]
-    qmin = {name.split("_", 1)[0]: round(t, 2) for name, t in noisy}
+    # top-10 floors ride first (the contract); material-delta extras fill
+    # to 12 total. The query surface has outgrown a fixed cap (r10: 145
+    # queries ≈ the whole 1900-char tail), so the qmin list is trimmed
+    # DYNAMICALLY from the tail — extras drop before top-10 floors, and
+    # the most expensive queries' floors are the last to go.
+    keep = [*top10, *material][:12]
     out = {
         "metric": "total_query_wall_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "value_min": round(sum(floor.values()), 3),
         "queries": short,
-        "qmin": qmin,
         "sf": sf,
     }
     if errors:
         out["errors"] = {
             name.split("_", 1)[0]: msg[:40] for name, msg in list(errors.items())[:5]
         }
-    line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:  # last-resort guard: drop floor detail first
-        out.pop("qmin", None)
+    while True:
+        if keep:
+            out["qmin"] = {
+                n.split("_", 1)[0]: round(floor[n], 2) for n in keep
+            }
+        else:
+            out.pop("qmin", None)
         line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:  # then per-query detail, keeping the totals
+        if len(line) <= 1900 or not keep:
+            break
+        keep = keep[:-1]
+    if len(line) > 1900:  # last resort: drop per-query detail, keep totals
         out.pop("queries", None)
         line = json.dumps(out, separators=(",", ":"))
     print(line)

@@ -94,6 +94,81 @@ def append_global_rank(
     return ranked.select(*keep)
 
 
+def append_global_prefix_sum(
+    df: DataFrame,
+    value: Column,
+    order_cols: list[Column],
+    out_col: str = "prefix_sum",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Append the exact global RUNNING SUM of ``value`` over a total
+    order without a single-partition sort — the distributed prefix sum
+    behind Pareto/ABC classification, cumulative-share reports, and
+    quota cutoffs.
+
+    Same machinery as :func:`append_global_rank`: ``repartitionByRange``
+    on the order columns (disjoint, globally ordered ranges), a local
+    running sum inside each range partition, then per-partition TOTALS
+    (<= shuffle-partitions rows) rolled into cumulative offsets and
+    broadcast back — global prefix = partition offset + local running
+    sum. The only unpartitioned window is over the bounded totals frame.
+
+    ``value`` should be an EXACT type (bigint / decimal): the offsets
+    are added in whatever type the sum produces, and a double here
+    would make the prefix depend on partition boundaries. The order
+    must be TOTAL (unique tiebreak column) — with duplicate order keys
+    both the range boundary and the within-partition ROWS frame would
+    place ties arbitrarily. Optionally appends the grand total as
+    ``total_col`` (for share-of-total arithmetic downstream).
+
+    Same ``spark.sql.exchange.reuse`` requirement as
+    :func:`append_global_rank`: the totals branch and the join branch
+    must observe ONE shared range exchange or partition ids diverge.
+    """
+    spark = df.sparkSession
+    if spark.conf.get("spark.sql.exchange.reuse", "true").lower() == "false":
+        raise RuntimeError(
+            "append_global_prefix_sum requires spark.sql.exchange.reuse="
+            "true: the per-partition totals and the prefix join must "
+            "observe one shared range exchange, or partition ids diverge "
+            "between the two branches and prefix sums are silently wrong"
+        )
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = (
+        df.withColumn("_ps_v", value)
+        .repartitionByRange(nparts, *order_cols)
+        .withColumn("_ps_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_ps_pid").orderBy(*order_cols)
+    local = ranged.withColumn(
+        "_ps_run",
+        F.sum("_ps_v").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    totals = local.groupBy("_ps_pid").agg(F.sum("_ps_v").alias("_ps_t"))
+    # bounded-grain global window: <= nparts rows regardless of data size
+    wo = Window.orderBy("_ps_pid")
+    offsets = totals.select(
+        "_ps_pid",
+        F.coalesce(
+            F.sum("_ps_t").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_ps_off"),
+        F.sum("_ps_t")
+        .over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("_ps_tot"),
+    )
+    out = local.join(F.broadcast(offsets), "_ps_pid").withColumn(
+        out_col, F.col("_ps_off") + F.col("_ps_run")
+    )
+    keep = [c for c in df.columns] + [out_col]
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("_ps_tot"))
+        keep.append(total_col)
+    return out.select(*keep)
+
+
 def append_global_ntile(
     df: DataFrame,
     n: int,

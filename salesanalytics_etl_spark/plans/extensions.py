@@ -5532,3 +5532,519 @@ def q139_winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(clamped).alias("winsorized_sum_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: statistical relationships (regression/correlation), exponential
+# smoothing, Pareto/ABC classification via the distributed prefix sum,
+# weekday seasonality, inter-purchase gap distribution, and exact
+# sliding-window distinct users. All derived doubles come from EXACT
+# decimal/bigint sums cast once (order-insensitive under any partitioning);
+# every quotient on the gate surface is either exact integer `div` or the
+# portable FLOOR(x*10^s + 0.5) formula spelled identically on both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q140_segment_regression",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS y
+      FROM lineitem GROUP BY 1
+    ), seg AS (
+      SELECT o.o_orderkey, c.c_mktsegment
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), sums AS (
+      SELECT s.c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(p.x) AS sx, SUM(p.y) AS sy,
+             SUM(p.x * p.x) AS sxx,
+             SUM(CAST(p.x AS HUGEINT) * p.y) AS sxy,
+             SUM(CAST(p.y AS HUGEINT) * p.y) AS syy
+      FROM per_order p JOIN seg s ON p.l_orderkey = s.o_orderkey
+      GROUP BY 1
+    )
+    SELECT c_mktsegment,
+           n AS n_orders,
+           CAST(CAST(sy AS HUGEINT) // n AS BIGINT) AS avg_order_cents,
+           CAST((CAST(sx AS HUGEINT) * 1000) // n AS BIGINT) AS avg_lines_e3,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                THEN CAST(FLOOR(
+                  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT) END AS slope_e6,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN CAST(FLOOR(
+                  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  * 1000000.0 + 0.5) AS BIGINT) END AS corr_e6
+    FROM sums
+    """,
+    doc="per-segment least-squares regression + Pearson correlation of "
+    "order value (cents) on line count: the relationship-mining operator "
+    "(corr/regr_slope class) the surface lacked. The five raw moments "
+    "(n, Σx, Σy, Σx², Σxy, Σy²) accumulate EXACTLY — bigint where the "
+    "product can't overflow at any plausible SF, decimal(38,0)/HUGEINT "
+    "for y·y and x·y — so they are partition-order-insensitive; each is "
+    "cast to double ONCE and slope/corr come out of the identical "
+    "closed-form IEEE expression with floor-formula rounding to 1e-6 on "
+    "both engines. One shuffle per aggregate, |segments| output rows, "
+    "zero-variance segments yield NULL instead of a division blowup",
+)
+def q140_segment_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182
+
+    orders, lineitem, customer = _t(
+        spark, sf_dir, "orders", "lineitem", "customer"
+    )
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("x"),
+        (F.sum(dec182("l_extendedprice")) * 100).cast("bigint").alias("y"),
+    )
+    seg = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey", "c_mktsegment")
+    )
+    sums = (
+        per_order.join(seg, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias(
+                "sxy"
+            ),
+            F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias(
+                "syy"
+            ),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    dx = nd * F.col("sxx").cast("double") - sxd * sxd
+    dy = nd * F.col("syy").cast("double") - syd * syd
+    return sums.select(
+        "c_mktsegment",
+        F.col("n").alias("n_orders"),
+        F.expr("sy div n").cast("bigint").alias("avg_order_cents"),
+        F.expr("(sx * 1000) div n").cast("bigint").alias("avg_lines_e3"),
+        F.when(
+            dx > 0,
+            F.floor(num / dx * F.lit(1000000.0) + F.lit(0.5)).cast("bigint"),
+        ).alias("slope_e6"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.floor(
+                num / F.sqrt(dx * dy) * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("corr_e6"),
+    )
+
+
+# 30-day truncated EWMA weight table: w_j = round(0.9^j * 1e9), embedded
+# as INTEGER literals in BOTH engines so no runtime pow()/float formatting
+# ever runs on the gate surface (same convention as q138's Benford table).
+_EWMA_W = [
+    1000000000, 900000000, 810000000, 729000000, 656100000, 590490000,
+    531441000, 478296900, 430467210, 387420489, 348678440, 313810596,
+    282429536, 254186583, 228767925, 205891132, 185302019, 166771817,
+    150094635, 135085172, 121576655, 109418989, 98477090, 88629381,
+    79766443, 71789799, 64610819, 58149737, 52334763, 47101287,
+]
+
+_EWMA_VALUES = ", ".join(f"({j}, {w})" for j, w in enumerate(_EWMA_W))
+
+
+@register(
+    "q141_sales_ewma",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), idx AS (
+      SELECT d, cents,
+             CAST(datediff('day', DATE '1970-01-01', d) AS INT) AS i
+      FROM daily
+    ), w(j, wt) AS (VALUES {_EWMA_VALUES}),
+    contrib AS (
+      SELECT a.i + w.j AS ti, w.wt, a.cents AS src_cents
+      FROM idx a CROSS JOIN w
+    )
+    SELECT b.d AS order_date, b.cents AS day_cents,
+           CAST(SUM(CAST(c.src_cents AS HUGEINT) * c.wt) // SUM(c.wt)
+                AS BIGINT) AS ewma_cents
+    FROM idx b JOIN contrib c ON c.ti = b.i
+    GROUP BY 1, 2
+    """,
+    doc="30-day truncated exponentially-weighted moving average of daily "
+    "sales (alpha=0.1 decay, weights below ~4.7% truncated): the trend-"
+    "smoothing operator behind monitoring dashboards. The recursive EWMA "
+    "is re-expressed as a 30-wide equi-join — each day contributes to "
+    "its next 30 calendar days through a broadcast weight table of "
+    "precomputed INTEGER literals (w_j = round(0.9^j * 1e9), embedded "
+    "identically in both engines; runtime pow() never runs) — then one "
+    "grouped exact-integer weighted average normalized by the weights of "
+    "the days actually PRESENT (calendar gaps don't dilute). Everything "
+    "is exact: decimal-accumulated day cents, decimal(38,0)/HUGEINT "
+    "weight products, integer division. Scale: |days| x 30 equi-join "
+    "rows, never a window, never a range join",
+)
+def q141_sales_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("d"),
+            dec182("o_totalprice").alias("p"),
+        )
+        .groupBy("d")
+        .agg((F.sum("p") * 100).cast("bigint").alias("cents"))
+    )
+    idx = daily.withColumn(
+        "i", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    )
+    weights = spark.createDataFrame(
+        list(enumerate(_EWMA_W)), "j INT, wt BIGINT"
+    )
+    contrib = (
+        idx.alias("a")
+        .crossJoin(F.broadcast(weights))
+        .select(
+            (F.col("a.i") + F.col("j")).alias("ti"),
+            "wt",
+            F.col("a.cents").alias("src_cents"),
+        )
+    )
+    return (
+        idx.alias("b")
+        .join(contrib, F.col("b.i") == F.col("ti"))
+        .groupBy(F.col("b.d").alias("order_date"), F.col("b.cents").alias("day_cents"))
+        .agg(
+            F.sum(F.col("src_cents").cast("decimal(38,0)") * F.col("wt"))
+            .alias("_num"),
+            F.sum("wt").alias("_den"),
+        )
+        .select(
+            "order_date",
+            "day_cents",
+            F.expr("_num div _den").cast("bigint").alias("ewma_cents"),
+        )
+    )
+
+
+@register(
+    "q142_pareto_parts",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY 1
+    ), cum AS (
+      SELECT l_partkey, rev_c,
+             SUM(rev_c) OVER (
+               ORDER BY rev_c DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_c,
+             SUM(rev_c) OVER () AS tot_c
+      FROM rev
+    ), cls AS (
+      SELECT CASE WHEN cum_c * 10 <= tot_c * 8 THEN 'A'
+                  WHEN cum_c * 20 <= tot_c * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev_c, tot_c
+      FROM cum
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_c) AS BIGINT) AS class_cents,
+           CAST((SUM(CAST(rev_c AS HUGEINT)) * 10000) // MAX(tot_c)
+                AS INT) AS share_bp
+    FROM cls GROUP BY 1
+    """,
+    doc="Pareto/ABC part classification: parts ranked by revenue DESC "
+    "(partkey tiebreak — a total order), classified A while the running "
+    "share is <= 80%, B to 95%, C above, then counted and share-of-"
+    "revenue'd per class in exact integer arithmetic (cum*10 <= tot*8 "
+    "and cum*20 <= tot*19 — never a float share). The cumulative sum "
+    "rides operators/ranking.py:append_global_prefix_sum — range-"
+    "partitioned local running sums + a bounded broadcast offsets frame "
+    "— because |parts| SCALES with the data and the oracle's textbook "
+    "global window would single-partition-sort 200M parts at SF1000. "
+    "Only parts with sales appear (revenue grain is lineitem)",
+)
+def q142_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182
+    from salesanalytics_etl_spark.operators.ranking import (
+        append_global_prefix_sum,
+    )
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    rev = lineitem.groupBy("l_partkey").agg(
+        (F.sum(dec182("l_extendedprice")) * 100).cast("bigint").alias("rev_c")
+    )
+    pre = append_global_prefix_sum(
+        rev,
+        F.col("rev_c"),
+        [F.desc("rev_c"), F.asc("l_partkey")],
+        out_col="cum_c",
+        total_col="tot_c",
+    )
+    cls = (
+        F.when(F.col("cum_c") * 10 <= F.col("tot_c") * 8, "A")
+        .when(F.col("cum_c") * 20 <= F.col("tot_c") * 19, "B")
+        .otherwise("C")
+    )
+    return (
+        pre.withColumn("abc_class", cls)
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev_c").alias("class_cents"),
+            F.max("tot_c").alias("_tot"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            F.col("class_cents").cast("bigint").alias("class_cents"),
+            F.expr("CAST(class_cents AS DECIMAL(38,0)) * 10000 div _tot")
+            .cast("int")
+            .alias("share_bp"),
+        )
+    )
+
+
+@register(
+    "q143_weekday_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), wd AS (
+      SELECT (datediff('day', DATE '1970-01-01', d) + 4) % 7 AS weekday,
+             cents
+      FROM daily
+    ), per AS (
+      SELECT weekday, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(cents) AS BIGINT) AS sum_c
+      FROM wd GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n_days) AS all_days, SUM(sum_c) AS all_c FROM per
+    )
+    SELECT CAST(p.weekday AS INT) AS weekday,
+           CASE p.weekday WHEN 0 THEN 'Sun' WHEN 1 THEN 'Mon'
+                WHEN 2 THEN 'Tue' WHEN 3 THEN 'Wed' WHEN 4 THEN 'Thu'
+                WHEN 5 THEN 'Fri' ELSE 'Sat' END AS day_name,
+           p.n_days,
+           CAST(CAST(p.sum_c AS HUGEINT) // p.n_days AS BIGINT)
+             AS avg_day_cents,
+           CAST((CAST(p.sum_c AS HUGEINT) * t.all_days * 10000)
+                // (CAST(p.n_days AS HUGEINT) * t.all_c) AS INT)
+             AS index_bp
+    FROM per p, tot t
+    """,
+    doc="weekday seasonality index: average daily sales per weekday vs "
+    "the overall daily average, in exact integer basis points (10000 = "
+    "flat) — the seasonal-decomposition complement to q97's global "
+    "anomaly z-scores and q58's MoM trend. The weekday is the engine-"
+    "portable integer formula (days_since_epoch + 4) % 7 (epoch was a "
+    "Thursday; 0=Sun) — never the engines' differently-indexed "
+    "dayofweek(). index_bp = (sum_wd * all_days * 10^4) div (n_wd * "
+    "all_c), all decimal(38,0)/HUGEINT — no float share. 7 output rows; "
+    "one narrow |days|-grain rollup then bounded aggregates",
+)
+def q143_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("d"),
+            dec182("o_totalprice").alias("p"),
+        )
+        .groupBy("d")
+        .agg((F.sum("p") * 100).cast("bigint").alias("cents"))
+    )
+    wd = F.pmod(
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) + 4, 7
+    )
+    per = daily.groupBy(wd.cast("int").alias("weekday")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cents").alias("sum_c"),
+    )
+    tot = per.agg(
+        F.sum("n_days").alias("all_days"), F.sum("sum_c").alias("all_c")
+    )
+    name = (
+        F.when(F.col("weekday") == 0, "Sun")
+        .when(F.col("weekday") == 1, "Mon")
+        .when(F.col("weekday") == 2, "Tue")
+        .when(F.col("weekday") == 3, "Wed")
+        .when(F.col("weekday") == 4, "Thu")
+        .when(F.col("weekday") == 5, "Fri")
+        .otherwise("Sat")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))  # 1-row totals frame
+        .select(
+            "weekday",
+            name.alias("day_name"),
+            "n_days",
+            F.expr("sum_c div n_days").cast("bigint").alias("avg_day_cents"),
+            F.expr(
+                "(CAST(sum_c AS DECIMAL(38,0)) * all_days * 10000) div "
+                "(CAST(n_days AS DECIMAL(38,0)) * all_c)"
+            )
+            .cast("int")
+            .alias("index_bp"),
+        )
+    )
+
+
+@register(
+    "q144_purchase_gap_histogram",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             LAG(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+             ) AS prev_d
+      FROM orders
+    ), gaps AS (
+      SELECT CAST(datediff('day', prev_d, d) AS BIGINT) AS gap
+      FROM seq WHERE prev_d IS NOT NULL
+    ), b AS (
+      SELECT CASE WHEN gap <= 7 THEN '00-07' WHEN gap <= 30 THEN '08-30'
+                  WHEN gap <= 90 THEN '31-90'
+                  WHEN gap <= 365 THEN '91-365' ELSE '366+' END AS bucket,
+             gap
+      FROM gaps
+    ), agg AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap) AS BIGINT) AS sum_gap
+      FROM b GROUP BY 1
+    ), t AS (SELECT SUM(n_gaps) AS total FROM agg)
+    SELECT a.bucket, a.n_gaps,
+           CAST((a.sum_gap * 100) // a.n_gaps AS BIGINT) AS avg_gap_e2,
+           CAST((a.n_gaps * 10000) // t.total AS INT) AS share_bp
+    FROM agg a, t
+    """,
+    doc="inter-purchase interval distribution: per-customer consecutive "
+    "order gaps (LAG over a customer-partitioned window, orderkey "
+    "tiebreak — same-day orders contribute identical gap multisets "
+    "under any tie order) bucketed into 0-7/8-30/31-90/91-365/366+ "
+    "days, with exact integer average gap (x100) and share in bp. The "
+    "purchase-cadence surface behind churn models that q93's RFM "
+    "recency scalar and q136's cohort matrix don't expose. Window grain "
+    "is o_custkey (high cardinality — never global); 5 output rows",
+)
+def q144_purchase_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    seq = orders.select(
+        "o_custkey", F.to_date("o_orderdate").alias("d"), "o_orderkey"
+    ).select("o_custkey", "d", F.lag("d").over(w).alias("prev_d"))
+    gaps = seq.filter(F.col("prev_d").isNotNull()).select(
+        F.datediff(F.col("d"), F.col("prev_d")).cast("bigint").alias("gap")
+    )
+    bucket = (
+        F.when(F.col("gap") <= 7, "00-07")
+        .when(F.col("gap") <= 30, "08-30")
+        .when(F.col("gap") <= 90, "31-90")
+        .when(F.col("gap") <= 365, "91-365")
+        .otherwise("366+")
+    )
+    agg = gaps.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").alias("sum_gap"),
+    )
+    t = agg.agg(F.sum("n_gaps").alias("total"))
+    return (
+        agg.crossJoin(F.broadcast(t))  # 1-row total frame
+        .select(
+            "bucket",
+            "n_gaps",
+            F.expr("(sum_gap * 100) div n_gaps")
+            .cast("bigint")
+            .alias("avg_gap_e2"),
+            F.expr("(n_gaps * 10000) div total").cast("int").alias("share_bp"),
+        )
+    )
+
+
+@register(
+    "q145_active_users_sliding",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), contrib AS (
+      SELECT du.d + CAST(k.k AS INT) AS td, du.user_id, k.k
+      FROM du, UNNEST(range(0, 7)) AS k(k)
+    ), days AS (SELECT DISTINCT d FROM du)
+    SELECT days.d AS day,
+           CAST(COUNT(DISTINCT CASE WHEN c.k = 0 THEN c.user_id END)
+                AS BIGINT) AS users_1d,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS users_7d
+    FROM contrib c JOIN days ON c.td = days.d
+    GROUP BY 1
+    """,
+    doc="EXACT trailing-7-day distinct active users per day (DAU + "
+    "rolling WAU): distinct counts cannot ride a window SUM (distincts "
+    "don't add — q79's rolling revenue can, q110's HLL only "
+    "approximates), so each distinct (day, user) observation is "
+    "expanded to the <=7 future window-ends it supports via an "
+    "exploded 0..6 offset sequence and one grouped COUNT(DISTINCT) "
+    "per target day — an equi-join shape, never a range join or a "
+    "|days|-wide broadcast nested loop. Scale: the expansion is 7x "
+    "|distinct day-user pairs| (<< 7x |events|), one shuffle on the "
+    "target day; only days with events are emitted",
+)
+def q145_active_users_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    du = events.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    contrib = du.select(
+        "d", "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k")
+    ).select(
+        F.date_add(F.col("d"), F.col("k")).alias("td"), "user_id", "k"
+    )
+    days = du.select("d").distinct()
+    return (
+        contrib.join(days, F.col("td") == F.col("d"))
+        .groupBy(F.col("d").alias("day"))
+        .agg(
+            F.count_distinct(
+                F.when(F.col("k") == 0, F.col("user_id"))
+            ).alias("users_1d"),
+            F.count_distinct("user_id").alias("users_7d"),
+        )
+    )

@@ -40,79 +40,77 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-# Round-9 rotation (driver records the FIRST 50 entries), priority order:
-# (0) the six queries NEW this round (partition-pruned CDC diff, event
-# transition matrix, retention cohorts, equi-depth histogram, Benford
-# digit audit, winsorized robust stats) — never recorded; (1) the queries whose code or oracle
-# CHANGED this round and must re-stamp on current code: q37/q68
-# (re-pointed onto the distributed exact-percentile path, oracles
-# re-spelled as rank CTEs — the r8 verdict's item 1), q129 (grouped
-# rank lost its forced offsets broadcast), q125 (snapshot_diff emit
-# path refactored for locator columns), q93 (ntile_multi slot typing
-# extended), q131 (profiler input validation); (2) ALL 13 r5-era
-# driver rows — the r8 verdict's item 3 CORRECT list (q14, q17, q18,
-# q38-q43, q51, q53, q94, q101; ROUND8.md had undercounted 7); (3) the
-# stalest r6-era rows in query order. 25 of the 32 remaining r6 rows
-# fit; the six r6-era portable replays (q109/q110/q111/q114/q115/q116)
-# and q84 roll to r10, after which nothing older than r6 remains and
-# only those seven r6 rows are left anywhere. Every name here is also swept by
-# tests/test_queries.py + tests/strict_gate.py against the same oracles,
-# so reordering changes what the driver RECORDS, never what is verified.
+# Round-10 rotation (driver records the FIRST 50 entries), priority order:
+# (0) the six queries NEW this round (segment regression/correlation,
+# 30-day EWMA, Pareto/ABC via the distributed prefix sum, weekday
+# seasonality index, inter-purchase gap histogram, exact sliding-window
+# distinct users) — never recorded; (1) the queries whose operator code
+# CHANGED this round and must re-stamp on current code: q134 (diff.py
+# grew null-disambiguated partition fingerprints + both-side partition-
+# column validation — the r9 ADVICE items), q93 (ranking.py's ntile
+# slot typing gained the negative-scale decimal guard); (2) the last
+# seven r6-era rows (q109/q110/q111/q114/q115/q116/q84 — ROUND9.md's
+# handoff list; after r10 lands nothing older than r7 remains);
+# (3) the stalest r7-era rows in query order — 35 of the 36 fit;
+# q124_join_key_skew rolls to r11 as the single remaining r7 row.
+# Every name here is also swept by tests/test_queries.py +
+# tests/strict_gate.py against the same oracles, so reordering changes
+# what the driver RECORDS, never what is verified.
 _CHECK_FIRST = [
     # --- (0) new this round, never recorded ---
+    "q140_segment_regression",
+    "q141_sales_ewma",
+    "q142_pareto_parts",
+    "q143_weekday_seasonality",
+    "q144_purchase_gap_histogram",
+    "q145_active_users_sliding",
+    # --- (1) code changed this round ---
     "q134_pruned_snapshot_diff",
-    "q135_event_transitions",
-    "q136_retention_cohorts",
-    "q137_order_value_histogram",
-    "q138_benford_digit_audit",
-    "q139_winsorized_order_stats",
-    # --- (1) code/oracle changed this round ---
-    "q37_order_value_percentiles",
-    "q68_segment_percentiles",
-    "q129_segment_percentiles_distributed",
-    "q125_snapshot_diff",
     "q93_customer_rfm",
-    "q131_orders_profile",
-    # --- (2) the 13 r5-era driver rows (r8 verdict item 3) ---
-    "q14_sales_daterange",
-    "q17_view_sales_by_day_sql",
-    "q18_running_daily_sales",
-    "q38_repeat_customers_intersect",
-    "q39_events_json_props",
-    "q40_churned_customers_except",
-    "q41_part_name_search",
-    "q42_purchases_with_prior_views",
-    "q43_purchase_asof_signup",
-    "q51_train_val_test_split",
-    "q53_customer_sample_topk",
-    "q94_scd2_customers",
-    "q101_heavy_hitter_shingles",
-    # --- (3) r6-era rows, query order (q109-q116 replays roll to r10) ---
-    "q20_docs_fingerprint",
-    "q21_docs_exact_dedupe",
-    "q24_docs_langid",
-    "q27_ann_cosine_topk",
-    "q28_ann_cosine_lsh",
-    "q29_events_hourly",
-    "q30_events_sessionize",
-    "q32_embedding_neardup",
-    "q33_token_frequencies",
-    "q54_part_sample_topk",
-    "q55_lineitem_sample_topk",
-    "q56_conformance_coercion",
-    "q57_ngram_jaccard_pairs",
-    "q58_mom_sales_growth",
-    "q59_salted_event_rollup",
-    "q60_winnowing_fingerprints",
-    "q61_small_quantity_revenue",
-    "q62_check_violations",
-    "q63_sales_cube",
-    "q76_incremental_dedupe",
-    "q77_label_centroids",
-    "q78_regional_supplier_revenue",
-    "q79_rolling_7day_sales",
-    "q80_event_funnel",
-    "q83_sentence_dedup_stats",
+    # --- (2) the last seven r6-era rows (ROUND9.md handoff) ---
+    "q109_minhash_lsh_replay",
+    "q110_hll_distinct_replay",
+    "q111_hdr_percentile_replay",
+    "q114_bloom_membership_audit",
+    "q115_compressibility_replay",
+    "q116_lsh_bucket_audit",
+    "q84_split_leakage_check",
+    # --- (3) r7-era rows, query order (q124 rolls to r11) ---
+    "q15_dedupe_keep_last",
+    "q16_fk_violations",
+    "q19_top_parts_per_type",
+    "q25_minhash_neardup",
+    "q31_media_features",
+    "q34_ann_cosine_ivf",
+    "q35_sales_rollup",
+    "q36_status_pivot",
+    "q44_docs_rolling_fingerprint",
+    "q45_media_resize",
+    "q46_media_frame_sample",
+    "q48_pricing_summary",
+    "q49_dedup_clusters",
+    "q50_curation_sample",
+    "q64_approx_distinct_sketch",
+    "q67_pii_redaction",
+    "q73_embedding_quantization",
+    "q74_source_overlap",
+    "q82_approx_percentile_sketch",
+    "q85_compression_quality",
+    "q87_stratified_cap_sample",
+    "q88_lang_metadata_agreement",
+    "q89_embedding_cluster_stats",
+    "q91_cohort_retention",
+    "q92_part_cooccurrence",
+    "q95_sentence_split_udtf",
+    "q96_event_transition_matrix",
+    "q97_daily_sales_anomalies",
+    "q98_supplier_type_share",
+    "q99_priority_sla",
+    "q100_etl_dataflow",
+    "q107_hopping_window",
+    "q108_identifier_linkage",
+    "q121_ann_recall_audit",
+    "q123_typo_linkage_degree",
 ]
 
 

@@ -126,6 +126,11 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "q130_robust_order_outliers": 4,
     # z-score stats over the DAY grain
     "q97_daily_sales_anomalies": 1,
+    # Pareto/ABC: one append_global_prefix_sum pass — its single global
+    # window runs over the <= shuffle-partitions-row per-partition
+    # TOTALS frame (operators/ranking.py), same bounded class as the
+    # rank/ntile offsets windows above
+    "q142_pareto_parts": 1,
     # threshold sweep over <= 10 001 integer basis-point buckets
     "q117_quality_threshold_calibration": 2,
 }

@@ -318,3 +318,90 @@ def test_ntile_multi_keeps_null_key_row(spark):
     )
     out = append_global_ntile_multi(df, 2, {"q": F.col("v")}, keys=["k"])
     assert out.count() == 3  # the null-keyed row must survive the pivot join
+
+
+@pytest.mark.parametrize("n_rows", [1, 2, 5, 17, 103, 1000])
+def test_prefix_sum_matches_window_cumsum(spark, n_rows):
+    from salesanalytics_etl_spark.operators.ranking import (
+        append_global_prefix_sum,
+    )
+
+    rng = random.Random(n_rows)
+    # heavy duplicate order keys — the unique id tiebreak is load-bearing
+    rows = [(i, rng.randint(0, 9), rng.randint(-50, 500)) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, ["id", "m", "v"])
+    order = [F.desc("m"), F.asc("id")]
+    ref = {
+        r.id: (r.c, r.t)
+        for r in df.select(
+            "id",
+            F.sum("v")
+            .over(
+                Window.orderBy(*order).rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .alias("c"),
+            F.sum("v")
+            .over(
+                Window.orderBy(*order).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("t"),
+        ).collect()
+    }
+    got = {
+        r.id: (r.c, r.t)
+        for r in append_global_prefix_sum(
+            df, F.col("v"), order, out_col="c", total_col="t"
+        )
+        .select("id", "c", "t")
+        .collect()
+    }
+    assert got == ref
+
+
+def test_prefix_sum_decimal_value_stays_exact(spark):
+    from salesanalytics_etl_spark.operators.ranking import (
+        append_global_prefix_sum,
+    )
+
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id AS DECIMAL(18,2)) / 4 AS v"
+    )
+    out = append_global_prefix_sum(df, F.col("v"), [F.asc("id")], "c")
+    rows = {r.id: r.c for r in out.collect()}
+    from decimal import Decimal
+
+    acc = Decimal(0)
+    for i in range(100):
+        acc += Decimal(i) / 4
+        assert rows[i] == acc
+
+
+def test_prefix_sum_no_data_scaled_global_window(spark):
+    from salesanalytics_etl_spark.operators.ranking import (
+        append_global_prefix_sum,
+    )
+
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    )
+    out = append_global_prefix_sum(df, F.col("v"), [F.asc("id")], "c")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_prefix_sum_refuses_exchange_reuse_off(spark):
+    from salesanalytics_etl_spark.operators.ranking import (
+        append_global_prefix_sum,
+    )
+
+    df = spark.range(10).selectExpr("id AS v")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        with pytest.raises(RuntimeError, match="exchange.reuse"):
+            append_global_prefix_sum(df, F.col("v"), [F.col("v")])
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
