@@ -6048,3 +6048,344 @@ def q145_active_users_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("users_7d"),
         )
     )
+
+
+@register(
+    "q146_weighted_price_percentiles",
+    oracle="""
+    WITH sold AS (
+      SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1
+    ), joined AS (
+      SELECT p.p_partkey,
+             CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS v,
+             s.w
+      FROM part p JOIN sold s ON p.p_partkey = s.l_partkey
+    ), cum AS (
+      SELECT v, w,
+             SUM(w) OVER (
+               ORDER BY v, p_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cw,
+             SUM(w) OVER () AS tw
+      FROM joined
+    )
+    SELECT CAST(MIN(CASE WHEN cw * 4 >= tw THEN v END) AS BIGINT)
+             AS wp25_cents,
+           CAST(MIN(CASE WHEN cw * 2 >= tw THEN v END) AS BIGINT)
+             AS wmedian_cents,
+           CAST(MIN(CASE WHEN cw * 4 >= tw * 3 THEN v END) AS BIGINT)
+             AS wp75_cents,
+           CAST(MAX(tw) AS BIGINT) AS total_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM cum
+    """,
+    doc="volume-WEIGHTED price percentiles: p25/median/p75 of part retail "
+    "price where each part counts by total quantity sold, not once — the "
+    "weighted-quantile operator (a cheap part selling 10x outweighs a "
+    "boutique one) that plain percentiles (q37/q128) cannot express. "
+    "Weighted rank = running weight via operators/ranking.py:"
+    "append_global_prefix_sum over (price, partkey); the pick is the "
+    "smallest value whose cumulative weight crosses p*W — all-integer "
+    "cw*4 >= tw / cw*2 >= tw / cw*4 >= 3*tw comparisons, no float "
+    "thresholds. The oracle's textbook window cumsum would single-"
+    "partition-sort |parts| at scale; the engine path range-partitions",
+)
+def q146_weighted_price_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182
+    from salesanalytics_etl_spark.operators.ranking import (
+        append_global_prefix_sum,
+    )
+
+    part, lineitem = _t(spark, sf_dir, "part", "lineitem")
+    sold = lineitem.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("w")
+    )
+    joined = part.select(
+        "p_partkey",
+        (dec182("p_retailprice") * 100).cast("bigint").alias("v"),
+    ).join(sold, F.col("p_partkey") == F.col("l_partkey"))
+    pre = append_global_prefix_sum(
+        joined.select("p_partkey", "v", "w"),
+        F.col("w"),
+        [F.asc("v"), F.asc("p_partkey")],
+        out_col="cw",
+        total_col="tw",
+    )
+    return pre.agg(
+        F.min(F.when(F.col("cw") * 4 >= F.col("tw"), F.col("v"))).alias(
+            "wp25_cents"
+        ),
+        F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("v"))).alias(
+            "wmedian_cents"
+        ),
+        F.min(
+            F.when(F.col("cw") * 4 >= F.col("tw") * 3, F.col("v"))
+        ).alias("wp75_cents"),
+        F.max("tw").alias("total_qty"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+@register(
+    "q147_customer_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), everyone AS (
+      SELECT c.c_custkey, COALESCE(r.cents, 0) AS cents
+      FROM customer c LEFT JOIN rev r ON c.c_custkey = r.o_custkey
+    ), ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, c_custkey) AS r,
+             COUNT(*) OVER () AS n
+      FROM everyone
+    ), s AS (
+      SELECT MAX(n) AS n, SUM(cents) AS tot,
+             SUM(CAST(r AS HUGEINT) * cents) AS riwx
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(tot AS BIGINT) AS total_cents,
+           CAST((2 * riwx - (CAST(n AS HUGEINT) + 1) * CAST(tot AS HUGEINT))
+                * 10000
+                // (CAST(n AS HUGEINT) * CAST(tot AS HUGEINT)) AS INT)
+             AS gini_bp
+    FROM s
+    """,
+    doc="Gini coefficient of customer lifetime revenue in exact integer "
+    "basis points (0 = perfectly equal, ~10000 = one customer has "
+    "everything) — the inequality/concentration measure that pairs with "
+    "q142's Pareto classes. Uses the closed form over ascending-sorted "
+    "values G = (2*Sum(i*x_i) - (n+1)*Sum(x)) / (n*Sum(x)): the rank i "
+    "comes from the DISTRIBUTED append_global_rank (ties permute equal "
+    "values, leaving Sum(i*x_i) invariant — deterministic without a "
+    "value tiebreak, but custkey makes the order total anyway), the "
+    "moment accumulates as decimal(38,0)/HUGEINT, and the final bp is "
+    "one integer division. Zero-order customers count at 0 revenue "
+    "(LEFT join), so the index reflects the whole book",
+)
+def q147_customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182
+    from salesanalytics_etl_spark.operators.ranking import append_global_rank
+
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    rev = orders.groupBy("o_custkey").agg(
+        (F.sum(dec182("o_totalprice")) * 100).cast("bigint").alias("cents")
+    )
+    everyone = (
+        customer.select("c_custkey")
+        .join(rev, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey", F.coalesce(F.col("cents"), F.lit(0)).alias("cents")
+        )
+    )
+    ranked = append_global_rank(
+        everyone,
+        [F.asc("cents"), F.asc("c_custkey")],
+        out_col="r",
+        total_col="n",
+    )
+    s = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum("cents").alias("tot"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("cents")).alias(
+            "riwx"
+        ),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("tot").cast("bigint").alias("total_cents"),
+        F.expr(
+            "(2 * riwx - (CAST(n AS DECIMAL(38,0)) + 1) "
+            "* CAST(tot AS DECIMAL(38,0))) * 10000 "
+            "div (CAST(n AS DECIMAL(38,0)) * CAST(tot AS DECIMAL(38,0)))"
+        )
+        .cast("int")
+        .alias("gini_bp"),
+    )
+
+
+@register(
+    "q148_sales_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(cents) AS tot FROM daily
+    ), base AS (
+      SELECT d, cents,
+             CAST(tot // n AS BIGINT) AS mu,
+             cents - CAST(tot // n AS BIGINT)
+                   - CAST((tot // n) // 20 AS BIGINT) AS dev
+      FROM daily, s
+    ), p AS (
+      SELECT d, cents, mu,
+             SUM(dev) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS pp
+      FROM base
+    ), m AS (
+      SELECT d, cents, mu, pp,
+             MIN(pp) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS minp
+      FROM p
+    )
+    SELECT d AS order_date, cents AS day_cents,
+           CAST(pp - LEAST(0, minp) AS BIGINT) AS cusum_cents,
+           CAST(CASE WHEN pp - LEAST(0, minp) >= 2 * CAST(mu AS HUGEINT)
+                     THEN 1 ELSE 0 END AS INT) AS alarm
+    FROM m
+    """,
+    doc="one-sided CUSUM change-point detection over daily sales: the "
+    "sustained-upward-shift detector (q97's z-scores flag POINT "
+    "outliers; CUSUM accumulates small persistent drifts). The textbook "
+    "recursion S_t = max(0, S_(t-1) + x_t - mu - k) is not window-"
+    "expressible, so it is re-expressed through the exact prefix "
+    "identity S_t = P_t - min(0, min_(j<=t) P_j) with P = running sum "
+    "of (x - mu - k) — two windows over the calendar-bounded DAY grain "
+    "(same bounded class as q18/q79). Allowance k = mu/20 (5%), alarm "
+    "at S >= 2*mu; every quantity is exact integer cents from the "
+    "decimal-accumulated daily rollup, mu by integer division",
+)
+def q148_sales_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from salesanalytics_etl_spark.functions.scalar import dec182
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("d"),
+            dec182("o_totalprice").alias("p"),
+        )
+        .groupBy("d")
+        .agg((F.sum("p") * 100).cast("bigint").alias("cents"))
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("tot")
+    ).select(F.expr("tot div n").cast("bigint").alias("mu"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    base = daily.crossJoin(F.broadcast(stats)).withColumn(
+        "dev",
+        F.col("cents") - F.col("mu") - F.expr("mu div 20").cast("bigint"),
+    )
+    p = base.withColumn("pp", F.sum("dev").over(w))
+    m = p.withColumn("minp", F.min("pp").over(w))
+    cusum = F.col("pp") - F.least(F.lit(0), F.col("minp"))
+    return m.select(
+        F.col("d").alias("order_date"),
+        F.col("cents").alias("day_cents"),
+        cusum.cast("bigint").alias("cusum_cents"),
+        F.when(cusum >= 2 * F.col("mu"), 1).otherwise(0).cast("int").alias(
+            "alarm"
+        ),
+    )
+
+
+@register(
+    "q149_categorical_entropy",
+    oracle="""
+    WITH vals AS (
+      SELECT 'orders.o_orderstatus' AS col_name, o_orderstatus AS val
+      FROM orders
+      UNION ALL
+      SELECT 'orders.o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'customer.c_mktsegment', c_mktsegment FROM customer
+      UNION ALL
+      SELECT 'lineitem.l_returnflag', l_returnflag FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_linestatus', l_linestatus FROM lineitem
+      UNION ALL
+      SELECT 'part.p_brand', p_brand FROM part
+    ), counts AS (
+      SELECT col_name, val, COUNT(*) AS c
+      FROM vals WHERE val IS NOT NULL
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT col_name, SUM(c) AS n, COUNT(*) AS k FROM counts GROUP BY 1
+    ), contrib AS (
+      SELECT counts.col_name,
+             CAST(ROUND(
+               (counts.c / totals.n) * (log2(totals.n) - log2(counts.c)),
+               6) AS DECIMAL(18,6)) AS h_term
+      FROM counts JOIN totals USING (col_name)
+    )
+    SELECT t.col_name, CAST(t.n AS BIGINT) AS n_rows,
+           CAST(t.k AS BIGINT) AS n_distinct,
+           ROUND(CAST(SUM(c.h_term) AS DOUBLE), 4) AS entropy_bits
+    FROM contrib c JOIN totals t USING (col_name)
+    GROUP BY 1, 2, 3
+    """,
+    doc="Shannon entropy profile of the bounded-domain categorical "
+    "columns (order status/priority, market segment, return flag, line "
+    "status, part brand) — the column-level information density "
+    "diagnostic that flags near-constant columns (entropy ~ 0) and "
+    "uniform id-like ones (entropy ~ log2 k) for the data-profiling "
+    "surface q131 starts. Engine path scans each TABLE once, exploding "
+    "a column-name->value map (k x rows, one shuffle on (col, val) — "
+    "never one scan per column); per-value contribution follows q120's "
+    "determinism discipline: one fixed-shape double expression "
+    "(c/N)*(log2 N - log2 c) of EXACT integer counts, rounded to 6dp, "
+    "summed as DECIMAL(18,6)",
+)
+def q149_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer, lineitem, part = _t(
+        spark, sf_dir, "orders", "customer", "lineitem", "part"
+    )
+
+    def tagged(df: DataFrame, table: str, cols: list[str]) -> DataFrame:
+        pairs: list = []
+        for c in cols:
+            pairs.append(F.lit(f"{table}.{c}"))
+            pairs.append(F.col(c).cast("string"))
+        return df.select(
+            F.explode(F.create_map(*pairs)).alias("col_name", "val")
+        )
+
+    vals = (
+        tagged(orders, "orders", ["o_orderstatus", "o_orderpriority"])
+        .unionByName(tagged(customer, "customer", ["c_mktsegment"]))
+        .unionByName(
+            tagged(lineitem, "lineitem", ["l_returnflag", "l_linestatus"])
+        )
+        .unionByName(tagged(part, "part", ["p_brand"]))
+    )
+    counts = (
+        vals.filter(F.col("val").isNotNull())
+        .groupBy("col_name", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("col_name").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    contrib = counts.join(F.broadcast(totals), "col_name").select(
+        "col_name",
+        F.round(
+            (F.col("c") / F.col("n")) * (F.log2("n") - F.log2("c")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("h_term"),
+    )
+    return (
+        contrib.groupBy("col_name")
+        .agg(F.sum("h_term").alias("_h"))
+        .join(F.broadcast(totals), "col_name")
+        .select(
+            "col_name",
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("k").cast("bigint").alias("n_distinct"),
+            F.round(F.col("_h").cast("double"), 4).alias("entropy_bits"),
+        )
+    )

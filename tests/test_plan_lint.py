@@ -131,6 +131,15 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     # TOTALS frame (operators/ranking.py), same bounded class as the
     # rank/ntile offsets windows above
     "q142_pareto_parts": 1,
+    # weighted percentiles: one append_global_prefix_sum pass, same
+    # bounded TOTALS-frame window
+    "q146_weighted_price_percentiles": 1,
+    # Gini: one append_global_rank pass, same bounded OFFSETS-frame
+    # window
+    "q147_customer_gini": 1,
+    # CUSUM: running sum + running min over the calendar-bounded DAY
+    # grain (the q18/q79 class)
+    "q148_sales_cusum": 2,
     # threshold sweep over <= 10 001 integer basis-point buckets
     "q117_quality_threshold_calibration": 2,
 }
