@@ -6389,3 +6389,76 @@ def q149_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_h").cast("double"), 4).alias("entropy_bits"),
         )
     )
+
+
+@register(
+    "q150_truncation_audit",
+    oracle="""
+    WITH tc AS (
+      SELECT CAST(length(regexp_extract_all(lower(COALESCE(text, '')),
+                                            '[a-z0-9]+')) AS BIGINT) AS tc
+      FROM documents
+    ), lim(n_limit) AS (VALUES (64), (128), (256), (512))
+    SELECT l.n_limit,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN t.tc > l.n_limit THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_truncated,
+           CAST(SUM(t.tc) AS BIGINT) AS total_tokens,
+           CAST(SUM(GREATEST(t.tc - l.n_limit, 0)) AS BIGINT)
+             AS tokens_lost,
+           CAST(SUM(GREATEST(t.tc - l.n_limit, 0)) * 10000 // SUM(t.tc)
+                AS INT) AS loss_bp
+    FROM tc t CROSS JOIN lim l
+    GROUP BY 1
+    """,
+    doc="context-window truncation audit: for candidate token limits "
+    "(64/128/256/512), how many documents would be cut and what share "
+    "of the corpus token mass is lost — the first question a training-"
+    "data pipeline asks before fixing max_seq_len. Token counts use "
+    "q33's portable regex token stream ([a-z0-9]+ on lowercased text — "
+    "identical extraction on both engines), so counts are exact "
+    "integers and loss shares are exact basis points. Scale: ONE "
+    "documents scan (the count is a map-side size(regexp_extract_all), "
+    "never an explode), a 4-row broadcast limit table, and a 4-group "
+    "map-side-combined aggregate",
+)
+def q150_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    tc = documents.select(
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                F.lit("[a-z0-9]+"),
+                0,
+            )
+        )
+        .cast("bigint")
+        .alias("tc")
+    )
+    limits = spark.createDataFrame(
+        [(64,), (128,), (256,), (512,)], "n_limit INT"
+    )
+    return (
+        tc.crossJoin(F.broadcast(limits))
+        .groupBy("n_limit")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("tc") > F.col("n_limit"), 1).otherwise(0)
+            ).alias("n_docs_truncated"),
+            F.sum("tc").alias("total_tokens"),
+            F.sum(
+                F.greatest(F.col("tc") - F.col("n_limit"), F.lit(0))
+            ).alias("tokens_lost"),
+        )
+        .select(
+            "n_limit",
+            "n_docs",
+            "n_docs_truncated",
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            F.col("tokens_lost").cast("bigint").alias("tokens_lost"),
+            F.expr("(tokens_lost * 10000) div total_tokens")
+            .cast("int")
+            .alias("loss_bp"),
+        )
+    )
