@@ -256,6 +256,20 @@ _PLAN_PINS = {
     "q112_ivf_replay": ["BroadcastNestedLoopJoin"],
     "q113_cell_stats_replay": ["partial_count"],
     "q114_bloom_membership_audit": ["BroadcastHashJoin"],
+    # round-10 shapes: the prefix-sum/rank queries must RANGE-partition
+    # their sorted frame (never a single-partition sort), and the
+    # offsets/totals join must broadcast; the EWMA weight table and the
+    # truncation limit table are bounded literals and must broadcast
+    # into their expansions (a shuffled cross join would exchange the
+    # day/doc grain against a 30/4-row frame)
+    "q142_pareto_parts": ["rangepartitioning", "BroadcastHashJoin"],
+    "q146_weighted_price_percentiles": [
+        "rangepartitioning",
+        "BroadcastHashJoin",
+    ],
+    "q147_customer_gini": ["rangepartitioning", "BroadcastHashJoin"],
+    "q141_sales_ewma": ["BroadcastNestedLoopJoin"],
+    "q150_truncation_audit": ["BroadcastNestedLoopJoin"],
 }
 
 
