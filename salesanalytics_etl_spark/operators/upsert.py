@@ -217,6 +217,48 @@ def break_stale_lock(path: str, min_age_seconds: float = 3600.0) -> bool:
     return True
 
 
+def vacuum_stale_staging(path: str, min_age_seconds: float = 3600.0) -> bool:
+    """Remove a crashed merge's leftover staging directory.
+
+    :func:`_stage_and_swap` removes its ``<path>.__swap_staging__`` in a
+    ``finally:``, but a hard crash (OOM kill, node loss) between the
+    staging write and the cleanup leaves it on disk — dead weight that
+    can double a table's footprint and, left unmonitored, fills the
+    volume. Safe to run from a janitor job at any time:
+
+    - refuses (returns False) while the NEWEST file under the staging
+      dir is younger than ``min_age_seconds`` — a live merge is still
+      writing it (each written file refreshes recency);
+    - takes the table's single-writer lock for the removal, so it can
+      never race a merge that is between its staging write and its
+      dynamic overwrite (that merge holds the lock the whole time).
+
+    Returns True when a stale staging dir was removed. The next merge
+    is correct either way — the staging write is ``mode("overwrite")``
+    — so this is about disk hygiene, not correctness.
+    """
+    import shutil
+
+    staging = path.rstrip("/") + ".__swap_staging__"
+    if not os.path.exists(staging):
+        return False
+    newest = os.path.getmtime(staging)
+    for dp, _, fs in os.walk(staging):
+        for f in fs:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(dp, f)))
+            except OSError:
+                pass  # file vanished mid-walk — a live writer; recency
+                # is refreshed by its remaining siblings
+    if time.time() - newest < min_age_seconds:
+        return False
+    with single_writer_lock(path, owner="vacuum_stale_staging"):
+        if not os.path.exists(staging):
+            return False  # a concurrent vacuum won
+        shutil.rmtree(staging, ignore_errors=True)
+        return True
+
+
 def merge_upsert(
     target: DataFrame | None,
     incoming: DataFrame,

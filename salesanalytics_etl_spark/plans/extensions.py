@@ -6462,3 +6462,71 @@ def q150_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("loss_bp"),
         )
     )
+
+
+@register(
+    "q151_supplier_hhi",
+    oracle="""
+    WITH srev AS (
+      SELECT p.p_type, l.l_suppkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS s
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(s) AS BIGINT) AS type_cents,
+           CAST(SUM(CAST(s AS HUGEINT) * s) * 10000
+                // (CAST(SUM(s) AS HUGEINT) * CAST(SUM(s) AS HUGEINT))
+                AS INT) AS hhi_bp
+    FROM srev GROUP BY 1
+    """,
+    doc="Herfindahl-Hirschman supplier-concentration index per part "
+    "type, in exact integer basis points (10000 = monopoly, ~10000/n = "
+    "atomized): HHI = sum(share_i^2) re-expressed integer-exactly as "
+    "(sum(s_i^2) * 10^4) div (sum(s_i))^2 — the grouped market-"
+    "concentration measure beside q147's global Gini and q142's Pareto "
+    "classes (supply-risk surface: a type whose revenue hangs on one "
+    "supplier). Two map-side-combined aggregates: (type, supplier) "
+    "revenue — high-cardinality grain — then a |types|-bounded rollup "
+    "with decimal(38,0)/HUGEINT squares; the part dim joins broadcast",
+)
+def q151_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182
+
+    part, lineitem = _t(spark, sf_dir, "part", "lineitem")
+    srev = (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(
+            part.select("p_partkey", "p_type"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            (F.sum(dec182("l_extendedprice")) * 100)
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    return (
+        srev.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("s").alias("type_cents"),
+            F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias(
+                "_sq"
+            ),
+        )
+        .select(
+            "p_type",
+            "n_suppliers",
+            F.col("type_cents").cast("bigint").alias("type_cents"),
+            F.expr(
+                "_sq * 10000 div (CAST(type_cents AS DECIMAL(38,0)) "
+                "* CAST(type_cents AS DECIMAL(38,0)))"
+            )
+            .cast("int")
+            .alias("hhi_bp"),
+        )
+    )

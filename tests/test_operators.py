@@ -769,3 +769,39 @@ def test_heartbeating_holder_is_never_stolen(tmp_path):
     finally:
         holder.__exit__(None, None, None)
     assert not os.path.exists(lock)
+
+
+def test_vacuum_stale_staging(tmp_path):
+    import os
+    import time
+
+    from salesanalytics_etl_spark.operators.upsert import (
+        vacuum_stale_staging,
+    )
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    # no staging dir → nothing to do
+    assert vacuum_stale_staging(path) is False
+    staging = path + ".__swap_staging__"
+    os.makedirs(os.path.join(staging, "p=1"))
+    f = os.path.join(staging, "p=1", "part-0.parquet")
+    with open(f, "w") as fh:
+        fh.write("x")
+    # FRESH staging (a live merge could still be writing) → refused
+    assert vacuum_stale_staging(path, min_age_seconds=3600) is False
+    assert os.path.exists(staging)
+    # recency is the NEWEST file, not the dir: age the dir but keep the
+    # file fresh → still refused
+    old = time.time() - 7200
+    os.utime(staging, (old, old))
+    assert vacuum_stale_staging(path, min_age_seconds=3600) is False
+    # age everything past the threshold → removed, True
+    for dp, dns, fs in os.walk(staging):
+        for n in [*dns, *fs]:
+            os.utime(os.path.join(dp, n), (old, old))
+    os.utime(staging, (old, old))
+    assert vacuum_stale_staging(path, min_age_seconds=3600) is True
+    assert not os.path.exists(staging)
+    # idempotent
+    assert vacuum_stale_staging(path, min_age_seconds=3600) is False
