@@ -24,6 +24,15 @@ per-partition COUNTS frame — bounded by ``spark.sql.shuffle.partitions``
 (dozens of rows at any data size), the same bounded-grain class as the
 sketch/bucket windows the plan-lint allowlist documents.
 
+The ranged frame is eagerly ``localCheckpoint``ed: steps 2 and 3 are two
+consumers of one range exchange, and their partition ids must agree —
+exchange reuse alone does NOT guarantee that under AQE (round 10 found a
+join-upstream plan where the exchange materialized twice with different
+sampled boundaries and ranks silently corrupted at sf0.1 while the
+fully-sampled sf0.01 gate stayed green). One materialization, truncated
+lineage, identical blocks for every consumer — correct with or without
+reuse, with or without AQE, at the cost of storing the frame once.
+
 The order must be TOTAL (include a unique tiebreak column, as SQL NTILE
 determinism requires anyway) — with duplicate composite keys the range
 boundary between two equal keys could otherwise split them arbitrarily.
@@ -40,6 +49,7 @@ def append_global_rank(
     order_cols: list[Column],
     out_col: str = "rank",
     total_col: str | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Append the exact global row_number over ``order_cols`` (a total
     order) without a single-partition sort. Optionally also append the
@@ -47,28 +57,32 @@ def append_global_rank(
 
     Correctness requires the counts branch and the join branch to
     observe the SAME range exchange (identical ``spark_partition_id``
-    per row). Both consume the one ``local`` subtree, which Catalyst
-    deduplicates via exchange reuse — guaranteed with the default
-    ``spark.sql.exchange.reuse=true`` (AQE's stage reuse honors the
-    same flag). With reuse disabled each branch would re-run
-    ``repartitionByRange`` with independently sampled boundaries and
-    boundary rows could land in different partitions per branch —
-    silently wrong global ranks — so that configuration is refused
-    loudly here."""
+    per row). Exchange reuse is NOT a guarantee of that: under AQE the
+    two instantiations of the ranged subtree may fail to canonicalize
+    (observed round 10 on a join-upstream input: the ntile-shaped plan
+    materialized the exchange twice, each sampling DIFFERENT range
+    boundaries, and ranks silently corrupted — invisible at sf0.01
+    where the boundary sample covers every row, wrong at sf0.1). The
+    ranged frame is therefore ``localCheckpoint``ed (eager): one
+    materialization, lineage truncated, both branches read the same
+    blocks — partition ids cannot diverge, with or without reuse, with
+    or without AQE. Cost: the frame is stored once on the executors
+    (MEMORY_AND_DISK, spills) and the operator triggers that job at
+    plan-build time; blocks free when the plan is garbage-collected.
+    """
     spark = df.sparkSession
-    if spark.conf.get("spark.sql.exchange.reuse", "true").lower() == "false":
-        raise RuntimeError(
-            "append_global_rank requires spark.sql.exchange.reuse=true: "
-            "the per-partition counts and the rank join must observe one "
-            "shared range exchange, or partition ids diverge between the "
-            "two branches and global ranks are silently wrong"
-        )
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     ranged = df.repartitionByRange(nparts, *order_cols).withColumn(
         "_rk_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_rk_pid").orderBy(*order_cols)
+    # eager single materialization — see docstring; correctness, not perf.
+    # materialize=False skips it for PLAN INSPECTION ONLY (tests pin the
+    # range-partitioned shape the checkpoint otherwise hides): the lazy
+    # form's two branch subtrees can observe divergent exchanges.
     local = ranged.withColumn("_rk_rn", F.row_number().over(w))
+    if materialize:
+        local = local.localCheckpoint()
     counts = local.groupBy("_rk_pid").agg(F.count(F.lit(1)).alias("_rk_c"))
     # bounded-grain global window: <= nparts rows regardless of data size
     wo = Window.orderBy("_rk_pid")
@@ -100,6 +114,7 @@ def append_global_prefix_sum(
     order_cols: list[Column],
     out_col: str = "prefix_sum",
     total_col: str | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Append the exact global RUNNING SUM of ``value`` over a total
     order without a single-partition sort — the distributed prefix sum
@@ -121,18 +136,14 @@ def append_global_prefix_sum(
     place ties arbitrarily. Optionally appends the grand total as
     ``total_col`` (for share-of-total arithmetic downstream).
 
-    Same ``spark.sql.exchange.reuse`` requirement as
-    :func:`append_global_rank`: the totals branch and the join branch
-    must observe ONE shared range exchange or partition ids diverge.
+    The ranged frame is ``localCheckpoint``ed (eager) for the same
+    reason as :func:`append_global_rank` (see its docstring): the
+    totals branch and the prefix join must observe ONE materialization
+    of the range exchange — exchange reuse alone is not a guarantee
+    under AQE, and divergent boundary samples would silently corrupt
+    the prefix sums.
     """
     spark = df.sparkSession
-    if spark.conf.get("spark.sql.exchange.reuse", "true").lower() == "false":
-        raise RuntimeError(
-            "append_global_prefix_sum requires spark.sql.exchange.reuse="
-            "true: the per-partition totals and the prefix join must "
-            "observe one shared range exchange, or partition ids diverge "
-            "between the two branches and prefix sums are silently wrong"
-        )
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     ranged = (
         df.withColumn("_ps_v", value)
@@ -140,10 +151,14 @@ def append_global_prefix_sum(
         .withColumn("_ps_pid", F.spark_partition_id())
     )
     w = Window.partitionBy("_ps_pid").orderBy(*order_cols)
+    # eager single materialization — see append_global_rank's docstring
+    # (materialize=False is for plan inspection in tests ONLY)
     local = ranged.withColumn(
         "_ps_run",
         F.sum("_ps_v").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    if materialize:
+        local = local.localCheckpoint()
     totals = local.groupBy("_ps_pid").agg(F.sum("_ps_v").alias("_ps_t"))
     # bounded-grain global window: <= nparts rows regardless of data size
     wo = Window.orderBy("_ps_pid")
@@ -395,24 +410,21 @@ def append_group_rank(
     ``shuffle.partitions × |groups|`` — via a window partitioned BY
     GROUP over partition ids (never unpartitioned, never data-scaled).
 
-    Same exchange-reuse requirement as :func:`append_global_rank`
-    (enforced there is not enough — this function has its own two
-    consumers of the ranged subtree), so the same loud guard applies.
+    The ranged frame is ``localCheckpoint``ed (eager) for the same
+    reason as :func:`append_global_rank` (see its docstring): this
+    function has its own two consumers of the ranged subtree, and the
+    counts and join branches must observe ONE materialization of the
+    range exchange — exchange reuse alone is not a guarantee under AQE.
     """
     spark = df.sparkSession
-    if spark.conf.get("spark.sql.exchange.reuse", "true").lower() == "false":
-        raise RuntimeError(
-            "append_group_rank requires spark.sql.exchange.reuse=true "
-            "(see append_global_rank: the counts and join branches must "
-            "observe one shared range exchange)"
-        )
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     gcols = [F.col(g) for g in group_cols]
     ranged = df.repartitionByRange(nparts, *gcols, *order_cols).withColumn(
         "_gk_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_gk_pid", *group_cols).orderBy(*order_cols)
-    local = ranged.withColumn("_gk_rn", F.row_number().over(w))
+    # eager single materialization — see append_global_rank's docstring
+    local = ranged.withColumn("_gk_rn", F.row_number().over(w)).localCheckpoint()
     counts = local.groupBy("_gk_pid", *group_cols).agg(
         F.count(F.lit(1)).alias("_gk_c")
     )

@@ -6530,3 +6530,210 @@ def q151_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hhi_bp"),
         )
     )
+
+
+@register(
+    "q152_decile_lift",
+    oracle="""
+    WITH hist AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS h_cents
+      FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+      GROUP BY 1
+    ), tgt AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS t_cents
+      FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1999-01-01'
+      GROUP BY 1
+    ), scored AS (
+      SELECT h.o_custkey, h.h_cents, COALESCE(t.t_cents, 0) AS t_cents,
+             NTILE(10) OVER (ORDER BY h.h_cents DESC, h.o_custkey)
+               AS decile
+      FROM hist h LEFT JOIN tgt t ON h.o_custkey = t.o_custkey
+    ), per AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(h_cents) AS BIGINT) AS hist_cents,
+             CAST(SUM(t_cents) AS BIGINT) AS target_cents
+      FROM scored GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n_customers) AS n_all, SUM(target_cents) AS t_all
+      FROM per
+    )
+    SELECT p.decile, p.n_customers, p.hist_cents, p.target_cents,
+           CAST((CAST(p.target_cents AS HUGEINT) * 10000)
+                // t.t_all AS INT) AS target_share_bp,
+           CAST((CAST(p.target_cents AS HUGEINT) * t.n_all * 10000)
+                // (CAST(t.t_all AS HUGEINT) * p.n_customers) AS INT)
+             AS lift_bp
+    FROM per p, tot t
+    """,
+    doc="decile lift table: customers ranked into 10 deciles by HISTORY "
+    "revenue (orders before 1999), then each decile's share of TARGET-"
+    "period revenue (1999+) and its lift vs a random decile — the "
+    "gains-chart evaluation behind every propensity/churn model "
+    "(decile-1 lift >> 10000 bp = past spend predicts future spend). "
+    "The decile is the DISTRIBUTED append_global_ntile over (hist "
+    "revenue DESC, custkey) — bit-identical to the oracle's NTILE(10), "
+    "no single-partition sort; shares and lift are exact integer bp "
+    "((t_decile * n_all * 10^4) div (t_all * n_decile)). Both period "
+    "predicates push to the orders scan; the target join is "
+    "co-partitioned on custkey",
+)
+def q152_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182
+    from salesanalytics_etl_spark.operators.ranking import append_global_ntile
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    dated = orders.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        dec182("o_totalprice").alias("p"),
+    )
+    split = F.lit("1999-01-01").cast("date")
+    hist = (
+        dated.filter(F.col("d") < split)
+        .groupBy("o_custkey")
+        .agg((F.sum("p") * 100).cast("bigint").alias("h_cents"))
+    )
+    tgt = (
+        dated.filter(F.col("d") >= split)
+        .groupBy("o_custkey")
+        .agg((F.sum("p") * 100).cast("bigint").alias("t_cents"))
+    )
+    scored = append_global_ntile(
+        hist.join(tgt, "o_custkey", "left").select(
+            "o_custkey",
+            "h_cents",
+            F.coalesce(F.col("t_cents"), F.lit(0)).alias("t_cents"),
+        ),
+        10,
+        [F.desc("h_cents"), F.asc("o_custkey")],
+        "decile",
+    )
+    per = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("h_cents").alias("hist_cents"),
+        F.sum("t_cents").alias("target_cents"),
+    )
+    tot = per.agg(
+        F.sum("n_customers").alias("n_all"),
+        F.sum("target_cents").alias("t_all"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))  # 1-row totals frame
+        .select(
+            "decile",
+            "n_customers",
+            F.col("hist_cents").cast("bigint").alias("hist_cents"),
+            F.col("target_cents").cast("bigint").alias("target_cents"),
+            F.expr(
+                "(CAST(target_cents AS DECIMAL(38,0)) * 10000) div t_all"
+            )
+            .cast("int")
+            .alias("target_share_bp"),
+            F.expr(
+                "(CAST(target_cents AS DECIMAL(38,0)) * n_all * 10000) "
+                "div (CAST(t_all AS DECIMAL(38,0)) * n_customers)"
+            )
+            .cast("int")
+            .alias("lift_bp"),
+        )
+    )
+
+
+@register(
+    "q153_seasonal_backtest",
+    oracle="""
+    WITH monthly AS (
+      SELECT (EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+              + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1) AS m,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), paired AS (
+      SELECT a.m, a.cents AS actual, p.cents AS pred
+      FROM monthly a JOIN monthly p ON p.m = a.m - 12
+      WHERE a.cents > 0
+    ), scored AS (
+      SELECT m, actual, pred,
+             CAST((ABS(actual - pred) * 10000) // actual AS BIGINT)
+               AS ape_bp
+      FROM paired
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+           CAST(SUM(ape_bp) // COUNT(*) AS BIGINT) AS mape_bp,
+           CAST(MAX(ape_bp) AS BIGINT) AS max_ape_bp,
+           -- sign-split: DuckDB // FLOORS negatives while Spark div
+           -- TRUNCATES — dividing the magnitude keeps both engines on
+           -- identical non-negative operands
+           CAST(CASE WHEN SUM(pred - actual) >= 0
+                     THEN (SUM(pred - actual) * 10000)
+                          // CAST(SUM(actual) AS HUGEINT)
+                     ELSE -((SUM(actual - pred) * 10000)
+                            // CAST(SUM(actual) AS HUGEINT)) END
+                AS BIGINT) AS bias_bp
+    FROM scored
+    """,
+    doc="seasonal-naive forecast backtest: predict each month's revenue "
+    "by the SAME month one year earlier, report MAPE / worst APE / "
+    "signed bias in exact integer basis points — the forecasting-"
+    "evaluation harness (any real model must beat seasonal-naive to "
+    "justify itself; the bias sign says whether the business is "
+    "growing past its seasonality). Months ride the portable integer "
+    "index year*12+month-1 (q136's convention — never months_between); "
+    "the lag join is a self-equi-join on the |months|-bounded rollup; "
+    "per-month APE is exact integer division, so both engines agree "
+    "bit-for-bit with zero float renders",
+)
+def q153_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    monthly = (
+        orders.select(
+            (
+                F.year(F.to_date("o_orderdate")) * 12
+                + F.month(F.to_date("o_orderdate"))
+                - 1
+            ).alias("m"),
+            dec182("o_totalprice").alias("p"),
+        )
+        .groupBy("m")
+        .agg((F.sum("p") * 100).cast("bigint").alias("cents"))
+    )
+    paired = (
+        monthly.alias("a")
+        .join(
+            monthly.alias("p"),
+            F.col("p.m") == F.col("a.m") - 12,
+        )
+        .filter(F.col("a.cents") > 0)
+        .select(
+            F.col("a.cents").alias("actual"),
+            F.col("p.cents").alias("pred"),
+        )
+    )
+    scored = paired.select(
+        "actual",
+        "pred",
+        F.expr("(ABS(actual - pred) * 10000) div actual")
+        .cast("bigint")
+        .alias("ape_bp"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.expr("CAST(SUM(ape_bp) div COUNT(*) AS BIGINT)").alias("mape_bp"),
+        F.max("ape_bp").alias("max_ape_bp"),
+        # sign-split integer division: `div` truncates toward zero but
+        # DuckDB `//` floors, so a negative numerator would differ by 1
+        # between engines — divide the magnitude, reapply the sign
+        F.expr(
+            "CAST(CASE WHEN SUM(pred - actual) >= 0 "
+            "THEN (SUM(pred - actual) * 10000) "
+            "div CAST(SUM(actual) AS DECIMAL(38,0)) "
+            "ELSE -((SUM(actual - pred) * 10000) "
+            "div CAST(SUM(actual) AS DECIMAL(38,0))) END AS BIGINT)"
+        ).alias("bias_bp"),
+    )

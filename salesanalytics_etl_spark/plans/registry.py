@@ -51,9 +51,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # slot typing gained the negative-scale decimal guard); (2) the last
 # seven r6-era rows (q109/q110/q111/q114/q115/q116/q84 — ROUND9.md's
 # handoff list; after r10 lands nothing older than r7 remains);
-# (3) the stalest r7-era rows in query order — 29 of the 36 fit;
-# q99/q100/q107/q108/q121/q123/q124 roll to r11 as the only remaining
-# r7 rows.
+# (3) the stalest r7-era rows in query order — 27 of the 36 fit;
+# q97/q98/q99/q100/q107/q108/q121/q123/q124 roll to r11 as the only
+# remaining r7 rows.
 # Every name here is also swept by tests/test_queries.py +
 # tests/strict_gate.py against the same oracles, so reordering changes
 # what the driver RECORDS, never what is verified.
@@ -71,6 +71,8 @@ _CHECK_FIRST = [
     "q149_categorical_entropy",
     "q150_truncation_audit",
     "q151_supplier_hhi",
+    "q152_decile_lift",
+    "q153_seasonal_backtest",
     # --- (1) code changed this round ---
     "q134_pruned_snapshot_diff",
     "q93_customer_rfm",
@@ -110,8 +112,6 @@ _CHECK_FIRST = [
     "q92_part_cooccurrence",
     "q95_sentence_split_udtf",
     "q96_event_transition_matrix",
-    "q97_daily_sales_anomalies",
-    "q98_supplier_type_share",
 ]
 
 

@@ -140,6 +140,12 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     # CUSUM: running sum + running min over the calendar-bounded DAY
     # grain (the q18/q79 class)
     "q148_sales_cusum": 2,
+    # decile lift: one append_global_ntile pass (bounded OFFSETS-frame
+    # window), but the scored subtree is CONSUMED twice (per-decile
+    # aggregate + totals frame), so the window appears twice as tree
+    # nodes — both instances run over the <= shuffle-partitions counts
+    # frame of the SAME checkpointed ranged data (the q130 pattern)
+    "q152_decile_lift": 2,
     # threshold sweep over <= 10 001 integer basis-point buckets
     "q117_quality_threshold_calibration": 2,
 }
@@ -256,18 +262,17 @@ _PLAN_PINS = {
     "q112_ivf_replay": ["BroadcastNestedLoopJoin"],
     "q113_cell_stats_replay": ["partial_count"],
     "q114_bloom_membership_audit": ["BroadcastHashJoin"],
-    # round-10 shapes: the prefix-sum/rank queries must RANGE-partition
-    # their sorted frame (never a single-partition sort), and the
-    # offsets/totals join must broadcast; the EWMA weight table and the
-    # truncation limit table are bounded literals and must broadcast
-    # into their expansions (a shuffled cross join would exchange the
-    # day/doc grain against a 30/4-row frame)
-    "q142_pareto_parts": ["rangepartitioning", "BroadcastHashJoin"],
-    "q146_weighted_price_percentiles": [
-        "rangepartitioning",
-        "BroadcastHashJoin",
-    ],
-    "q147_customer_gini": ["rangepartitioning", "BroadcastHashJoin"],
+    # round-10 shapes: in the prefix-sum/rank queries the offsets/totals
+    # join must broadcast (the range-partitioned sort itself now lives
+    # behind the operators' eager checkpoint — its shape is pinned by
+    # tests/test_ranking.py's materialize=False plan tests, not here);
+    # the EWMA weight table and the truncation limit table are bounded
+    # literals and must broadcast into their expansions (a shuffled
+    # cross join would exchange the day/doc grain against a 30/4-row
+    # frame)
+    "q142_pareto_parts": ["BroadcastHashJoin"],
+    "q146_weighted_price_percentiles": ["BroadcastHashJoin"],
+    "q147_customer_gini": ["BroadcastHashJoin"],
     "q141_sales_ewma": ["BroadcastNestedLoopJoin"],
     "q150_truncation_audit": ["BroadcastNestedLoopJoin"],
 }

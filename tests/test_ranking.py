@@ -59,10 +59,16 @@ def test_ntile_no_data_scaled_global_window(spark):
     """The whole point: the plan must not funnel the input through a
     single-partition sort. The only allowed global window is over the
     per-partition counts frame (an Aggregate on the partition id)."""
+    from salesanalytics_etl_spark.operators.ranking import append_global_rank
+
     df = spark.range(10_000).select(
         F.col("id"), (F.col("id") % 97).alias("m")
     )
-    out = append_global_ntile(df, 4, [F.desc("m"), F.asc("id")], "t")
+    # materialize=False exposes the pre-checkpoint plan (the eager
+    # checkpoint otherwise truncates lineage and hides the exchange)
+    out = append_global_rank(
+        df, [F.desc("m"), F.asc("id")], out_col="r", materialize=False
+    )
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the input-scaled sort must be range-partitioned, never SinglePartition
     assert "rangepartitioning" in plan.lower()
@@ -79,17 +85,22 @@ def test_ntile_rejects_nonpositive_n(spark):
             append_global_ntile(df, bad, [df.v], "q")
 
 
-def test_rank_refuses_exchange_reuse_off(spark):
-    import pytest
+def test_rank_correct_with_exchange_reuse_off(spark):
+    # the checkpointed ranged frame makes ranks exact even when Spark
+    # can never dedup the two branch subtrees — reuse OFF is the
+    # worst case the old implementation refused loudly
     from pyspark.sql import functions as F
 
     from salesanalytics_etl_spark.operators.ranking import append_global_rank
 
-    df = spark.range(10).selectExpr("id AS v")
+    df = spark.range(5000).selectExpr("id AS v", "id % 97 AS m")
     spark.conf.set("spark.sql.exchange.reuse", "false")
     try:
-        with pytest.raises(RuntimeError, match="exchange.reuse"):
-            append_global_rank(df, [F.col("v")], out_col="r")
+        out = append_global_rank(
+            df, [F.desc("m"), F.asc("v")], out_col="r", total_col="n"
+        )
+        rs = sorted(r.r for r in out.select("r").collect())
+        assert rs == list(range(1, 5001))
     finally:
         spark.conf.set("spark.sql.exchange.reuse", "true")
 
@@ -388,20 +399,58 @@ def test_prefix_sum_no_data_scaled_global_window(spark):
     df = spark.range(10_000).select(
         F.col("id"), (F.col("id") % 97).alias("v")
     )
-    out = append_global_prefix_sum(df, F.col("v"), [F.asc("id")], "c")
+    out = append_global_prefix_sum(
+        df, F.col("v"), [F.asc("id")], "c", materialize=False
+    )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
 
 
-def test_prefix_sum_refuses_exchange_reuse_off(spark):
+def test_prefix_sum_correct_with_exchange_reuse_off(spark):
     from salesanalytics_etl_spark.operators.ranking import (
         append_global_prefix_sum,
     )
 
-    df = spark.range(10).selectExpr("id AS v")
+    df = spark.range(5000).selectExpr("id AS v")
     spark.conf.set("spark.sql.exchange.reuse", "false")
     try:
-        with pytest.raises(RuntimeError, match="exchange.reuse"):
-            append_global_prefix_sum(df, F.col("v"), [F.col("v")])
+        out = append_global_prefix_sum(
+            df, F.col("v"), [F.asc("v")], out_col="c", total_col="t"
+        )
+        rows = {r.v: (r.c, r.t) for r in out.collect()}
+        acc = 0
+        for v in range(5000):
+            acc += v
+            assert rows[v] == (acc, 12497500)
     finally:
         spark.conf.set("spark.sql.exchange.reuse", "true")
+
+
+def test_ntile_exact_on_join_upstream_input(spark):
+    """Round-10 regression: a JOIN upstream of the rank machinery made
+    AQE materialize the range exchange TWICE with different sampled
+    boundaries — counts and ranks diverged and NTILE bucket sizes
+    spread by hundreds (silently wrong results that the fully-sampled
+    small-data gate could not see). With the checkpointed ranged frame
+    the buckets must be exact (sizes within 1) on exactly that shape."""
+    from collections import Counter
+
+    from salesanalytics_etl_spark.operators.ranking import append_global_ntile
+
+    left = spark.range(20000).selectExpr(
+        "id AS k", "CAST((id * 2654435761) % 1000000 AS BIGINT) AS h"
+    )
+    right = spark.range(0, 20000, 2).selectExpr(
+        "id AS k2", "CAST(id % 1000 AS BIGINT) AS t"
+    )
+    inp = (
+        left.join(right, left.k == right.k2, "left")
+        .selectExpr("k", "h", "COALESCE(t, 0) AS t")
+    )
+    scored = append_global_ntile(
+        inp, 10, [F.desc("h"), F.asc("k")], "decile"
+    )
+    sizes = Counter(r.decile for r in scored.select("decile").collect())
+    assert sorted(sizes) == list(range(1, 11))
+    assert max(sizes.values()) - min(sizes.values()) <= 1, sizes
+    assert sum(sizes.values()) == 20000
