@@ -71,6 +71,13 @@ def _iter_plan_nodes(node):
         except Exception:
             pass  # cached-plan accessor drift across Spark versions
         return
+    # KNOWN boundary the traversal cannot cross: a localCheckpoint()
+    # (round 10: the rank machinery's eager materialization) surfaces as
+    # a plain ExistingRDD scan with NO recoverable plan — the
+    # pre-checkpoint subtree (range exchange + per-partition window) is
+    # invisible here. That shape is pinned instead by
+    # tests/test_ranking.py's materialize=False plan tests, which lint
+    # the SAME subtree the operators checkpoint.
     it = node.children().iterator()
     while it.hasNext():
         yield from _iter_plan_nodes(it.next())
