@@ -278,8 +278,16 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
         .select(
             "doc_id",
             "n_transitions",
-            F.round(
-                F.col("_s").cast("double") / F.col("n_transitions"), 4
+            # floor-formula — same 4dp-midpoint class as
+            # unigram_surprisal's quotient (caught at sf0.1, r10)
+            (
+                F.floor(
+                    F.col("_s").cast("double")
+                    / F.col("n_transitions")
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
             ).alias("bits_per_transition"),
         )
         .localCheckpoint()
@@ -358,7 +366,13 @@ def source_kl_divergence(df: DataFrame, text_col: str = "text") -> DataFrame:
             "source",
             "n_terms",
             "n_tokens",
-            F.round(F.col("_kl").cast("double"), 4).alias("kl_bits"),
+            # floor-formula: the exact DECIMAL(18,6) sum can sit
+            # EXACTLY on a 4dp midpoint (same class as the surprisal
+            # quotients, caught at sf0.1 in r10)
+            (
+                F.floor(F.col("_kl").cast("double") * F.lit(10000.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("kl_bits"),
         )
         .localCheckpoint()
     )
@@ -721,8 +735,18 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text") -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.round(
-                F.col("_sum_bits").cast("double") / F.col("n_tokens"), 4
+            # floor-formula, NOT engine-native ROUND: the quotient of a
+            # 1e-6-grid decimal sum by an integer can land EXACTLY on a
+            # 4dp midpoint, where Spark (shortest-repr HALF_UP) and
+            # DuckDB (rint-class) disagree — 3 docs did at sf0.1 (r10)
+            (
+                F.floor(
+                    F.col("_sum_bits").cast("double")
+                    / F.col("n_tokens")
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
             ).alias("bits_per_token"),
         )
         .localCheckpoint()

@@ -2992,7 +2992,8 @@ def q103_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tf JOIN bits USING (term) GROUP BY doc_id
     )
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-           ROUND(CAST(s AS DOUBLE) / n_tokens, 4) AS bits_per_token
+           FLOOR(CAST(s AS DOUBLE) / n_tokens * 10000.0 + 0.5) / 10000.0
+             AS bits_per_token
     FROM agg
     """,
     doc="per-document unigram cross-entropy (bits/token) under the "
@@ -3960,7 +3961,8 @@ def q118_fuzzy_decontamination(
       FROM bf JOIN bits USING (prev, cur) GROUP BY 1
     )
     SELECT doc_id, CAST(n_transitions AS BIGINT) AS n_transitions,
-           ROUND(CAST(s AS DOUBLE) / n_transitions, 4) AS bits_per_transition
+           FLOOR(CAST(s AS DOUBLE) / n_transitions * 10000.0 + 0.5)
+             / 10000.0 AS bits_per_transition
     FROM agg
     """,
     doc="per-document bigram cross-entropy (bits/transition) under the "
@@ -4012,7 +4014,8 @@ def q119_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
            CAST(SUM(ctf_s) AS BIGINT) AS n_tokens,
-           ROUND(CAST(SUM(kl_term) AS DOUBLE), 4) AS kl_bits
+           FLOOR(CAST(SUM(kl_term) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+             AS kl_bits
     FROM contrib GROUP BY source
     """,
     doc="per-source unigram KL divergence to the corpus distribution "
@@ -6324,7 +6327,8 @@ def q148_sales_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.col_name, CAST(t.n AS BIGINT) AS n_rows,
            CAST(t.k AS BIGINT) AS n_distinct,
-           ROUND(CAST(SUM(c.h_term) AS DOUBLE), 4) AS entropy_bits
+           FLOOR(CAST(SUM(c.h_term) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+             AS entropy_bits
     FROM contrib c JOIN totals t USING (col_name)
     GROUP BY 1, 2, 3
     """,
@@ -6386,7 +6390,12 @@ def q149_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "col_name",
             F.col("n").cast("bigint").alias("n_rows"),
             F.col("k").cast("bigint").alias("n_distinct"),
-            F.round(F.col("_h").cast("double"), 4).alias("entropy_bits"),
+            # floor-formula — the exact DECIMAL(18,6) sum can sit on a
+            # 4dp midpoint (the q104 sf0.1 class)
+            (
+                F.floor(F.col("_h").cast("double") * F.lit(10000.0) + F.lit(0.5))
+                / F.lit(10000.0)
+            ).alias("entropy_bits"),
         )
     )
 

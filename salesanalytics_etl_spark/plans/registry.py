@@ -51,9 +51,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # slot typing gained the negative-scale decimal guard); (2) the last
 # seven r6-era rows (q109/q110/q111/q114/q115/q116/q84 — ROUND9.md's
 # handoff list; after r10 lands nothing older than r7 remains);
-# (3) the stalest r7-era rows in query order — 27 of the 36 fit;
-# q97/q98/q99/q100/q107/q108/q121/q123/q124 roll to r11 as the only
-# remaining r7 rows.
+# (3) the stalest r7-era rows in query order — 24 of the 36 fit;
+# q92/q95/q96/q97/q98/q99/q100/q107/q108/q121/q123/q124 roll to r11 as
+# the only remaining r7 rows.
 # Every name here is also swept by tests/test_queries.py +
 # tests/strict_gate.py against the same oracles, so reordering changes
 # what the driver RECORDS, never what is verified.
@@ -76,6 +76,13 @@ _CHECK_FIRST = [
     # --- (1) code changed this round ---
     "q134_pruned_snapshot_diff",
     "q93_customer_rfm",
+    # surprisal/KL emits moved to the floor formula (q104 was RED at
+    # the r10 sf0.1 sweep — 4dp midpoints; q119/q120 carried the same
+    # latent class); values on 4dp midpoints change, so all three must
+    # re-stamp on the current code
+    "q104_unigram_surprisal",
+    "q119_bigram_surprisal",
+    "q120_source_kl_divergence",
     # --- (2) the last seven r6-era rows (ROUND9.md handoff) ---
     "q109_minhash_lsh_replay",
     "q110_hll_distinct_replay",
@@ -109,9 +116,6 @@ _CHECK_FIRST = [
     "q88_lang_metadata_agreement",
     "q89_embedding_cluster_stats",
     "q91_cohort_retention",
-    "q92_part_cooccurrence",
-    "q95_sentence_split_udtf",
-    "q96_event_transition_matrix",
 ]
 
 
