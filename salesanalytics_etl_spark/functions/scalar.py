@@ -60,6 +60,26 @@ def safe_div(num: Column, den: Column, scale: int = 2) -> Column:
     return F.when(den > 0, F.floor(num / den * mult + F.lit(0.5)) / mult)
 
 
+def floor_round(col: Column, scale: int) -> Column:
+    """Engine-portable round-half-up to ``scale`` decimals:
+    ``floor(x*10^s + 0.5)/10^s`` — the general form of
+    :func:`floor_cents` / :func:`safe_div`'s rounding.
+
+    Use for ANY gate-surface double that can sit EXACTLY on a
+    ``scale+1``-decimal midpoint — ratios of small integers (jaccard
+    intersect/union, quality character ratios, dup-window rates,
+    late-rates), quotients of decimal-grid sums — where engine-native
+    ROUND diverges (Spark shortest-repr HALF_UP vs DuckDB rint-class;
+    q104 lost 3 docs to this at sf0.1 in round 10). Values that cannot
+    terminate (log/sqrt/cosine derivations) may keep native ROUND.
+    Works on negatives too (rounds half toward +inf on both engines) —
+    what matters for the gate is both engines running the SAME IEEE
+    ops. The oracle twin must spell the identical formula.
+    """
+    m = F.lit(float(10 ** scale))
+    return F.floor(col * m + F.lit(0.5)) / m
+
+
 def floor_cents(col: Column) -> Column:
     """Round a non-negative double to cents via the engine-portable
     floor formula ``floor(x*100 + 0.5)/100.0`` — the same convention as

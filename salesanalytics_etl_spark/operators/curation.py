@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from salesanalytics_etl_spark.functions.scalar import floor_round
+
 from salesanalytics_etl_spark.operators.dedup import spread_partitions
 from salesanalytics_etl_spark.operators.text import (
     normalize_text,
@@ -162,7 +164,9 @@ def language_rebalance(
         .filter(bucket / 10000.0 < F.col("rate"))
     )
     return kept.groupBy("lang").agg(
-        F.round(F.min("rate"), 6).alias("rate"),
+        # floor-formula: the keep rate is a quotient of small integers
+        # and can sit exactly on a 7th-decimal midpoint (q104 class)
+        floor_round(F.min("rate"), 6).alias("rate"),
         F.count(F.lit(1)).alias("n_docs_kept"),
         F.sum("n_tokens").alias("kept_tokens"),
     )
@@ -385,7 +389,9 @@ def label_centroids(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         "label", F.posexplode(vec_col).alias("dim", "x")
     )
     return exploded.groupBy("label", "dim").agg(
-        F.round(
+        # floor-formula: a decimal-grid sum divided by the count can
+        # terminate exactly on a 7th-decimal midpoint (q104 class)
+        floor_round(
             (
                 F.sum(F.col("x").cast("double").cast("decimal(27,10)"))
                 / F.count(F.lit(1))

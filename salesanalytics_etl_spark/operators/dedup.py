@@ -31,6 +31,12 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# floor-formula rounding for small-integer quotients (jaccard
+# intersect/union, dup-window rates): these CAN sit exactly on a
+# 5th-decimal midpoint where engine-native ROUND diverges (Spark
+# HALF_UP vs DuckDB rint — the q104 sf0.1 class, round 10)
+from salesanalytics_etl_spark.functions.scalar import floor_round
+
 _LOG = logging.getLogger(__name__)
 
 from salesanalytics_etl_spark.operators.text import normalize_text, tokens
@@ -199,7 +205,7 @@ def jaccard_verify(
     return (
         candidates.join(a, "doc_a")
         .join(b, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", floor_round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -522,7 +528,7 @@ def minhash_near_dupes_portable(
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("ov") / F.col("uni"), 4).alias("jaccard"),
+            floor_round(F.col("ov") / F.col("uni"), 4).alias("jaccard"),
         )
         .localCheckpoint()
     )
@@ -896,7 +902,7 @@ def exact_jaccard_join(
         cands.join(ha, "doc_a")
         .join(hb, "doc_b")
         .filter(ov * 10000 >= F.lit(t_bp) * uni)
-        .select("doc_a", "doc_b", F.round(ov / uni, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", floor_round(ov / uni, 4).alias("jaccard"))
         .localCheckpoint()
     )
     sets_rows.unpersist()
@@ -990,9 +996,9 @@ def duplicate_spans(
             "doc_id",
             "n_windows",
             "n_dup_windows",
-            F.round(F.col("n_dup_windows") / F.col("n_windows"), 4).alias(
-                "dup_ratio"
-            ),
+            floor_round(
+                F.col("n_dup_windows") / F.col("n_windows"), 4
+            ).alias("dup_ratio"),
         )
         .localCheckpoint()
     )

@@ -80,13 +80,19 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(0.0)
     mean_tok = F.when(n_tokens > 0, n_alpha.cast("double") / n_tokens)
     tok_ok = F.when((mean_tok >= 2) & (mean_tok <= 12), 1.0).otherwise(0.0)
-    score = F.round(0.25 * len_ok + 0.5 * alpha_ratio + 0.25 * tok_ok, 4)
+    from salesanalytics_etl_spark.functions.scalar import floor_round
+
+    # floor-formula, not engine-native ROUND: every component is a
+    # ratio of small integers (alpha/len, stop/tokens) that CAN sit
+    # exactly on a 5th-decimal midpoint (e.g. 3/32 = 0.09375), where
+    # Spark and DuckDB round differently — the q104 sf0.1 class
+    score = floor_round(0.25 * len_ok + 0.5 * alpha_ratio + 0.25 * tok_ok, 4)
     return df.select(
         "doc_id",
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        floor_round(alpha_ratio, 4).alias("alpha_ratio"),
+        floor_round(stop_ratio, 4).alias("stopword_ratio"),
         score.alias("quality"),
     )
 
@@ -530,13 +536,19 @@ def repetition_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_token_count"))
     )
+    from salesanalytics_etl_spark.functions.scalar import floor_round
+
+    # floor-formula: small-integer quotients can sit exactly on 5th-
+    # decimal midpoints (the q104 sf0.1 class)
     ratio = F.when(
         F.col("n_tokens") > 0,
-        F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 4),
+        floor_round(
+            F.col("n_distinct").cast("double") / F.col("n_tokens"), 4
+        ),
     )
     share = F.when(
         F.col("n_tokens") > 0,
-        F.round(
+        floor_round(
             F.coalesce(F.col("top_token_count"), F.lit(0)).cast("double")
             / F.col("n_tokens"),
             4,

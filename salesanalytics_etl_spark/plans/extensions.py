@@ -124,18 +124,21 @@ def q22_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(n_chars AS INT) AS n_chars,
            CAST(n_tokens AS INT) AS n_tokens,
-           ROUND(CASE WHEN n_chars > 0
-                      THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END, 4)
+           FLOOR((CASE WHEN n_chars > 0
+                      THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END)
+                 * 10000.0 + 0.5) / 10000.0
              AS alpha_ratio,
-           ROUND(CASE WHEN n_tokens > 0
-                      THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 4)
+           FLOOR((CASE WHEN n_tokens > 0
+                      THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END)
+                 * 10000.0 + 0.5) / 10000.0
              AS stopword_ratio,
-           ROUND(0.25 * (CASE WHEN n_chars BETWEEN 64 AND 8192 THEN 1.0 ELSE 0.0 END)
+           FLOOR((0.25 * (CASE WHEN n_chars BETWEEN 64 AND 8192 THEN 1.0 ELSE 0.0 END)
                + 0.5 * (CASE WHEN n_chars > 0
                              THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END)
                + 0.25 * (CASE WHEN n_tokens > 0
                               AND CAST(n_alpha AS DOUBLE) / n_tokens BETWEEN 2 AND 12
-                              THEN 1.0 ELSE 0.0 END), 4) AS quality
+                              THEN 1.0 ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0
+             AS quality
     FROM m
     """,
     doc="quality scoring: length band + alpha ratio + mean-token-length band",
@@ -466,9 +469,9 @@ def q51_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), edges AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.shingles, b.shingles))),
-                  4) >= 0.5
+      WHERE FLOOR(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                  * 10000.0 + 0.5) / 10000.0 >= 0.5
     ), und AS (
       SELECT doc_a AS s, doc_b AS d FROM edges
       UNION SELECT doc_b, doc_a FROM edges
@@ -886,9 +889,9 @@ def q31_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.shingles, b.shingles))),
-                 4) AS jaccard
+           FLOOR(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                 * 10000.0 + 0.5) / 10000.0 AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     """,
     doc="exact n-gram (5-char shingle) Jaccard similarity over a bounded "
@@ -1321,11 +1324,12 @@ def q68_segment_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT b.doc_id, b.n_tokens, b.n_distinct,
            CASE WHEN b.n_tokens > 0
-                THEN ROUND(CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 4)
+                THEN FLOOR(CAST(b.n_distinct AS DOUBLE) / b.n_tokens
+                           * 10000.0 + 0.5) / 10000.0
                 END AS distinct_ratio,
            CASE WHEN b.n_tokens > 0
-                THEN ROUND(CAST(COALESCE(t.top_c, 0) AS DOUBLE)
-                           / b.n_tokens, 4)
+                THEN FLOOR(CAST(COALESCE(t.top_c, 0) AS DOUBLE)
+                           / b.n_tokens * 10000.0 + 0.5) / 10000.0
                 END AS top_token_share
     FROM base b LEFT JOIN top t USING (doc_id)
     """,
@@ -1429,7 +1433,7 @@ def q71_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 10000 / 10000.0
             < LEAST(1.0, 5000.0 / tot.lang_tokens)
     )
-    SELECT lang, ROUND(MIN(rate), 6) AS rate,
+    SELECT lang, FLOOR(MIN(rate) * 1000000.0 + 0.5) / 1000000.0 AS rate,
            CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
            CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
     FROM kept GROUP BY 1
@@ -1619,9 +1623,10 @@ def q76_incremental_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q77_label_centroids",
     oracle="""
     SELECT label, CAST(r.i - 1 AS INT) AS dim,
-           ROUND(CAST(SUM(CAST(CAST(embedding[r.i] AS DOUBLE)
+           FLOOR(CAST(SUM(CAST(CAST(embedding[r.i] AS DOUBLE)
                                AS DECIMAL(27,10)))
-                      AS DOUBLE) / COUNT(*), 6) AS centroid,
+                      AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5)
+             / 1000000.0 AS centroid,
            CAST(COUNT(*) AS BIGINT) AS n_vecs
     FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
     GROUP BY 1, 2
@@ -2677,8 +2682,9 @@ def q97_daily_sales_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_suppkey, p_type,
            ROUND(CAST(r AS DOUBLE), 2) AS supplier_revenue,
-           ROUND(CAST(r AS DOUBLE)
-                 / CAST(SUM(r) OVER (PARTITION BY p_type) AS DOUBLE), 6)
+           FLOOR(CAST(r AS DOUBLE)
+                 / CAST(SUM(r) OVER (PARTITION BY p_type) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0
              AS share_of_type
     FROM rev
     """,
@@ -2707,8 +2713,16 @@ def q98_supplier_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "p_type",
         F.round(F.col("r").cast("double"), 2).alias("supplier_revenue"),
-        F.round(
-            F.col("r").cast("double") / F.sum("r").over(w).cast("double"), 6
+        # floor-formula: a cents-grid quotient can terminate exactly on
+        # a 7th-decimal midpoint (the q104 sf0.1 class)
+        (
+            F.floor(
+                F.col("r").cast("double")
+                / F.sum("r").over(w).cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
         ).alias("share_of_type"),
     )
 
@@ -2721,9 +2735,10 @@ def q98_supplier_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) FILTER (
              WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 30
            ) AS BIGINT) AS n_late,
-           ROUND(CAST(COUNT(*) FILTER (
+           FLOOR(CAST(COUNT(*) FILTER (
              WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 30
-           ) AS DOUBLE) / COUNT(*), 6) AS late_rate
+           ) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5) / 1000000.0
+             AS late_rate
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY 1
     """,
@@ -2755,8 +2770,16 @@ def q99_priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             "n_lineitems",
             "n_late",
-            F.round(
-                F.col("n_late").cast("double") / F.col("n_lineitems"), 6
+            # floor-formula: a small-integer quotient can terminate
+            # exactly on a 7th-decimal midpoint (the q104 sf0.1 class)
+            (
+                F.floor(
+                    F.col("n_late").cast("double")
+                    / F.col("n_lineitems")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("late_rate"),
         )
     )
@@ -2904,7 +2927,8 @@ def q101_heavy_hitter_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_distinct(list_concat(a.shingles, b.shingles))) AS u
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / u, 4) AS jaccard
+    SELECT doc_a, doc_b,
+           FLOOR(CAST(i AS DOUBLE) / u * 10000.0 + 0.5) / 10000.0 AS jaccard
     FROM pairs WHERE i * 10000 >= 8000 * u
     """,
     doc="EXACT similarity self-join over the FULL corpus: every doc pair "
@@ -2947,7 +2971,8 @@ def q102_exact_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sp GROUP BY doc_id
     )
     SELECT doc_id, n_windows, n_dup_windows,
-           ROUND(n_dup_windows * 1.0 / n_windows, 4) AS dup_ratio
+           FLOOR(n_dup_windows * 1.0 / n_windows * 10000.0 + 0.5)
+             / 10000.0 AS dup_ratio
     FROM agg WHERE n_dup_windows > 0
     """,
     doc="exact duplicated-span detection (fixed 20-word windows — the "
@@ -3304,8 +3329,9 @@ def q108_identifier_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT c.doc_a, c.doc_b,
-           ROUND(CAST(COALESCE(o.ov, 0) AS DOUBLE)
-                 / (sa.sz + sb.sz - COALESCE(o.ov, 0)), 4) AS jaccard
+           FLOOR(CAST(COALESCE(o.ov, 0) AS DOUBLE)
+                 / (sa.sz + sb.sz - COALESCE(o.ov, 0))
+                 * 10000.0 + 0.5) / 10000.0 AS jaccard
     FROM cand c
     LEFT JOIN ovl o USING (doc_a, doc_b)
     JOIN sizes sa ON sa.doc_id = c.doc_a
@@ -3819,7 +3845,7 @@ def q116_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), scored AS (
       SELECT CAST(floor(
-               ROUND(0.25 * (CASE WHEN n_chars BETWEEN 64 AND 8192
+               (FLOOR((0.25 * (CASE WHEN n_chars BETWEEN 64 AND 8192
                                   THEN 1.0 ELSE 0.0 END)
                    + 0.5 * (CASE WHEN n_chars > 0
                                  THEN CAST(n_alpha AS DOUBLE) / n_chars
@@ -3827,7 +3853,8 @@ def q116_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + 0.25 * (CASE WHEN n_tokens > 0
                                   AND CAST(n_alpha AS DOUBLE) / n_tokens
                                       BETWEEN 2 AND 12
-                                  THEN 1.0 ELSE 0.0 END), 4) * 10000 + 0.5
+                                  THEN 1.0 ELSE 0.0 END)) * 10000.0 + 0.5)
+                / 10000.0) * 10000 + 0.5
              ) AS BIGINT) AS score_bp,
              CAST(n_tokens AS BIGINT) AS tok
       FROM m

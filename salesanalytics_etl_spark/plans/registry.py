@@ -83,6 +83,21 @@ _CHECK_FIRST = [
     "q104_unigram_surprisal",
     "q119_bigram_surprisal",
     "q120_source_kl_divergence",
+    # ... and the rest of the engine-native-ROUND class (small-integer
+    # quotients: jaccard, quality/repetition ratios, rates, shares)
+    # moved to the same floor formula — values on midpoints change, so
+    # every oracle-backed consumer re-stamps (q49/q109 already above/
+    # below in this window)
+    "q23_docs_quality",
+    "q57_ngram_jaccard_pairs",
+    "q69_repetition_filter",
+    "q72_language_rebalance",
+    "q77_label_centroids",
+    "q98_supplier_type_share",
+    "q99_priority_sla",
+    "q102_exact_jaccard_join",
+    "q103_duplicate_spans",
+    "q117_quality_threshold_calibration",
     # --- (2) the last seven r6-era rows (ROUND9.md handoff) ---
     "q109_minhash_lsh_replay",
     "q110_hll_distinct_replay",
@@ -106,16 +121,6 @@ _CHECK_FIRST = [
     "q48_pricing_summary",
     "q49_dedup_clusters",
     "q50_curation_sample",
-    "q64_approx_distinct_sketch",
-    "q67_pii_redaction",
-    "q73_embedding_quantization",
-    "q74_source_overlap",
-    "q82_approx_percentile_sketch",
-    "q85_compression_quality",
-    "q87_stratified_cap_sample",
-    "q88_lang_metadata_agreement",
-    "q89_embedding_cluster_stats",
-    "q91_cohort_retention",
 ]
 
 
