@@ -842,12 +842,14 @@ def q43_purchase_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, 'image' AS modality,
            octet_length(encode(text)) AS n_bytes,
            CASE WHEN length(text) = 0 THEN 0.0 ELSE
-             ROUND(CAST(length(text) - length(regexp_replace(text,
-                   '[\x20-\x2f]', '', 'g')) AS DOUBLE) / length(text), 4)
+             FLOOR(CAST(length(text) - length(regexp_replace(text,
+                   '[\x20-\x2f]', '', 'g')) AS DOUBLE) / length(text)
+                   * 10000.0 + 0.5) / 10000.0
            END AS f2,
            CASE WHEN length(text) = 0 THEN 0.0 ELSE
-             ROUND(CAST(length(text) - length(regexp_replace(text,
-                   '[\x60-\x6f]', '', 'g')) AS DOUBLE) / length(text), 4)
+             FLOOR(CAST(length(text) - length(regexp_replace(text,
+                   '[\x60-\x6f]', '', 'g')) AS DOUBLE) / length(text)
+                   * 10000.0 + 0.5) / 10000.0
            END AS f6
     FROM documents
     """,
@@ -867,12 +869,16 @@ def q31_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
     media = attach_payload(documents)
     feats = extract_features(media)
+    from salesanalytics_etl_spark.functions.scalar import floor_round
+
+    # floor-formula: the histogram features are count/len quotients of
+    # small integers — terminating midpoints (the q104 sf0.1 class)
     return feats.select(
         "doc_id",
         "modality",
         "n_bytes",
-        F.round(F.element_at("features", 3), 4).alias("f2"),
-        F.round(F.element_at("features", 7), 4).alias("f6"),
+        floor_round(F.element_at("features", 3), 4).alias("f2"),
+        floor_round(F.element_at("features", 7), 4).alias("f6"),
     )
 
 
@@ -3049,9 +3055,9 @@ def q104_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), edges AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.shingles, b.shingles))),
-                  4) >= 0.5
+      WHERE FLOOR(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                  * 10000.0 + 0.5) / 10000.0 >= 0.5
     ), und AS (
       SELECT doc_a AS s, doc_b AS d FROM edges
       UNION SELECT doc_b, doc_a FROM edges
@@ -3064,7 +3070,7 @@ def q104_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM reach GROUP BY s
     ), q AS (
       SELECT doc_id,
-             ROUND(0.25 * (CASE WHEN length(text) BETWEEN 64 AND 8192
+             FLOOR((0.25 * (CASE WHEN length(text) BETWEEN 64 AND 8192
                                 THEN 1.0 ELSE 0.0 END)
                  + 0.5 * (CASE WHEN length(text) > 0
                           THEN CAST(len(regexp_extract_all(text, '[A-Za-z]'))
@@ -3073,7 +3079,8 @@ def q104_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                            AND CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
                                / len(regexp_extract_all(text, '[A-Za-z0-9]+|[぀-ヿ㐀-䶿一-鿿가-힯]'))
                                BETWEEN 2 AND 12
-                           THEN 1.0 ELSE 0.0 END), 4) AS quality
+                           THEN 1.0 ELSE 0.0 END)) * 10000.0 + 0.5)
+               / 10000.0 AS quality
       FROM documents
     )
     SELECT c.cluster_id, c.doc_id, q.quality,

@@ -51,9 +51,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # slot typing gained the negative-scale decimal guard); (2) the last
 # seven r6-era rows (q109/q110/q111/q114/q115/q116/q84 — ROUND9.md's
 # handoff list; after r10 lands nothing older than r7 remains);
-# (3) the stalest r7-era rows in query order — 24 of the 36 fit;
-# q92/q95/q96/q97/q98/q99/q100/q107/q108/q121/q123/q124 roll to r11 as
-# the only remaining r7 rows.
+# (3) the stalest r7-era rows in query order — 13 fit after the
+# floor-formula re-stamps claimed their slots; q50/q64/q67/q73/q74/q82/
+# q85/q87/q88/q89/q91/q92/q95/q96/q97/q100/q107/q108/q121/q123/q124
+# roll to r11 (r7-era, code UNCHANGED — their recorded rows stay valid).
 # Every name here is also swept by tests/test_queries.py +
 # tests/strict_gate.py against the same oracles, so reordering changes
 # what the driver RECORDS, never what is verified.
@@ -97,6 +98,7 @@ _CHECK_FIRST = [
     "q99_priority_sla",
     "q102_exact_jaccard_join",
     "q103_duplicate_spans",
+    "q105_cluster_representatives",
     "q117_quality_threshold_calibration",
     # --- (2) the last seven r6-era rows (ROUND9.md handoff) ---
     "q109_minhash_lsh_replay",
@@ -120,7 +122,6 @@ _CHECK_FIRST = [
     "q46_media_frame_sample",
     "q48_pricing_summary",
     "q49_dedup_clusters",
-    "q50_curation_sample",
 ]
 
 
