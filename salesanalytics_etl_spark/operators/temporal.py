@@ -176,6 +176,65 @@ def asof_join(
     return picked
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    horizon: str = "30 days",
+    right_cols: list[str] | None = None,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """For each left row, attach the EARLIEST right row with
+    ``right_ts >= left_ts`` within ``horizon`` (forward as-of join) —
+    the time-to-conversion / next-event lookup that mirrors
+    :func:`asof_join`'s backward pick. Left rows with no match in the
+    horizon are kept with NULLs. ``tiebreakers`` (right columns,
+    ASCENDING here — the earliest match) total-order right rows sharing
+    a timestamp.
+
+    Same single-branch plan discipline as :func:`asof_join`: ONE
+    left-outer range join + window pick, so the nondeterministic row id
+    exists inside one linear execution and cannot diverge between plan
+    branches.
+    """
+    left_keyed = left.withColumn("_lid", F.monotonically_increasing_id())
+    rcols = right_cols or [c for c in right.columns if c != on]
+    ts_requested = right_ts in rcols
+    if not ts_requested:
+        rcols = [*rcols, right_ts]
+    hi = F.expr(f"INTERVAL {horizon}")
+    joined = (
+        left_keyed.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col(f"l.{on}") == F.col(f"r.{on}"))
+            & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+            & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + hi),
+            "left",
+        )
+        .select(
+            "l.*",
+            *[F.col(f"r.{c}").alias(f"asof_{c}") for c in rcols],
+        )
+    )
+    # unmatched left rows surface as a single all-NULL right row, ranked
+    # below every real match by nulls_last
+    order = [F.col(f"asof_{right_ts}").asc_nulls_last()] + [
+        F.col(f"asof_{c}").asc_nulls_last() for c in (tiebreakers or [])
+    ]
+    w = Window.partitionBy("_lid").orderBy(*order)
+    picked = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_lid")
+    )
+    if not ts_requested:
+        picked = picked.drop(f"asof_{right_ts}")
+    return picked
+
+
 def interpolate_series(
     df: DataFrame,
     keys: list[str],

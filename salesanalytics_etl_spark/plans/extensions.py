@@ -6780,3 +6780,198 @@ def q153_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div CAST(SUM(actual) AS DECIMAL(38,0))) END AS BIGINT)"
         ).alias("bias_bp"),
     )
+
+
+@register(
+    "q154_time_to_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT v.event_id,
+             MIN(date_diff('microseconds', v.ts, p.ts)) AS lat_us
+      FROM v LEFT JOIN p ON p.user_id = v.user_id
+           AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 7 DAY
+      GROUP BY v.event_id
+    ), b AS (
+      SELECT CASE WHEN lat_us IS NULL THEN 'none'
+                  WHEN lat_us < 3600000000 THEN '00-01h'
+                  WHEN lat_us < 86400000000 THEN '01-24h'
+                  WHEN lat_us < 259200000000 THEN '1-3d'
+                  ELSE '3-7d' END AS bucket,
+             lat_us
+      FROM m
+    ), agg AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_views,
+             SUM(lat_us) AS s, COUNT(lat_us) AS nc
+      FROM b GROUP BY 1
+    ), t AS (SELECT SUM(n_views) AS total FROM agg)
+    SELECT a.bucket, a.n_views,
+           CAST((a.n_views * 10000) // t.total AS INT) AS share_bp,
+           CAST(CASE WHEN a.nc > 0 THEN a.s // (a.nc * 1000000) END
+                AS BIGINT) AS avg_latency_s
+    FROM agg a, t
+    """,
+    doc="view-to-purchase conversion latency: for every view event, the "
+    "EARLIEST purchase by the same user within 7 days (the FORWARD "
+    "as-of join — operators/temporal.py:asof_join_forward, mirroring "
+    "q43's backward pick), bucketed <1h / <24h / 1-3d / 3-7d / never. "
+    "Latency is naive-timestamp microseconds (timestampdiff vs "
+    "date_diff — no epoch, no session-timezone dependence on NTZ "
+    "event times), averages are exact integer division. The funnel-"
+    "LATENCY surface q80 (step counts) and q135 (transition "
+    "probabilities) don't expose. Scale: one user-keyed range join "
+    "(purchases ≪ events) + a per-view-id window pick, 5 output rows",
+)
+def q154_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.temporal import asof_join_forward
+
+    (events,) = _t(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    picked = asof_join_forward(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        horizon="7 days",
+        right_cols=["ts"],
+    )
+    lat = F.expr("timestampdiff(MICROSECOND, ts, asof_ts)")
+    b = picked.select(
+        F.when(lat.isNull(), "none")
+        .when(lat < 3600000000, "00-01h")
+        .when(lat < 86400000000, "01-24h")
+        .when(lat < 259200000000, "1-3d")
+        .otherwise("3-7d")
+        .alias("bucket"),
+        lat.alias("lat_us"),
+    )
+    agg = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum("lat_us").alias("s"),
+        F.count("lat_us").alias("nc"),
+    )
+    t = agg.agg(F.sum("n_views").alias("total"))
+    return (
+        agg.crossJoin(F.broadcast(t))  # 1-row total frame
+        .select(
+            "bucket",
+            "n_views",
+            F.expr("(n_views * 10000) div total").cast("int").alias(
+                "share_bp"
+            ),
+            F.expr(
+                "CAST(CASE WHEN nc > 0 THEN s div (nc * 1000000) END "
+                "AS BIGINT)"
+            ).alias("avg_latency_s"),
+        )
+    )
+
+
+@register(
+    "q155_new_vs_returning",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             (EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+              + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1) AS m,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    ), firsts AS (
+      SELECT o_custkey, MIN(m) AS first_m FROM o GROUP BY 1
+    )
+    SELECT o.m AS month_idx,
+           CAST(o.m // 12 AS VARCHAR) || '-' ||
+             lpad(CAST(o.m % 12 + 1 AS VARCHAR), 2, '0') AS ym,
+           CAST(SUM(CASE WHEN o.m = f.first_m THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new_orders,
+           CAST(SUM(CASE WHEN o.m = f.first_m THEN price ELSE 0 END) * 100
+                AS BIGINT) AS new_cents,
+           CAST(SUM(CASE WHEN o.m > f.first_m THEN price ELSE 0 END) * 100
+                AS BIGINT) AS returning_cents,
+           CAST((CAST(SUM(CASE WHEN o.m = f.first_m THEN price ELSE 0 END)
+                      * 100 AS HUGEINT) * 10000)
+                // CAST(SUM(price) * 100 AS HUGEINT) AS INT)
+             AS new_share_bp
+    FROM o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+    doc="new-vs-returning revenue split by month: a customer's FIRST "
+    "order month tags that month's revenue as acquisition, everything "
+    "later as retention — the growth-quality decomposition behind "
+    "every board deck (q136's cohort matrix shows retention depth; "
+    "this shows the headline mix). Month rides the portable integer "
+    "index year*12+month-1; the ym render is integer div/mod + lpad "
+    "(no engine date formatting); shares are exact integer bp over "
+    "decimal-accumulated cents. Scale: one custkey-keyed first-month "
+    "aggregate co-partitioned with the join back, |months| output rows",
+)
+def q155_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.functions.scalar import dec182
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        (
+            F.year(F.to_date("o_orderdate")) * 12
+            + F.month(F.to_date("o_orderdate"))
+            - 1
+        ).alias("m"),
+        dec182("o_totalprice").alias("price"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("m").alias("first_m"))
+    ym = F.concat(
+        F.expr("CAST(m div 12 AS STRING)"),
+        F.lit("-"),
+        F.lpad(F.expr("CAST(m % 12 + 1 AS STRING)"), 2, "0"),
+    )
+    return (
+        o.join(firsts, "o_custkey")
+        .groupBy("m")
+        .agg(
+            F.sum(F.when(F.col("m") == F.col("first_m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new_orders"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("m") == F.col("first_m"), F.col("price")
+                    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("new_cents"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("m") > F.col("first_m"), F.col("price")
+                    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("returning_cents"),
+        )
+        .select(
+            F.col("m").alias("month_idx"),
+            ym.alias("ym"),
+            "n_new_orders",
+            "new_cents",
+            "returning_cents",
+            F.expr(
+                "(CAST(new_cents AS DECIMAL(38,0)) * 10000) "
+                "div (new_cents + returning_cents)"
+            )
+            .cast("int")
+            .alias("new_share_bp"),
+        )
+    )

@@ -165,3 +165,54 @@ def test_bucketed_range_join_plans_hash_join_not_nested_loop(spark):
         "pts >= lo AND pts <= hi"
     )
     assert out.count() == naive.count()
+
+
+def test_asof_join_forward_picks_earliest_within_horizon(spark):
+    from salesanalytics_etl_spark.operators.temporal import asof_join_forward
+
+    left = spark.createDataFrame(
+        [
+            (1, 100, ts("2024-01-01T00:00:00")),  # two later rights → earliest
+            (2, 100, ts("2024-01-05T00:00:00")),  # right at same instant → match
+            (3, 200, ts("2024-01-12T00:00:00")),  # only right BEFORE → NULL
+            (4, 300, ts("2024-01-01T00:00:00")),  # right beyond horizon → NULL
+        ],
+        ["id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (11, 100, ts("2024-01-03T00:00:00")),
+            (12, 100, ts("2024-01-05T00:00:00")),
+            (13, 200, ts("2024-01-11T00:00:00")),
+            (14, 300, ts("2024-03-01T00:00:00")),
+        ],
+        ["rid", "user_id", "ts"],
+    )
+    out = {
+        r.id: r.asof_rid
+        for r in asof_join_forward(
+            left, right, on="user_id", left_ts="ts", right_ts="ts",
+            horizon="30 days", right_cols=["rid", "ts"], tiebreakers=["rid"],
+        ).collect()
+    }
+    assert out == {1: 11, 2: 12, 3: None, 4: None}
+
+
+def test_asof_join_forward_tiebreak_is_ascending(spark):
+    from salesanalytics_etl_spark.operators.temporal import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 7, ts("2024-01-01T00:00:00"))], ["id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (22, 7, ts("2024-01-02T00:00:00")),
+            (21, 7, ts("2024-01-02T00:00:00")),  # same instant → SMALLEST rid
+        ],
+        ["rid", "user_id", "ts"],
+    )
+    out = asof_join_forward(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        horizon="30 days", right_cols=["rid", "ts"], tiebreakers=["rid"],
+    ).collect()
+    assert out[0].asof_rid == 21
