@@ -34,7 +34,13 @@ def main() -> None:
     from salesanalytics_etl_spark.plans import all_queries
     from salesanalytics_etl_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    # No console progress bar: the driver parses the JSON line from a
+    # bounded stdout TAIL, and progress fragments printed after the line
+    # was flushed would share (and could front-truncate) that window.
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     queries = all_queries()
     # qNN prefixes must be unique (they become the compact JSON keys) —
     # fail BEFORE the multi-minute sweep, not after it
@@ -169,10 +175,10 @@ def main() -> None:
         else:
             out.pop("qmin", None)
         line = json.dumps(out, separators=(",", ":"))
-        if len(line) <= 1900 or not keep:
+        if len(line) <= 1950 or not keep:
             break
         keep = keep[:-1]
-    if len(line) > 1900:  # last resort: drop per-query detail, keep totals
+    if len(line) > 1950:  # last resort: drop per-query detail, keep totals
         out.pop("queries", None)
         line = json.dumps(out, separators=(",", ":"))
     print(line)
