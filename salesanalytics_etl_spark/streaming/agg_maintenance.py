@@ -162,3 +162,65 @@ def compact_log(spark: SparkSession, log_dir: str) -> None:
     os.rename(log_dir, old)
     os.rename(tmp, log_dir)
     shutil.rmtree(old)
+
+
+def current_cusum(
+    spark: SparkSession,
+    log_dir: str,
+    allowance_div: int = 20,
+    alarm_mult: int = 2,
+) -> DataFrame:
+    """Streaming-maintained CUSUM change detection: the batch surface's
+    q148 identity ``S_t = P_t - min(0, min_(j<=t) P_j)`` (with
+    ``P = running sum of (x - mu - mu/allowance_div)``) applied over the
+    CURRENT maintained rollup — per event type, at hour grain — so the
+    sustained-shift detector stays current under a stream without ever
+    reprocessing events. One row per (event_type, hour): hourly cents,
+    CUSUM cents, and an integer alarm at ``S >= alarm_mult * mu``.
+
+    Everything is exact integer cents (the maintained rollup's 2dp
+    doubles are ON the cent grid by construction, so the floor rescale
+    is lossless); mu is per-type integer division. Windows are
+    PARTITIONED BY event type over the calendar-bounded hour grain —
+    the q18/q79 bounded class, never event-scaled. The log fold itself
+    is |batches| x |keys| rows, so refreshing the detector costs the
+    rollup fold, not the stream.
+    """
+    from pyspark.sql import Window
+
+    roll = current_rollup(spark, log_dir)
+    base = roll.select(
+        "event_type",
+        "hour_start",
+        F.floor(F.col("value_sum") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    stats = base.groupBy("event_type").agg(
+        F.expr("CAST(sum(cents) div count(1) AS BIGINT)").alias("mu")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = (
+        F.col("cents")
+        - F.col("mu")
+        - F.expr(f"mu div {int(allowance_div)}").cast("bigint")
+    )
+    p = base.join(F.broadcast(stats), "event_type").withColumn(
+        "_pp", F.sum(dev).over(w)
+    )
+    m = p.withColumn("_minp", F.min("_pp").over(w))
+    cusum = F.col("_pp") - F.least(F.lit(0), F.col("_minp"))
+    return m.select(
+        "event_type",
+        "hour_start",
+        "cents",
+        cusum.cast("bigint").alias("cusum_cents"),
+        F.when(cusum >= int(alarm_mult) * F.col("mu"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("alarm"),
+    )

@@ -103,3 +103,73 @@ def test_compact_and_rollup_tolerate_dataless_log(spark, tmp_path):
     assert set(out.columns) == {
         "hour_start", "event_type", "n_events", "value_sum"
     }
+
+
+def test_maintained_cusum_matches_batch_identity(spark, sf_dir, tmp_path):
+    """current_cusum over the maintained log must equal computing the
+    same prefix/running-min identity directly over the batch rollup —
+    the streaming and batch change detectors cannot drift apart."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from salesanalytics_etl_spark.streaming.agg_maintenance import (
+        current_cusum,
+    )
+
+    src = str(tmp_path / "src")
+    events = load_driver_tables(spark, sf_dir, ["events"])["events"]
+    events.repartition(3).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    log_dir = str(tmp_path / "cusum_log")
+    sink = RollupMaintenanceSink(spark, log_dir)
+    q = sink.attach(stream, checkpoint=str(tmp_path / "ckpt_cusum"))
+    q.awaitTermination()
+
+    got = {
+        (r.event_type, str(r.hour_start)): (r.cents, r.cusum_cents, r.alarm)
+        for r in current_cusum(spark, log_dir).collect()
+    }
+
+    # batch reference: identical identity over the batch rollup
+    roll = hourly_event_rollup(events)
+    base = roll.select(
+        "event_type",
+        "hour_start",
+        F.floor(F.col("value_sum") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    stats = base.groupBy("event_type").agg(
+        F.expr("CAST(sum(cents) div count(1) AS BIGINT)").alias("mu")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = F.col("cents") - F.col("mu") - F.expr("mu div 20").cast("bigint")
+    p = base.join(stats, "event_type").withColumn("_pp", F.sum(dev).over(w))
+    m = p.withColumn("_minp", F.min("_pp").over(w))
+    cusum = F.col("_pp") - F.least(F.lit(0), F.col("_minp"))
+    want = {
+        (r.event_type, str(r.hour_start)): (r.cents, r.cusum_cents, r.alarm)
+        for r in m.select(
+            "event_type",
+            "hour_start",
+            "cents",
+            cusum.cast("bigint").alias("cusum_cents"),
+            F.when(cusum >= 2 * F.col("mu"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("alarm"),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    # CUSUM is non-negative by construction
+    assert all(c >= 0 for (_, c, _) in got.values())
