@@ -26,6 +26,70 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+def format_bench_line(
+    timings: dict[str, float],
+    floor: dict[str, float],
+    keep: list[str],
+    sf: float | None,
+    errors: dict[str, str] | None = None,
+    budget: int = 1950,
+) -> str:
+    """Assemble the ONE JSON line under the driver's stdout-tail budget.
+
+    Trim policy (r10 verdict item 8 — the budget squeeze must never
+    silently evict the floors): (1) qmin extras beyond the top-5 floors
+    drop first, from the tail; (2) then per-query sweep entries drop
+    CHEAPEST-first (a "qdropped" count rides so truncation is visible,
+    never silent); (3) the top-5 floors and the totals are never
+    dropped. Raises if even the irreducible core exceeds the budget —
+    a loud contract failure beats the driver recording ``parsed: null``.
+    """
+    short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
+    if len(short) != len(timings):
+        raise ValueError("duplicate qNN prefix in query names")
+    out: dict = {
+        "metric": "total_query_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "value_min": round(sum(floor.values()), 3),
+        "queries": dict(short),
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = {
+            name.split("_", 1)[0]: msg[:40]
+            for name, msg in list(errors.items())[:5]
+        }
+    keep = list(keep)
+    # cheapest sweep entries are the first to go if the budget bites
+    by_cost = sorted(timings, key=timings.get)
+    dropped = 0
+
+    def render() -> str:
+        if keep:
+            out["qmin"] = {n.split("_", 1)[0]: round(floor[n], 2) for n in keep}
+        else:
+            out.pop("qmin", None)
+        if dropped:
+            out["qdropped"] = dropped
+        return json.dumps(out, separators=(",", ":"))
+
+    line = render()
+    while len(line) > budget and len(keep) > 5:
+        keep = keep[:-1]
+        line = render()
+    while len(line) > budget and dropped < len(by_cost):
+        victim = by_cost[dropped].split("_", 1)[0]
+        out["queries"].pop(victim, None)
+        dropped += 1
+        line = render()
+    if len(line) > budget:
+        raise ValueError(
+            f"bench line irreducibly over budget: {len(line)} > {budget}"
+        )
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -114,16 +178,6 @@ def main() -> None:
             except Exception:
                 pass
 
-    # The driver parses this line from a bounded tail of stdout (~2000
-    # chars), so the line must stay short: keys are compacted to the qNN
-    # prefix, times to 2 decimals, separators minimal. (Rounds 2-3 emitted
-    # full names for 90 queries → >2000 chars → the driver recorded
-    # ``parsed: null``.)
-    short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
-    # qNN prefixes must be unique or two queries silently share one slot —
-    # real raise (not `assert`) so `python -O` can't strip the check
-    if len(short) != len(timings):
-        raise ValueError("duplicate qNN prefix in query names")
     # Isolated-floor totals ride along without blowing the ~2000-char
     # stdout-tail budget: "value_min" (sweep total with each ≥0.5s query
     # replaced by its two-pass min) is one number, and "qmin" lists ONLY
@@ -155,33 +209,7 @@ def main() -> None:
     # DYNAMICALLY from the tail — extras drop before top-10 floors, and
     # the most expensive queries' floors are the last to go.
     keep = [*top10, *material][:12]
-    out = {
-        "metric": "total_query_wall_seconds",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "value_min": round(sum(floor.values()), 3),
-        "queries": short,
-        "sf": sf,
-    }
-    if errors:
-        out["errors"] = {
-            name.split("_", 1)[0]: msg[:40] for name, msg in list(errors.items())[:5]
-        }
-    while True:
-        if keep:
-            out["qmin"] = {
-                n.split("_", 1)[0]: round(floor[n], 2) for n in keep
-            }
-        else:
-            out.pop("qmin", None)
-        line = json.dumps(out, separators=(",", ":"))
-        if len(line) <= 1950 or not keep:
-            break
-        keep = keep[:-1]
-    if len(line) > 1950:  # last resort: drop per-query detail, keep totals
-        out.pop("queries", None)
-        line = json.dumps(out, separators=(",", ":"))
-    print(line)
+    print(format_bench_line(timings, floor, keep, sf, errors))
 
 
 if __name__ == "__main__":

@@ -479,5 +479,19 @@ def apply_changes_partitioned(
             import shutil
 
             for d in doomed_dirs:
-                shutil.rmtree(d, ignore_errors=True)
+                # correctness-critical delete: a partition directory
+                # that survives here resurrects its rows on the next
+                # read, so a failed removal must FAIL the apply — never
+                # swallow it (ignore_errors would return success with
+                # the deleted rows still on disk)
+                try:
+                    shutil.rmtree(d)
+                except FileNotFoundError:
+                    pass  # already gone — the desired end state
+                if os.path.exists(d):
+                    raise RuntimeError(
+                        "apply_changes_partitioned: failed to remove "
+                        f"emptied partition directory {d!r}; the "
+                        "deleted rows would resurrect on the next read"
+                    )
         return len(touched)

@@ -143,6 +143,20 @@ def append_global_prefix_sum(
     under AQE, and divergent boundary samples would silently corrupt
     the prefix sums.
     """
+    from pyspark.sql import types as T
+
+    vdt = df.select(value).schema[0].dataType
+    if isinstance(vdt, (T.FloatType, T.DoubleType)):
+        # enforce the docstring's exactness contract (mirrors the
+        # ntile_multi slot guards): float addition is not associative,
+        # so offsets + local running sums would silently differ across
+        # partition boundaries — the silent-wrong class this module
+        # guards against loudly
+        raise ValueError(
+            f"append_global_prefix_sum: value is {vdt.simpleString()} — "
+            "floating-point prefix sums depend on partition boundaries; "
+            "pass an exact type (bigint / decimal), e.g. cents as bigint"
+        )
     spark = df.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     ranged = (

@@ -6354,9 +6354,9 @@ def q148_sales_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT col_name, SUM(c) AS n, COUNT(*) AS k FROM counts GROUP BY 1
     ), contrib AS (
       SELECT counts.col_name,
-             CAST(ROUND(
-               (counts.c / totals.n) * (log2(totals.n) - log2(counts.c)),
-               6) AS DECIMAL(18,6)) AS h_term
+             CAST(FLOOR(
+               (counts.c / totals.n) * (log2(totals.n) - log2(counts.c))
+               * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS h_term
       FROM counts JOIN totals USING (col_name)
     )
     SELECT t.col_name, CAST(t.n AS BIGINT) AS n_rows,
@@ -6408,10 +6408,20 @@ def q149_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = counts.groupBy("col_name").agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("k")
     )
+    # floor-formula at 6dp: (c/n)*(log2 n - log2 c) CAN terminate
+    # exactly on a 7th-decimal midpoint (power-of-two count pairs,
+    # e.g. c=2^j, n=2^(j+7) gives 7/128 = 0.0546875), so engine-native
+    # ROUND is in the divergent class here despite the log derivation
     contrib = counts.join(F.broadcast(totals), "col_name").select(
         "col_name",
-        F.round(
-            (F.col("c") / F.col("n")) * (F.log2("n") - F.log2("c")), 6
+        (
+            F.floor(
+                (F.col("c") / F.col("n"))
+                * (F.log2("n") - F.log2("c"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
         )
         .cast("decimal(18,6)")
         .alias("h_term"),

@@ -1,0 +1,87 @@
+"""bench.py stdout-tail contract (r10 verdict item 8) — no Spark needed.
+
+The driver parses the bench JSON from a ~2000-char stdout tail. At 155
+queries the per-query map already filled most of it; these tests pin the
+trim policy at 160+ queries: the line stays under budget, the top-5
+floors are NEVER evicted, and per-query truncation is visible
+("qdropped"), not silent.
+"""
+
+from __future__ import annotations
+
+import json
+
+from bench import format_bench_line
+
+
+def _surface(n: int) -> tuple[dict, dict, list]:
+    # qNN prefixes must be unique — mirror the real naming
+    timings = {f"q{i:03d}_query_{i}": 0.5 + (i % 17) * 0.37 for i in range(n)}
+    floor = {k: round(v * 0.8, 2) for k, v in timings.items()}
+    top10 = sorted(timings, key=timings.get, reverse=True)[:10]
+    return timings, floor, top10
+
+
+def test_line_fits_at_160_queries_with_top5_floors():
+    timings, floor, keep = _surface(160)
+    line = format_bench_line(timings, floor, keep, 0.1)
+    assert len(line) <= 1950
+    out = json.loads(line)
+    assert out["metric"] == "total_query_wall_seconds"
+    # the top-5 floors survive whatever the budget squeezed out
+    top5 = sorted(timings, key=timings.get, reverse=True)[:5]
+    for name in top5:
+        assert name.split("_", 1)[0] in out["qmin"], name
+    # truncation of the per-query map is visible, never silent
+    if len(out["queries"]) < 160:
+        assert out["qdropped"] == 160 - len(out["queries"])
+        # cheapest dropped first: every surviving entry costs >= every
+        # dropped one
+        dropped = [
+            k.split("_", 1)[0]
+            for k in sorted(timings, key=timings.get)[: out["qdropped"]]
+        ]
+        assert not set(dropped) & set(out["queries"])
+
+
+def test_line_fits_at_200_queries():
+    timings, floor, keep = _surface(200)
+    line = format_bench_line(timings, floor, keep, 0.1)
+    assert len(line) <= 1950
+    out = json.loads(line)
+    assert len(out["qmin"]) >= 5
+    assert out["value"] == round(sum(timings.values()), 3)
+
+
+def test_realistic_surface_truncates_visibly_not_silently():
+    # the r10 driver line was 1947/1950 chars at 155 queries — the next
+    # growth MUST truncate, and the contract is that it truncates the
+    # cheapest sweep entries visibly (qdropped) while totals, the
+    # expensive tail, and >=5 floors survive
+    timings, floor, keep = _surface(170)
+    out = json.loads(format_bench_line(timings, floor, keep, 0.1))
+    assert out["value"] == round(sum(timings.values()), 3)
+    assert out["value_min"] == round(sum(floor.values()), 3)
+    assert len(out["qmin"]) >= 5
+    if len(out["queries"]) < 170:
+        assert out["qdropped"] == 170 - len(out["queries"])
+        # the most expensive query's sweep figure always survives
+        top1 = max(timings, key=timings.get).split("_", 1)[0]
+        assert top1 in out["queries"]
+
+
+def test_duplicate_prefix_raises():
+    import pytest
+
+    timings = {"q001_a": 1.0, "q001_b": 2.0}
+    with pytest.raises(ValueError, match="duplicate"):
+        format_bench_line(timings, dict(timings), [], 0.1)
+
+
+def test_errors_ride_and_budget_holds():
+    timings, floor, keep = _surface(160)
+    errors = {f"q9{i:02d}_broken": "AnalysisException: boom" * 5 for i in range(8)}
+    line = format_bench_line(timings, floor, keep, 0.1, errors=errors)
+    assert len(line) <= 1950
+    out = json.loads(line)
+    assert len(out["errors"]) == 5  # capped

@@ -367,6 +367,31 @@ def test_apply_changes_partitioned_deletes_emptying_a_partition(
     assert spark.read.parquet(path).count() == 30
 
 
+def test_apply_changes_partitioned_failed_delete_is_loud(
+    spark, tmp_path, monkeypatch
+):
+    """r10 ADVICE (medium): a failed emptied-partition delete must FAIL
+    the apply — ignore_errors would report success while the deleted
+    rows sit on disk, resurrecting on the next read."""
+    import shutil
+
+    from salesanalytics_etl_spark.operators.diff import (
+        apply_changes_partitioned,
+        snapshot_diff_pruned,
+    )
+
+    old = spark.createDataFrame(
+        [(i, i % 2, f"v{i}") for i in range(10)], "k INT, p INT, s STRING"
+    )
+    new = old.filter("p != 1")  # empties partition p=1
+    path = str(tmp_path / "tbl_faildel")
+    old.write.partitionBy("p").parquet(path)
+    feed = snapshot_diff_pruned(old, new, "k", ["p"], include_values=True)
+    monkeypatch.setattr(shutil, "rmtree", lambda *a, **kw: None)  # NFS hiccup
+    with pytest.raises(RuntimeError, match="resurrect"):
+        apply_changes_partitioned(spark, path, feed, "k", ["p"])
+
+
 def test_partition_fingerprints_detect_null_shift(spark):
     """(5, NULL) -> (NULL, 5) within a row (count unchanged) must
     change the partition fingerprint: xxhash64 chains arguments and a

@@ -426,6 +426,28 @@ def test_prefix_sum_correct_with_exchange_reuse_off(spark):
         spark.conf.set("spark.sql.exchange.reuse", "true")
 
 
+def test_prefix_sum_rejects_float_value(spark):
+    """The exactness contract is ENFORCED, not just documented (r10
+    ADVICE): a double value would make the prefix depend on partition
+    boundaries — the silent-wrong class the module guards loudly."""
+    import pytest
+
+    from salesanalytics_etl_spark.operators.ranking import (
+        append_global_prefix_sum,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") * 0.5).alias("v")
+    )
+    with pytest.raises(ValueError, match="exact type"):
+        append_global_prefix_sum(df, F.col("v"), [F.asc("id")], "c")
+    # the float column CAST to an exact type is accepted
+    out = append_global_prefix_sum(
+        df, (F.col("v") * 2).cast("bigint"), [F.asc("id")], "c"
+    )
+    assert out.count() == 100
+
+
 def test_ntile_exact_on_join_upstream_input(spark):
     """Round-10 regression: a JOIN upstream of the rank machinery made
     AQE materialize the range exchange TWICE with different sampled
