@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from salesanalytics_etl_spark import telemetry
+
 from salesanalytics_etl_spark.functions.scalar import floor_round
 
 from salesanalytics_etl_spark.operators.dedup import spread_partitions
@@ -438,6 +440,7 @@ def export_shards(
     can share a range; shard membership, contents, and bytes are exact
     regardless, only task balance varies.)
     """
+    telemetry.bump("range_exchange")
     (
         df.withColumn(
             "_shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))

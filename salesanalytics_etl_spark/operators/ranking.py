@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from salesanalytics_etl_spark import telemetry
+
 
 def append_global_rank(
     df: DataFrame,
@@ -70,6 +72,7 @@ def append_global_rank(
     (MEMORY_AND_DISK, spills) and the operator triggers that job at
     plan-build time; blocks free when the plan is garbage-collected.
     """
+    telemetry.bump("range_exchange")
     spark = df.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     ranged = df.repartitionByRange(nparts, *order_cols).withColumn(
@@ -157,6 +160,7 @@ def append_global_prefix_sum(
             "floating-point prefix sums depend on partition boundaries; "
             "pass an exact type (bigint / decimal), e.g. cents as bigint"
         )
+    telemetry.bump("range_exchange")
     spark = df.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     ranged = (
@@ -430,6 +434,7 @@ def append_group_rank(
     counts and join branches must observe ONE materialization of the
     range exchange — exchange reuse alone is not a guarantee under AQE.
     """
+    telemetry.bump("range_exchange")
     spark = df.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     gcols = [F.col(g) for g in group_cols]

@@ -1,0 +1,443 @@
+"""Round-11 statistical / profiling query families: robust trend
+estimation (Theil-Sen), time-series diagnostics (autocorrelation),
+corpus statistics (Zipf), data profiling (soft functional dependencies,
+digit-uniformity chi-square), and contamination analytics (cross-source
+duplicate matrix). Every query follows the gate discipline: exact
+integer/decimal accumulation, engine-portable floor-round on emitted
+doubles, total orders on any windowed pick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from salesanalytics_etl_spark.functions.scalar import dec182, floor_round
+from salesanalytics_etl_spark.plans.queries import _t
+from salesanalytics_etl_spark.plans.registry import register
+
+_DAILY_CENTS_SQL = """
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS INT) AS i,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+"""
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d, i, cents) day grain — the q141/q148 convention: exact decimal
+    accumulation, integer day index, integer cents."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.to_date("o_orderdate").alias("d"),
+            dec182("o_totalprice").alias("p"),
+        )
+        .groupBy("d")
+        .agg((F.sum("p") * 100).cast("bigint").alias("cents"))
+        .withColumn(
+            "i", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        )
+    )
+
+
+@register(
+    "q156_theil_sen_trend",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    pairs AS (
+      SELECT a.i AS ia, b.i AS ib,
+             CAST(b.cents - a.cents AS DOUBLE) / (b.i - a.i) AS slope
+      FROM daily a JOIN daily b ON b.i > a.i
+    ),
+    ranked AS (
+      SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, ia, ib) AS r,
+             COUNT(*) OVER () AS n
+      FROM pairs
+    )
+    SELECT FLOOR(slope * 1000000.0 + 0.5) / 1000000.0
+             AS slope_cents_per_day,
+           CAST(n AS BIGINT) AS n_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days
+    FROM ranked WHERE r = (n + 1) // 2
+    """,
+    doc="Theil-Sen robust trend of daily sales: the median of all "
+    "pairwise day-to-day slopes (lower median, total order (slope, ia, "
+    "ib)) — the outlier-resistant alternative to OLS for drift "
+    "monitoring. Pair space is DAY-grain (calendar-bounded: quadratic "
+    "in days, independent of row count, so 100 TB of orders costs the "
+    "same pair join as 100 GB after the day rollup); the pair join is a "
+    "broadcast nested-loop on the bounded day frame and the median pick "
+    "rides the distributed rank machinery, never a single-partition "
+    "sort. Slopes are exact-integer differences divided once in double "
+    "(identical IEEE op both engines).",
+)
+def q156_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.ranking import append_global_rank
+
+    daily = _daily_cents(spark, sf_dir).select("i", "cents")
+    a = daily.select(
+        F.col("i").alias("ia"), F.col("cents").alias("ca")
+    )
+    b = daily.select(
+        F.col("i").alias("ib"), F.col("cents").alias("cb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("ib") > F.col("ia")).select(
+        "ia",
+        "ib",
+        (
+            (F.col("cb") - F.col("ca")).cast("double")
+            / (F.col("ib") - F.col("ia"))
+        ).alias("slope"),
+    )
+    ranked = append_global_rank(
+        pairs,
+        [F.asc("slope"), F.asc("ia"), F.asc("ib")],
+        out_col="r",
+        total_col="n",
+    )
+    n_days = daily.count()
+    return ranked.filter(
+        F.col("r") == (F.col("n") + 1) / F.lit(2).cast("bigint")
+    ).select(
+        floor_round(F.col("slope"), 6).alias("slope_cents_per_day"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.lit(n_days).cast("bigint").alias("n_days"),
+    )
+
+
+@register(
+    "q157_sales_autocorrelation",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    lags AS (SELECT unnest(range(1, 8)) AS lag),
+    pairs AS (
+      SELECT l.lag, a.cents AS x, b.cents AS y
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.i = a.i + l.lag
+    ),
+    s AS (
+      SELECT lag, COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           FLOOR(
+             (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS acf
+    FROM s ORDER BY lag
+    """,
+    doc="Lag-1..7 Pearson autocorrelation of daily sales over observed "
+    "calendar-day pairs — the weekly-cycle diagnostic behind q143's "
+    "seasonality index. Exact HUGEINT/DECIMAL(38,0) moment sums on the "
+    "bounded day grain (one map-side-combined rollup, then a 7-way "
+    "self-equi-join on the day index); the Pearson formula runs ONCE per "
+    "lag on exact sums cast to double — a fixed shape of IEEE ops (sqrt "
+    "is correctly-rounded by IEEE 754, so it is bit-stable across "
+    "engines) — and emits through the portable floor formula.",
+)
+def q157_sales_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_cents(spark, sf_dir).select("i", "cents")
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("i").alias("ia"), F.col("cents").alias("x"))
+    b = daily.select(F.col("i").alias("ib"), F.col("cents").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("ib") == F.col("ia") + F.col("lag"))
+    )
+    d38 = "decimal(38,0)"
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    dx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    dy = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    cov = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return s.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        floor_round(cov / F.sqrt(dx * dy), 6).alias("acf"),
+    ).orderBy("lag")
+
+
+@register(
+    "q158_zipf_slope",
+    oracle="""
+    WITH freq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+            FROM documents)
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 1000
+    ),
+    pts AS (
+      SELECT CAST(FLOOR(log2(ROW_NUMBER() OVER (ORDER BY n DESC, tok))
+                        * 1000000.0 + 0.5) / 1000000.0
+                  AS DECIMAL(18,6)) AS x,
+             CAST(FLOOR(log2(n) * 1000000.0 + 0.5) / 1000000.0
+                  AS DECIMAL(18,6)) AS y
+      FROM freq
+    ),
+    s AS (
+      SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+      FROM pts
+    )
+    SELECT CAST(m AS BIGINT) AS n_tokens,
+           FLOOR((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope
+    FROM s
+    """,
+    doc="Zipf exponent of the corpus: OLS slope of log2(frequency) vs "
+    "log2(rank) over the top-1000 tokens (a natural corpus ~ -1; a "
+    "boilerplate-heavy or synthetic one deviates) — the vocabulary-"
+    "health diagnostic next to q33's raw frequencies. The corpus-grain "
+    "work is one token rollup; ranking happens AFTER the top-1000 cut "
+    "(TakeOrderedAndProject), so the single unpartitioned window runs "
+    "over exactly 1000 rows at any corpus size. Per-point log terms are "
+    "floor-rounded onto a 6dp decimal grid so the OLS moment sums are "
+    "exact decimals (order-insensitive), and the final slope is one "
+    "fixed-shape double expression.",
+)
+def q158_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    freq = (
+        documents.select(
+            F.explode(
+                F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(1000)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    pts = freq.select(
+        floor_round(F.log2(F.row_number().over(w)), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        floor_round(F.log2("n"), 6).cast("decimal(18,6)").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("sxx"),
+    )
+    m = F.col("m").cast("double")
+    slope = (
+        m * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        m * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return s.select(
+        F.col("m").cast("bigint").alias("n_tokens"),
+        floor_round(slope, 6).alias("zipf_slope"),
+    )
+
+
+_FD_PAIRS = [
+    # (tag, table, determinant, dependent) — candidate pairs across the
+    # dimension/fact surface; the measure itself decides which are
+    # near-FDs (confidence_bp ~ 10000) vs independent columns
+    ("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey",
+     "c_mktsegment"),
+    ("lineitem.l_returnflag->l_linestatus", "lineitem", "l_returnflag",
+     "l_linestatus"),
+    ("orders.o_orderpriority->o_orderstatus", "orders", "o_orderpriority",
+     "o_orderstatus"),
+    ("part.p_brand->p_type", "part", "p_brand", "p_type"),
+]
+
+
+def _fd_oracle_one(tag: str, table: str, det: str, dep: str) -> str:
+    return f"""
+    SELECT '{tag}' AS fd, CAST(COUNT(*) AS BIGINT) AS n_det_values,
+           CAST(SUM(total - mx) AS BIGINT) AS n_violations,
+           CAST(SUM(total) AS BIGINT) AS n_rows,
+           CAST(SUM(mx) * 10000 // SUM(total) AS INT) AS confidence_bp
+    FROM (
+      SELECT MAX(c) AS mx, SUM(c) AS total
+      FROM (SELECT {det} AS det, {dep} AS dep, COUNT(*) AS c
+            FROM {table} WHERE {det} IS NOT NULL
+            GROUP BY 1, 2)
+      GROUP BY det
+    )
+    """
+
+
+@register(
+    "q159_soft_fd_audit",
+    oracle=" UNION ALL ".join(
+        _fd_oracle_one(*p) for p in _FD_PAIRS
+    )
+    + " ORDER BY fd",
+    doc="Approximate functional-dependency profiling (the TANE/soft-FD "
+    "g3 measure): for each candidate determinant->dependent pair, the "
+    "row count that would have to change for the FD to hold exactly "
+    "(sum over determinant values of group-size minus majority-class "
+    "size) and its confidence in basis points. Flags near-FDs worth "
+    "enforcing and broken ones worth investigating — pure exact "
+    "counting: one (det, dep) rollup per pair (map-side combined), "
+    "then a determinant-grain max/sum; integer basis points, no "
+    "float anywhere.",
+)
+def q159_soft_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for tag, table, det, dep in _FD_PAIRS:
+        (df,) = _t(spark, sf_dir, table)
+        counts = (
+            df.filter(F.col(det).isNotNull())
+            .groupBy(F.col(det).alias("det"), F.col(dep).alias("dep"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        per_det = counts.groupBy("det").agg(
+            F.max("c").alias("mx"), F.sum("c").alias("total")
+        )
+        outs.append(
+            per_det.agg(
+                F.lit(tag).alias("fd"),
+                F.count(F.lit(1)).cast("bigint").alias("n_det_values"),
+                F.sum(F.col("total") - F.col("mx"))
+                .cast("bigint")
+                .alias("n_violations"),
+                F.sum("total").cast("bigint").alias("n_rows"),
+                F.expr("CAST(SUM(mx) * 10000 DIV SUM(total) AS INT)").alias(
+                    "confidence_bp"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("fd")
+
+
+@register(
+    "q160_digit_uniformity_chi2",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM orders
+    ),
+    obs AS (
+      SELECT c % 100 AS digits, COUNT(*) AS o FROM cents GROUP BY 1
+    ),
+    s AS (
+      SELECT SUM(CAST(o AS HUGEINT) * o) AS so2, SUM(o) AS n,
+             COUNT(*) AS k, MAX(o) AS mx, MIN(o) AS mn
+      FROM obs
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS INT) AS n_buckets,
+           FLOOR((100.0 * CAST(so2 AS DOUBLE) - CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS chi2_uniform,
+           CAST(mx AS BIGINT) AS max_bucket, CAST(mn AS BIGINT) AS min_bucket
+    FROM s
+    """,
+    doc="Chi-square goodness-of-fit of the trailing two digits of order "
+    "totals against uniform(100) — the synthetic-data / rounding-policy "
+    "tell that complements q138's Benford leading-digit audit (trailing "
+    "digits of organic prices are near-uniform; hand-entered or rounded "
+    "ones spike on 00/50/99). Exact: chi2 = (100*sum(obs^2) - n^2)/n "
+    "derived from HUGEINT/decimal sums, one double expression at the "
+    "end; the digit rollup is 100 buckets regardless of row count.",
+)
+def q160_digit_uniformity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    obs = (
+        orders.select(
+            ((dec182("o_totalprice") * 100).cast("bigint") % 100).alias(
+                "digits"
+            )
+        )
+        .groupBy("digits")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    s = obs.agg(
+        F.sum(F.col("o").cast("decimal(38,0)") * F.col("o")).alias("so2"),
+        F.sum("o").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.max("o").alias("mx"),
+        F.min("o").alias("mn"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("k").cast("int").alias("n_buckets"),
+        floor_round(
+            (F.lit(100.0) * F.col("so2").cast("double") - n * n) / n, 6
+        ).alias("chi2_uniform"),
+        F.col("mx").cast("bigint").alias("max_bucket"),
+        F.col("mn").cast("bigint").alias("min_bucket"),
+    )
+
+
+@register(
+    "q161_cross_source_dup_matrix",
+    oracle=r"""
+    WITH fp AS (
+      SELECT DISTINCT source,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+    FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Source-by-source contamination matrix: how many exact document "
+    "fingerprints (q20's md5 of normalized text) each pair of sources "
+    "shares — the first question when a near-dup audit (q25/q109) "
+    "lights up: is duplication WITHIN sources (re-crawls) or ACROSS "
+    "them (mirrors/syndication)? One distinct on (source, fp), one "
+    "fp-keyed self-equi-join (never all-pairs: only fingerprints "
+    "present in 2+ sources produce join rows), output bounded by "
+    "|sources|^2.",
+)
+def q161_cross_source_dup_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    fp = documents.select(
+        "source",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        ).alias("f"),
+    ).distinct()
+    a = fp.select(F.col("source").alias("source_a"), "f")
+    b = fp.select(F.col("source").alias("source_b"), "f")
+    return (
+        a.join(b, "f")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .orderBy("source_a", "source_b")
+    )

@@ -150,3 +150,4 @@ def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     import salesanalytics_etl_spark.plans.queries  # noqa: F401
     import salesanalytics_etl_spark.plans.extensions  # noqa: F401
+    import salesanalytics_etl_spark.plans.analytics  # noqa: F401

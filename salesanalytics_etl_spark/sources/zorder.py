@@ -35,6 +35,8 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
+
+from salesanalytics_etl_spark import telemetry
 from pyspark.sql import functions as F
 
 
@@ -106,6 +108,7 @@ def zorder_write(
     one contiguous curve segment per file; the helper column is dropped
     before the write so the stored schema is unchanged.
     """
+    telemetry.bump("range_exchange")
     z = zorder_column(df, cols, bits=bits)
     (
         df.withColumn("_z", z)

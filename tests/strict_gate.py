@@ -93,13 +93,10 @@ def strict_compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     return problems
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def run_gate(spark, sf_dir: str, only: set[str] | None = None) -> int:
+    """Sweep (a subset of) the oracle-backed surface; returns shell rc."""
     import __spark_entry__ as entry
-    from salesanalytics_etl_spark.session import get_spark
 
-    spark = get_spark()
     qs, oracles = entry.queries(), entry.oracle_sql()
     n_red = 0
     for name, fn in qs.items():
@@ -117,6 +114,14 @@ def main():
         print(f"{tag} {name}" + (f" :: {probs}" if probs else ""), flush=True)
     print(f"{'ALL GREEN' if not n_red else f'{n_red} RED'}")
     return 1 if n_red else 0
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    from salesanalytics_etl_spark.session import get_spark
+
+    return run_gate(get_spark(), sf_dir, only)
 
 
 if __name__ == "__main__":

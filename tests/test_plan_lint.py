@@ -155,6 +155,12 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "q152_decile_lift": 2,
     # threshold sweep over <= 10 001 integer basis-point buckets
     "q117_quality_threshold_calibration": 2,
+    # Theil-Sen: one append_global_rank pass over the calendar-bounded
+    # day-pair frame — bounded OFFSETS-frame window
+    "q156_theil_sen_trend": 1,
+    # Zipf: rank assignment AFTER the top-1000 cut — the window runs
+    # over exactly 1000 rows at any corpus size
+    "q158_zipf_slope": 1,
 }
 
 

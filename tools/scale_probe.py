@@ -25,8 +25,13 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PROBE = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/probe10x")
-FACTOR = 10
+# r10 verdict item 4: the heaviest family's 100× behavior (bucket-cap hit
+# rates, candidate budgets) diverges beyond the 10× probes — the factor
+# is env-tunable so the text/dedup family can probe at 30×+
+FACTOR = int(os.environ.get("SPARK_GRAFT_PROBE_FACTOR", "10"))
+PROBE = os.environ.get(
+    "SPARK_GRAFT_PROBE_DIR", f"/tmp/probe{FACTOR}x"
+)
 
 # per-table key columns to shift; (col, parent_table, parent_key) for FKs
 _SHIFTS: dict[str, list[tuple[str, str]]] = {
