@@ -441,3 +441,403 @@ def q161_cross_source_dup_matrix(
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "q162_centroid_distance_matrix",
+    oracle="""
+    WITH cent AS (
+      SELECT label, CAST(r.i - 1 AS INT) AS dim,
+             CAST(FLOOR(CAST(SUM(CAST(CAST(embedding[r.i] AS DOUBLE)
+                                      AS DECIMAL(27,10)))
+                             AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5)
+                  / 1000000.0 AS DECIMAL(18,6)) AS c
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+      GROUP BY 1, 2
+    ),
+    sq AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(CAST((a.c - b.c) * (a.c - b.c) AS DECIMAL(38,12))) AS d2
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT label_a, label_b,
+           FLOOR(sqrt(CAST(d2 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+             AS l2_distance
+    FROM sq ORDER BY 1, 2
+    """,
+    doc="Pairwise L2 distances between label centroids — the cluster-"
+    "separation diagnostic over q77's centroids (labels whose centroids "
+    "nearly coincide are candidates for merging; one far from all "
+    "others flags a labeling artifact). Centroids land on q77's exact "
+    "6dp decimal grid FIRST, so the squared-difference sum is an exact "
+    "decimal (order-insensitive) and only the final sqrt runs in double "
+    "(IEEE-correctly-rounded, bit-stable). Work is |labels|x|dims| after "
+    "one corpus rollup; the pair join is |labels|^2*dims rows — bounded "
+    "by the label catalog, independent of corpus size.",
+)
+def q162_centroid_distance_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    cent = (
+        embeddings.select(
+            "label", F.posexplode("embedding").alias("dim", "v")
+        )
+        .groupBy("label", "dim")
+        .agg(
+            floor_round(
+                F.sum(F.col("v").cast("double").cast("decimal(27,10)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("c")
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("c").alias("cb")
+    )
+    sq = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                (
+                    (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+                ).cast("decimal(38,12)")
+            ).alias("d2")
+        )
+    )
+    return sq.select(
+        "label_a",
+        "label_b",
+        floor_round(F.sqrt(F.col("d2").cast("double")), 6).alias(
+            "l2_distance"
+        ),
+    ).orderBy("label_a", "label_b")
+
+
+@register(
+    "q163_trigram_diversity",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    tg AS (
+      SELECT doc_id, substr(norm, CAST(i AS INT), 3) AS g
+      FROM n, UNNEST(range(1, GREATEST(length(norm) - 1, 2))) AS t(i)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+           FLOOR(CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*)
+                 * 10000.0 + 0.5) / 10000.0 AS ttr
+    FROM tg GROUP BY doc_id
+    """,
+    doc="Per-document character-trigram type-token ratio — the lexical-"
+    "diversity quality signal (boilerplate and generated spam repeat "
+    "trigrams; TTR near 1 at short lengths, low TTR flags repetition) "
+    "complementing q69's exact-substring repetition and q115's "
+    "compressibility. One explode + one (doc, gram)-keyed distinct "
+    "count; the ratio is two exact integers through the portable floor "
+    "formula.",
+)
+def q163_trigram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import (
+        normalize_text,
+        spread_partitions,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    n = spread_partitions(documents.select("doc_id", "text")).select(
+        "doc_id", normalize_text(F.col("text")).alias("norm")
+    )
+    tg = n.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("norm") - 2, F.lit(1))
+            )
+        ).alias("i"),
+        "norm",
+    ).select("doc_id", F.expr("substr(norm, i, 3)").alias("g"))
+    return tg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+        F.countDistinct("g").cast("bigint").alias("n_distinct"),
+        floor_round(
+            F.countDistinct("g").cast("double") / F.count(F.lit(1)), 4
+        ).alias("ttr"),
+    )
+
+
+@register(
+    "q164_price_elasticity",
+    oracle="""
+    WITH pq AS (
+      SELECT p.p_type,
+             CAST(FLOOR(log2(CAST(CAST(p.p_retailprice AS DECIMAL(18,2))
+                                  * 100 AS BIGINT))
+                        * 1000000.0 + 0.5) / 1000000.0
+                  AS DECIMAL(18,6)) AS x,
+             CAST(FLOOR(log2(SUM(CAST(l.l_quantity AS BIGINT)))
+                        * 1000000.0 + 0.5) / 1000000.0
+                  AS DECIMAL(18,6)) AS y
+      FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_partkey, p.p_type, p.p_retailprice
+    ),
+    s AS (
+      SELECT p_type, COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+      FROM pq GROUP BY p_type
+    )
+    SELECT p_type, CAST(m AS BIGINT) AS n_parts,
+           FLOOR((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS elasticity
+    FROM s ORDER BY p_type
+    """,
+    doc="Log-log price elasticity of demand per part type: OLS slope of "
+    "log2(total quantity sold) on log2(retail price cents) at part "
+    "grain — the pricing-analytics regression (elasticity < 0 means "
+    "demand falls with price within the type). Part-grain rollup is one "
+    "co-partitioned partkey join + agg; per-point log terms land on the "
+    "6dp decimal grid (q158's discipline) so the per-type moment sums "
+    "are exact and order-insensitive; one double OLS expression per "
+    "type.",
+)
+def q164_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, lineitem = _t(spark, sf_dir, "part", "lineitem")
+    pq = (
+        part.join(
+            lineitem, F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy("p_partkey", "p_type", "p_retailprice")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+        .select(
+            "p_type",
+            floor_round(
+                F.log2((dec182("p_retailprice") * 100).cast("bigint")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("x"),
+            floor_round(F.log2("qty"), 6).cast("decimal(18,6)").alias("y"),
+        )
+    )
+    s = pq.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("sxx"),
+    )
+    m = F.col("m").cast("double")
+    slope = (
+        m * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        m * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return s.select(
+        "p_type",
+        F.col("m").cast("bigint").alias("n_parts"),
+        floor_round(slope, 6).alias("elasticity"),
+    ).orderBy("p_type")
+
+
+@register(
+    "q165_purchase_hazard",
+    oracle="""
+    WITH gaps AS (
+      SELECT LEAST(CAST(datediff('day', prev_d, d) AS BIGINT) // 30, 5)
+               AS bucket
+      FROM (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               LAG(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_d
+        FROM orders
+      ) WHERE prev_d IS NOT NULL
+    ),
+    counts AS (
+      SELECT bucket, COUNT(*) AS deaths FROM gaps GROUP BY bucket
+    ),
+    risk AS (
+      SELECT bucket, deaths,
+             SUM(deaths) OVER (ORDER BY bucket DESC) AS at_risk
+      FROM counts
+    )
+    SELECT CAST(bucket AS INT) AS gap_bucket,
+           CAST(deaths AS BIGINT) AS n_repurchased,
+           CAST(at_risk AS BIGINT) AS n_at_risk,
+           CAST(deaths * 10000 // at_risk AS INT) AS hazard_bp
+    FROM risk ORDER BY gap_bucket
+    """,
+    doc="Discrete repurchase hazard by 30-day gap bucket (survival "
+    "analysis over q144's inter-purchase gaps): of customers still "
+    "'alive' entering bucket k, what fraction repurchase in it — "
+    "h(k) = deaths_k / at-risk_k with at-risk the reverse-cumulative "
+    "death count. Gap extraction is one custkey-partitioned lag; "
+    "everything after is a <= 6-row bucket frame with exact-integer "
+    "basis-point hazards — no censoring model needed because every gap "
+    "observed IS a repurchase (open intervals after the last order are "
+    "right-censored and excluded by construction).",
+)
+def q165_purchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate"), "o_orderkey"
+    )
+    gaps = (
+        orders.select(
+            F.to_date("o_orderdate").alias("d"),
+            F.lag(F.to_date("o_orderdate")).over(w).alias("prev_d"),
+        )
+        .filter(F.col("prev_d").isNotNull())
+        .select(
+            F.least(
+                F.expr("CAST(datediff(d, prev_d) AS BIGINT) div 30"),
+                F.lit(5).cast("bigint"),
+            ).alias("bucket")
+        )
+    )
+    counts = gaps.groupBy("bucket").agg(F.count(F.lit(1)).alias("deaths"))
+    wr = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = counts.withColumn("at_risk", F.sum("deaths").over(wr))
+    return risk.select(
+        F.col("bucket").cast("int").alias("gap_bucket"),
+        F.col("deaths").cast("bigint").alias("n_repurchased"),
+        F.col("at_risk").cast("bigint").alias("n_at_risk"),
+        F.expr("CAST(deaths * 10000 DIV at_risk AS INT)").alias("hazard_bp"),
+    ).orderBy("gap_bucket")
+
+
+@register(
+    "q167_orphan_rate_trend",
+    oracle="""
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans,
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS INT) AS orphan_ppm
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Monthly FK-orphan rate: the q16 integrity check as a TREND — a "
+    "referential break that starts in one month points at a specific "
+    "upstream deploy, where a global count (q16) only says 'broken'. "
+    "One custkey join (customer side broadcast-eligible) + month "
+    "rollup; rates in exact parts-per-million so a single orphan among "
+    "millions of orders is visible as a nonzero integer.",
+)
+def q167_orphan_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left",
+    )
+    return (
+        j.groupBy(
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("ym")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_orphans"),
+        )
+        .select(
+            "ym",
+            "n_orders",
+            "n_orphans",
+            F.expr("CAST(n_orphans * 1000000 DIV n_orders AS INT)").alias(
+                "orphan_ppm"
+            ),
+        )
+        .orderBy("ym")
+    )
+
+
+@register(
+    "q166_cluster_size_histogram",
+    oracle=r"""
+    WITH RECURSIVE n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents WHERE doc_id < 250
+    ), sh AS (
+      SELECT doc_id, list(DISTINCT substr(norm, CAST(i AS INT), 5)) AS shingles
+      FROM n, UNNEST(range(1, GREATEST(length(norm) - 3, 2))) AS t(i)
+      GROUP BY doc_id
+    ), edges AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE FLOOR(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                  * 10000.0 + 0.5) / 10000.0 >= 0.5
+    ), und AS (
+      SELECT doc_a AS s, doc_b AS d FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ), reach(s, d) AS (
+      SELECT s, d FROM und
+      UNION
+      SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+    ), clusters AS (
+      SELECT LEAST(s, MIN(d)) AS cluster_id, s AS doc_id
+      FROM reach GROUP BY s
+    ), sizes AS (
+      SELECT cluster_id, COUNT(*) AS sz FROM clusters GROUP BY 1
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY sz ORDER BY cluster_size
+    """,
+    doc="Distribution of near-dup cluster sizes over q49's exact-Jaccard "
+    "transitive clusters: how much of the duplicate mass sits in pairs "
+    "vs boilerplate blobs, and the exact dedup yield (n_removable = "
+    "docs beyond one keeper per cluster) — the number a curation run "
+    "reports before dropping anything. Composes the memoized cluster "
+    "frame (shared with q49/q105, computed once per session) with a "
+    "two-level bounded aggregate.",
+)
+def q166_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.plans.extensions import _exact_clusters
+
+    clusters = _exact_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        sizes.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.sum(F.col("sz") - 1).cast("bigint").alias("n_removable"),
+        )
+        .select(
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+            "n_removable",
+        )
+        .orderBy("cluster_size")
+    )

@@ -40,88 +40,87 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-# Round-10 rotation (driver records the FIRST 50 entries), priority order:
-# (0) the six queries NEW this round (segment regression/correlation,
-# 30-day EWMA, Pareto/ABC via the distributed prefix sum, weekday
-# seasonality index, inter-purchase gap histogram, exact sliding-window
-# distinct users) — never recorded; (1) the queries whose operator code
-# CHANGED this round and must re-stamp on current code: q134 (diff.py
-# grew null-disambiguated partition fingerprints + both-side partition-
-# column validation — the r9 ADVICE items), q93 (ranking.py's ntile
-# slot typing gained the negative-scale decimal guard); (2) the last
-# seven r6-era rows (q109/q110/q111/q114/q115/q116/q84 — ROUND9.md's
-# handoff list; after r10 lands nothing older than r7 remains);
-# (3) the stalest r7-era rows in query order — 13 fit after the
-# floor-formula re-stamps claimed their slots; q50/q64/q67/q73/q74/q82/
-# q85/q87/q88/q89/q91/q92/q95/q96/q97/q100/q107/q108/q121/q123/q124
-# roll to r11 (r7-era, code UNCHANGED — their recorded rows stay valid).
+# Round-11 rotation (driver records the FIRST 50 entries). The list is
+# COUNTED from CORRECTNESS_r*.json latest-record rounds, not from memory
+# (the r10 roll note undercounted its own list — 21 r7-era rows, not 20,
+# and said "six new" where fourteen were listed; this comment is the
+# stamp bookkeeping future rounds rely on, so: 2+21+3+12+12 = 50).
+# Priority order:
+# (0) q154/q155 — registered late in r10, ZERO driver records;
+# (1) the 21 r7-era rows (code unchanged; record hygiene);
+# (2) queries whose code changed this round and must re-stamp:
+#     q149 (per-value entropy term moved to the floor formula — values
+#     on 7th-decimal midpoints change), q109/q116 (the shared banded
+#     signature subtree is now memoized/checkpointed and the verify
+#     shingle-sets persisted — values MUST be identical, re-stamp
+#     proves it on current code);
+# (3) the 12 queries NEW this round (q156-q167: Theil-Sen, autocorr,
+#     Zipf, soft-FD, chi-square digits, cross-source dup matrix,
+#     centroid distances, trigram TTR, price elasticity, purchase
+#     hazard, cluster-size histogram, orphan trend) — never recorded;
+# (4) the stalest r8-era rows in query order (q01-q12); the remaining
+#     r8-era rows (q13, q22, q26, q47, q52, q65, q66, q70, q71, q75,
+#     q81, q86, q90, q106, q112, q113, q118, q122, q126, q127, q128,
+#     q130, q132, q133) roll to r12.
 # Every name here is also swept by tests/test_queries.py +
 # tests/strict_gate.py against the same oracles, so reordering changes
 # what the driver RECORDS, never what is verified.
 _CHECK_FIRST = [
-    # --- (0) new this round, never recorded ---
-    "q140_segment_regression",
-    "q141_sales_ewma",
-    "q142_pareto_parts",
-    "q143_weekday_seasonality",
-    "q144_purchase_gap_histogram",
-    "q145_active_users_sliding",
-    "q146_weighted_price_percentiles",
-    "q147_customer_gini",
-    "q148_sales_cusum",
+    # --- (0) registered r10, never recorded ---
+    "q154_time_to_conversion",
+    "q155_new_vs_returning",
+    # --- (1) r7-era rows (all 21 — incl. q50, missed by r10's note) ---
+    "q50_curation_sample",
+    "q64_approx_distinct_sketch",
+    "q67_pii_redaction",
+    "q73_embedding_quantization",
+    "q74_source_overlap",
+    "q82_approx_percentile_sketch",
+    "q85_compression_quality",
+    "q87_stratified_cap_sample",
+    "q88_lang_metadata_agreement",
+    "q89_embedding_cluster_stats",
+    "q91_cohort_retention",
+    "q92_part_cooccurrence",
+    "q95_sentence_split_udtf",
+    "q96_event_transition_matrix",
+    "q97_daily_sales_anomalies",
+    "q100_etl_dataflow",
+    "q107_hopping_window",
+    "q108_identifier_linkage",
+    "q121_ann_recall_audit",
+    "q123_typo_linkage_degree",
+    "q124_join_key_skew",
+    # --- (2) code changed this round ---
     "q149_categorical_entropy",
-    "q150_truncation_audit",
-    "q151_supplier_hhi",
-    "q152_decile_lift",
-    "q153_seasonal_backtest",
-    # --- (1) code changed this round ---
-    "q134_pruned_snapshot_diff",
-    "q93_customer_rfm",
-    # surprisal/KL emits moved to the floor formula (q104 was RED at
-    # the r10 sf0.1 sweep — 4dp midpoints; q119/q120 carried the same
-    # latent class); values on 4dp midpoints change, so all three must
-    # re-stamp on the current code
-    "q104_unigram_surprisal",
-    "q119_bigram_surprisal",
-    "q120_source_kl_divergence",
-    # ... and the rest of the engine-native-ROUND class (small-integer
-    # quotients: jaccard, quality/repetition ratios, rates, shares)
-    # moved to the same floor formula — values on midpoints change, so
-    # every oracle-backed consumer re-stamps (q49/q109 already above/
-    # below in this window)
-    "q23_docs_quality",
-    "q57_ngram_jaccard_pairs",
-    "q69_repetition_filter",
-    "q72_language_rebalance",
-    "q77_label_centroids",
-    "q98_supplier_type_share",
-    "q99_priority_sla",
-    "q102_exact_jaccard_join",
-    "q103_duplicate_spans",
-    "q105_cluster_representatives",
-    "q117_quality_threshold_calibration",
-    # --- (2) the last seven r6-era rows (ROUND9.md handoff) ---
     "q109_minhash_lsh_replay",
-    "q110_hll_distinct_replay",
-    "q111_hdr_percentile_replay",
-    "q114_bloom_membership_audit",
-    "q115_compressibility_replay",
     "q116_lsh_bucket_audit",
-    "q84_split_leakage_check",
-    # --- (3) r7-era rows, query order (q124 rolls to r11) ---
-    "q15_dedupe_keep_last",
-    "q16_fk_violations",
-    "q19_top_parts_per_type",
-    "q25_minhash_neardup",
-    "q31_media_features",
-    "q34_ann_cosine_ivf",
-    "q35_sales_rollup",
-    "q36_status_pivot",
-    "q44_docs_rolling_fingerprint",
-    "q45_media_resize",
-    "q46_media_frame_sample",
-    "q48_pricing_summary",
-    "q49_dedup_clusters",
+    # --- (3) new this round, never recorded ---
+    "q156_theil_sen_trend",
+    "q157_sales_autocorrelation",
+    "q158_zipf_slope",
+    "q159_soft_fd_audit",
+    "q160_digit_uniformity_chi2",
+    "q161_cross_source_dup_matrix",
+    "q162_centroid_distance_matrix",
+    "q163_trigram_diversity",
+    "q164_price_elasticity",
+    "q165_purchase_hazard",
+    "q166_cluster_size_histogram",
+    "q167_orphan_rate_trend",
+    # --- (4) stalest r8-era rows, query order ---
+    "q01_table_counts",
+    "q02_orders_sample_topk",
+    "q03_sales_by_day",
+    "q04_sales_by_month",
+    "q05_top_products",
+    "q06_top_customers",
+    "q07_status_histogram",
+    "q08_avg_order_value",
+    "q09_parts_no_sales",
+    "q10_customers_no_orders",
+    "q11_last_order_details",
+    "q12_order_totals",
 ]
 
 

@@ -161,6 +161,9 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     # Zipf: rank assignment AFTER the top-1000 cut — the window runs
     # over exactly 1000 rows at any corpus size
     "q158_zipf_slope": 1,
+    # hazard: reverse-cumulative at-risk over the <= 6-row gap-bucket
+    # frame (buckets are div-30-capped-at-5 by construction)
+    "q165_purchase_hazard": 1,
 }
 
 
