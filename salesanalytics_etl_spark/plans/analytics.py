@@ -99,8 +99,11 @@ def q156_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_col="n",
     )
     n_days = daily.count()
+    # integer div, NOT '/': double division of an even n+1 yields x.5
+    # and the equality silently matches nothing (caught at sf0.1 by the
+    # exchange gate — sf0.01's odd pair count masked it)
     return ranked.filter(
-        F.col("r") == (F.col("n") + 1) / F.lit(2).cast("bigint")
+        F.col("r") == F.expr("(n + 1) div 2")
     ).select(
         floor_round(F.col("slope"), 6).alias("slope_cents_per_day"),
         F.col("n").cast("bigint").alias("n_pairs"),
@@ -840,4 +843,276 @@ def q166_cluster_size_histogram(
             "n_removable",
         )
         .orderBy("cluster_size")
+    )
+
+
+@register(
+    "q168_k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS m
+      FROM customer GROUP BY 1, 2
+    ),
+    ks AS (SELECT unnest([2, 5, 10]) AS k)
+    SELECT CAST(k AS INT) AS k,
+           CAST(SUM(CASE WHEN m < k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_below,
+           CAST(SUM(CASE WHEN m < k THEN m ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(m) AS BIGINT) AS min_group_size
+    FROM qi CROSS JOIN ks
+    GROUP BY k ORDER BY k
+    """,
+    doc="k-anonymity audit of the (nation, market-segment) quasi-"
+    "identifier: for k in {2,5,10}, how many equivalence classes fall "
+    "below k and how many customer rows they expose — the privacy "
+    "profiling gate before releasing a dimension extract (a class of "
+    "size 1 re-identifies its member from 'public' attributes alone). "
+    "One QI rollup (map-side combined, |QI classes| rows) crossed with "
+    "a 3-row k table; exact integers throughout.",
+)
+def q168_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _t(spark, sf_dir, "customer")
+    qi = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    ks = spark.createDataFrame([(2,), (5,), (10,)], "k INT")
+    return (
+        qi.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("m") < F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_groups_below"),
+            F.sum(F.when(F.col("m") < F.col("k"), F.col("m")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_at_risk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.min("m").cast("bigint").alias("min_group_size"),
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_groups_below",
+            "n_rows_at_risk",
+            "n_groups",
+            "min_group_size",
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "q169_packing_utilization",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             CAST(SUM(length(regexp_extract_all(text,
+               '[A-Za-z0-9]+|[぀-ヿ㐀-䶿一-鿿가-힯]'))) AS BIGINT)
+               AS src_tokens
+      FROM documents GROUP BY source
+    ),
+    ls AS (SELECT unnest([512, 1024, 2048, 4096]) AS len),
+    bins AS (
+      SELECT len, SUM((src_tokens + len - 1) // len) AS n_bins,
+             SUM(src_tokens) AS total_tokens
+      FROM t CROSS JOIN ls GROUP BY len
+    )
+    SELECT CAST(len AS INT) AS context_len,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(n_bins AS BIGINT) AS n_bins,
+           CAST(total_tokens * 10000 // (n_bins * len) AS INT)
+             AS utilization_bp
+    FROM bins ORDER BY context_len
+    """,
+    doc="Context-length utilization sweep for q71's concat-and-split "
+    "packing: at L in {512,1024,2048,4096}, how many L-token bins the "
+    "corpus needs (per-source concat ⇒ ceil(source_tokens/L) bins each, "
+    "only the last bin per source underfills) and the resulting token "
+    "utilization in basis points — the choose-your-context-length "
+    "capacity report. One token-count rollup to SOURCE grain, then a "
+    "4-row sweep; exact ceil-div integers.",
+)
+def q169_packing_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.text import token_count
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = documents.select(
+        "source", token_count(F.col("text")).alias("n_tokens")
+    ).groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("src_tokens")
+    )
+    ls = spark.createDataFrame([(512,), (1024,), (2048,), (4096,)], "len INT")
+    return (
+        t.crossJoin(F.broadcast(ls))
+        .groupBy("len")
+        .agg(
+            F.sum(
+                F.expr("(src_tokens + len - 1) div len")
+            ).alias("n_bins"),
+            F.sum("src_tokens").alias("total_tokens"),
+        )
+        .select(
+            F.col("len").cast("int").alias("context_len"),
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            F.col("n_bins").cast("bigint").alias("n_bins"),
+            F.expr(
+                "CAST(total_tokens * 10000 DIV (n_bins * len) AS INT)"
+            ).alias("utilization_bp"),
+        )
+        .orderBy("context_len")
+    )
+
+
+@register(
+    "q170_source_shingle_jaccard",
+    oracle=r"""
+    WITH n AS (
+      SELECT source,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source, substr(norm, CAST(i AS INT), 5) AS g
+      FROM n, UNNEST(range(1, GREATEST(length(norm) - 3, 2))) AS t(i)
+    ),
+    sizes AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS ov
+      FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(i.ov AS BIGINT) AS shared_shingles,
+           FLOOR(CAST(i.ov AS DOUBLE) / (sa.sz + sb.sz - i.ov)
+                 * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    ORDER BY 1, 2
+    """,
+    doc="Source-level 5-gram Jaccard similarity matrix: which SOURCES "
+    "share vocabulary-level content (boilerplate templates, mirrored "
+    "feeds) even when no single document pair crosses the near-dup "
+    "threshold — the corpus-composition complement to q161's exact-"
+    "fingerprint matrix. The shingle-grain join keys on the shingle "
+    "(only shingles present in 2+ sources produce rows) after a "
+    "(source, shingle) distinct; source grain keeps sizes/intersections "
+    "at |sources|^2 regardless of corpus size.",
+)
+def q170_source_shingle_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import (
+        normalize_text,
+        spread_partitions,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    n = spread_partitions(documents.select("source", "text")).select(
+        "source", normalize_text(F.col("text")).alias("norm")
+    )
+    sh = (
+        n.select(
+            "source",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("norm") - 4, F.lit(1))
+                )
+            ).alias("i"),
+            "norm",
+        )
+        .select("source", F.expr("substr(norm, i, 5)").alias("g"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("source").alias("source_a"), "g")
+    b = sh.select(F.col("source").alias("source_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("ov"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"),
+                    F.col("sz").alias("sza"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("sz").alias("szb"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("ov").cast("bigint").alias("shared_shingles"),
+            floor_round(
+                F.col("ov").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("ov")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "q171_source_length_deciles",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    ds AS (SELECT unnest(range(1, 10)) AS d)
+    SELECT source, CAST(d AS INT) AS decile,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked JOIN ds ON ranked.r = (ranked.n * ds.d + 9) // 10
+    ORDER BY source, decile
+    """,
+    doc="Per-source document-length deciles (nearest-rank, "
+    "ceil(n*d/10), total order (n_chars, doc_id)) — the length-"
+    "distribution fingerprint that catches a source whose scraper "
+    "started truncating. Rides append_group_rank: the rank is computed "
+    "on (source, length) RANGE partitions, so one giant source spans "
+    "executors instead of funneling into a per-source sort task (the "
+    "low-cardinality-partition straggler the plan linter hunts); the "
+    "decile pick is a 9-row broadcast join on exact integer ranks.",
+)
+def q171_source_length_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.ranking import append_group_rank
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    ranked = append_group_rank(
+        documents.select("source", "n_chars", "doc_id"),
+        ["source"],
+        [F.asc("n_chars"), F.asc("doc_id")],
+        out_col="r",
+        total_col="n",
+    )
+    ds = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    return (
+        ranked.crossJoin(F.broadcast(ds))
+        .filter(F.col("r") == F.expr("(n * d + 9) div 10"))
+        .select(
+            "source",
+            F.col("d").alias("decile"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("source", "decile")
     )

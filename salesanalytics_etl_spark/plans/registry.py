@@ -44,7 +44,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # COUNTED from CORRECTNESS_r*.json latest-record rounds, not from memory
 # (the r10 roll note undercounted its own list — 21 r7-era rows, not 20,
 # and said "six new" where fourteen were listed; this comment is the
-# stamp bookkeeping future rounds rely on, so: 2+21+3+12+12 = 50).
+# stamp bookkeeping future rounds rely on, so: 2+21+3+16+8 = 50).
 # Priority order:
 # (0) q154/q155 — registered late in r10, ZERO driver records;
 # (1) the 21 r7-era rows (code unchanged; record hygiene);
@@ -54,14 +54,16 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #     signature subtree is now memoized/checkpointed and the verify
 #     shingle-sets persisted — values MUST be identical, re-stamp
 #     proves it on current code);
-# (3) the 12 queries NEW this round (q156-q167: Theil-Sen, autocorr,
+# (3) the 16 queries NEW this round (q156-q171: Theil-Sen, autocorr,
 #     Zipf, soft-FD, chi-square digits, cross-source dup matrix,
 #     centroid distances, trigram TTR, price elasticity, purchase
-#     hazard, cluster-size histogram, orphan trend) — never recorded;
-# (4) the stalest r8-era rows in query order (q01-q12); the remaining
-#     r8-era rows (q13, q22, q26, q47, q52, q65, q66, q70, q71, q75,
-#     q81, q86, q90, q106, q112, q113, q118, q122, q126, q127, q128,
-#     q130, q132, q133) roll to r12.
+#     hazard, cluster-size histogram, orphan trend, k-anonymity,
+#     packing utilization, source-pair Jaccard, per-source length
+#     deciles) — never recorded, and never-recorded outranks stale;
+# (4) the stalest r8-era rows in query order (q01-q08); the remaining
+#     r8-era rows (q09-q13, q22, q26, q47, q52, q65, q66, q70, q71,
+#     q75, q81, q86, q90, q106, q112, q113, q118, q122, q126, q127,
+#     q128, q130, q132, q133) roll to r12.
 # Every name here is also swept by tests/test_queries.py +
 # tests/strict_gate.py against the same oracles, so reordering changes
 # what the driver RECORDS, never what is verified.
@@ -108,6 +110,10 @@ _CHECK_FIRST = [
     "q165_purchase_hazard",
     "q166_cluster_size_histogram",
     "q167_orphan_rate_trend",
+    "q168_k_anonymity_audit",
+    "q169_packing_utilization",
+    "q170_source_shingle_jaccard",
+    "q171_source_length_deciles",
     # --- (4) stalest r8-era rows, query order ---
     "q01_table_counts",
     "q02_orders_sample_topk",
@@ -117,10 +123,6 @@ _CHECK_FIRST = [
     "q06_top_customers",
     "q07_status_histogram",
     "q08_avg_order_value",
-    "q09_parts_no_sales",
-    "q10_customers_no_orders",
-    "q11_last_order_details",
-    "q12_order_totals",
 ]
 
 
