@@ -87,7 +87,9 @@ def append_global_rank(
     if materialize:
         local = local.localCheckpoint()
     counts = local.groupBy("_rk_pid").agg(F.count(F.lit(1)).alias("_rk_c"))
-    # bounded-grain global window: <= nparts rows regardless of data size
+    # bounded-grain global window: <= nparts rows regardless of data
+    # size — the WindowExec single-partition WARN it logs at sf0.1 is
+    # expected and benign (plan-lint counts and allowlists this class)
     wo = Window.orderBy("_rk_pid")
     offsets = counts.select(
         "_rk_pid",
@@ -178,7 +180,9 @@ def append_global_prefix_sum(
     if materialize:
         local = local.localCheckpoint()
     totals = local.groupBy("_ps_pid").agg(F.sum("_ps_v").alias("_ps_t"))
-    # bounded-grain global window: <= nparts rows regardless of data size
+    # bounded-grain global window: <= nparts rows regardless of data
+    # size — the WindowExec single-partition WARN it logs at sf0.1 is
+    # expected and benign (plan-lint counts and allowlists this class)
     wo = Window.orderBy("_ps_pid")
     offsets = totals.select(
         "_ps_pid",

@@ -963,6 +963,8 @@ def q58_mom_sales_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(year_month("o_orderdate").alias("order_month"))
         .agg(F.sum(dec182("l_extendedprice")).alias("m_dec"))
     )
+    # unpartitioned BY DESIGN over the |months|-bounded frame — the
+    # WindowExec WARN is expected/benign (plan-lint allowlisted bound)
     w = Window.orderBy("order_month")
     return monthly.select(
         "order_month",
@@ -1761,6 +1763,8 @@ def q79_rolling_7day_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day_no", F.datediff(F.col("order_date"), F.lit("1995-01-01"))
         )
     )
+    # unpartitioned BY DESIGN over the calendar-bounded DAY grain —
+    # the WindowExec WARN is expected/benign (plan-lint allowlisted)
     w = Window.orderBy("day_no").rangeBetween(-6, 0)
     stepped = daily.select(
         "order_date",
@@ -6312,6 +6316,8 @@ def q148_sales_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = daily.agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("tot")
     ).select(F.expr("tot div n").cast("bigint").alias("mu"))
+    # unpartitioned BY DESIGN over the calendar-bounded DAY grain —
+    # the WindowExec WARN is expected/benign (plan-lint allowlisted)
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     base = daily.crossJoin(F.broadcast(stats)).withColumn(
         "dev",

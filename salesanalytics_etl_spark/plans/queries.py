@@ -525,7 +525,10 @@ def q18_running_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dec182("l_extendedprice")).alias("day_sales_dec"))
     )
     # the running total accumulates in DECIMAL (exact — safe to window-sum
-    # in any engine); only the emitted columns are double
+    # in any engine); only the emitted columns are double.
+    # Unpartitioned BY DESIGN over the calendar-bounded DAY grain (the
+    # WindowExec single-partition WARN at sf0.1 is expected and benign;
+    # tests/test_plan_lint.py allowlists exactly this bounded class)
     w = Window.orderBy("order_date").rowsBetween(Window.unboundedPreceding, 0)
     return daily.select(
         "order_date",

@@ -451,3 +451,36 @@ def test_diff_apply_roundtrip(spark, old_rows, new_rows):
     feed = snapshot_diff(old, new, keys="k", include_values=True)
     rebuilt = apply_changes(old, feed, keys="k")
     assert sorted(map(tuple, rebuilt.collect())) == sorted(new_rows)
+
+
+# --- round 11: distributed selection agrees with brute force ------------
+
+_series = st.lists(
+    st.integers(min_value=-1000, max_value=1000),
+    min_size=2,
+    max_size=14,
+    unique=False,
+)
+
+
+@given(_series)
+@_SETTINGS
+def test_global_rank_median_pick_matches_bruteforce(spark, values):
+    """The q156 pattern — append_global_rank + r == (n+1) div 2 — must
+    return the exact lower median of an arbitrary value list (ties,
+    negatives, even/odd counts; the even count is the shape that broke
+    the double-division spelling this round)."""
+    from pyspark.sql import functions as F
+
+    from salesanalytics_etl_spark.operators.ranking import append_global_rank
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "i INT, v INT"
+    )
+    ranked = append_global_rank(
+        df, [F.asc("v"), F.asc("i")], out_col="r", total_col="n"
+    )
+    got = ranked.filter(F.col("r") == F.expr("(n + 1) div 2")).collect()
+    assert len(got) == 1
+    want = sorted(values)[(len(values) + 1) // 2 - 1]
+    assert got[0].v == want
