@@ -303,6 +303,43 @@ def portable_cell_assignment(
     )
 
 
+_ASSIGNMENT_MEMO: dict[tuple, DataFrame] = {}
+
+
+def portable_cell_assignment_cached(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize-once seam for :func:`portable_cell_assignment` (the
+    q109/q116 pattern applied to IVF): the corpus-scan argmax projection
+    is the dominant stage of all three portable-IVF consumers — the
+    replay join (q112), the cell-statistics report (q113), and the
+    recall audit (q122) — and a session running several recomputes it
+    per consumer. Keyed on (applicationId, semanticHash(corpus),
+    n_cells, id_col, vec_col); the checkpointed frame is (cid, cell,
+    cell_sim) — one narrow row per corpus vector. FIFO-bounded, oldest
+    evicted (dict insertion order, never popitem's LIFO)."""
+    key = (
+        corpus.sparkSession.sparkContext.applicationId,
+        corpus.semanticHash(),
+        n_cells,
+        id_col,
+        vec_col,
+    )
+    hit = _ASSIGNMENT_MEMO.get(key)
+    if hit is not None:
+        return hit
+    out = portable_cell_assignment(
+        corpus, n_cells, id_col, vec_col
+    ).localCheckpoint()
+    _ASSIGNMENT_MEMO[key] = out
+    while len(_ASSIGNMENT_MEMO) > 4:
+        del _ASSIGNMENT_MEMO[next(iter(_ASSIGNMENT_MEMO))]
+    return out
+
+
 def cosine_topk_ivf_portable(
     corpus: DataFrame,
     queries: DataFrame,
@@ -335,12 +372,13 @@ def cosine_topk_ivf_portable(
     no shuffle); the candidate join is an equi-join on cell id.
     """
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
-    # derive the anchor list ONCE (bounded: n_cells rows) and thread it
-    # through both consumers — assignment (literal-argmax projection) and
-    # the probe side (rebuilt as a local frame, no second corpus scan)
+    # the anchor list is bounded (n_cells rows) and feeds the probe side;
+    # the corpus ASSIGNMENT comes from the memoized checkpoint (same
+    # anchors by construction — both derive the md5-smallest sample), so
+    # q112/q113/q122 and repeat passes share one corpus argmax scan
     anchor_rows = _portable_anchors(corpus, n_cells, id_col, vec_col).collect()
-    cells = portable_cell_assignment(
-        corpus, n_cells, id_col, vec_col, anchor_rows=anchor_rows
+    cells = portable_cell_assignment_cached(
+        corpus, n_cells, id_col, vec_col
     ).select("cid", "cell")
     anchors = corpus.sparkSession.createDataFrame(
         [(int(r.anchor_id), [float(x) for x in r.a_vec]) for r in anchor_rows],

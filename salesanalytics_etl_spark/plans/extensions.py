@@ -3613,10 +3613,12 @@ def q112_ivf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate - no shuffle wider than the cell ids at any data size",
 )
 def q113_cell_stats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from salesanalytics_etl_spark.operators.ivf import portable_cell_assignment
+    from salesanalytics_etl_spark.operators.ivf import (
+        portable_cell_assignment_cached,
+    )
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
-    cells = portable_cell_assignment(embeddings)
+    cells = portable_cell_assignment_cached(embeddings)
     micro = F.floor(F.col("cell_sim") * 1000000 + F.lit(0.5)).cast("long")
     return cells.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"),

@@ -44,7 +44,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # COUNTED from CORRECTNESS_r*.json latest-record rounds, not from memory
 # (the r10 roll note undercounted its own list — 21 r7-era rows, not 20,
 # and said "six new" where fourteen were listed; this comment is the
-# stamp bookkeeping future rounds rely on, so: 2+21+3+16+8 = 50).
+# stamp bookkeeping future rounds rely on, so: 2+21+6+16+5 = 50).
 # Priority order:
 # (0) q154/q155 — registered late in r10, ZERO driver records;
 # (1) the 21 r7-era rows (code unchanged; record hygiene);
@@ -53,17 +53,19 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #     on 7th-decimal midpoints change), q109/q116 (the shared banded
 #     signature subtree is now memoized/checkpointed and the verify
 #     shingle-sets persisted — values MUST be identical, re-stamp
-#     proves it on current code);
+#     proves it on current code), q112/q113/q122 (the portable IVF
+#     assignment got the same materialize-once memo — same re-stamp
+#     rationale);
 # (3) the 16 queries NEW this round (q156-q171: Theil-Sen, autocorr,
 #     Zipf, soft-FD, chi-square digits, cross-source dup matrix,
 #     centroid distances, trigram TTR, price elasticity, purchase
 #     hazard, cluster-size histogram, orphan trend, k-anonymity,
 #     packing utilization, source-pair Jaccard, per-source length
 #     deciles) — never recorded, and never-recorded outranks stale;
-# (4) the stalest r8-era rows in query order (q01-q08); the remaining
-#     r8-era rows (q09-q13, q22, q26, q47, q52, q65, q66, q70, q71,
-#     q75, q81, q86, q90, q106, q112, q113, q118, q122, q126, q127,
-#     q128, q130, q132, q133) roll to r12.
+# (4) the stalest r8-era rows in query order (q01-q05); the remaining
+#     r8-era rows (q06-q13, q22, q26, q47, q52, q65, q66, q70, q71,
+#     q75, q81, q86, q90, q106, q118, q126, q127, q128, q130, q132,
+#     q133) roll to r12.
 # Every name here is also swept by tests/test_queries.py +
 # tests/strict_gate.py against the same oracles, so reordering changes
 # what the driver RECORDS, never what is verified.
@@ -97,6 +99,9 @@ _CHECK_FIRST = [
     "q149_categorical_entropy",
     "q109_minhash_lsh_replay",
     "q116_lsh_bucket_audit",
+    "q112_ivf_replay",
+    "q113_cell_stats_replay",
+    "q122_ivf_recall_audit",
     # --- (3) new this round, never recorded ---
     "q156_theil_sen_trend",
     "q157_sales_autocorrelation",
@@ -120,9 +125,6 @@ _CHECK_FIRST = [
     "q03_sales_by_day",
     "q04_sales_by_month",
     "q05_top_products",
-    "q06_top_customers",
-    "q07_status_histogram",
-    "q08_avg_order_value",
 ]
 
 
