@@ -23,10 +23,18 @@ from salesanalytics_etl_spark.schemas import DRIVER_TABLES
 
 
 def run_oracle(sql: str, sf_dir: str):
+    import os
+
     con = duckdb.connect()
     for t in DRIVER_TABLES:
+        # driver testdata ships single parquet FILES; Spark-written probe
+        # tables (tools/scale_probe.py) are DIRECTORIES of part files —
+        # glob those so the oracle can gate at probe volumes too
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
