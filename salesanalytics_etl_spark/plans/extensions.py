@@ -555,11 +555,13 @@ def _exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "queries × one corpus scan, zip_with/aggregate dot products",
 )
 def q27_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from salesanalytics_etl_spark.operators.similarity import cosine_topk_bruteforce
+    from salesanalytics_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce_cached,
+    )
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     queries = embeddings.filter(F.col("vec_id") < 10)
-    return cosine_topk_bruteforce(embeddings, queries, k=5)
+    return cosine_topk_bruteforce_cached(embeddings, queries, k=5)
 
 
 @register(
@@ -4157,13 +4159,13 @@ def q120_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q121_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from salesanalytics_etl_spark.operators.similarity import (
-        cosine_topk_bruteforce,
+        cosine_topk_bruteforce_cached,
         cosine_topk_lsh,
     )
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     queries = embeddings.filter(F.col("vec_id") < 10)
-    exact = cosine_topk_bruteforce(embeddings, queries, k=5).select(
+    exact = cosine_topk_bruteforce_cached(embeddings, queries, k=5).select(
         "query_id", "neighbor_id"
     )
     approx = (
@@ -4262,12 +4264,12 @@ def q121_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q122_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from salesanalytics_etl_spark.operators.ivf import cosine_topk_ivf_portable
     from salesanalytics_etl_spark.operators.similarity import (
-        cosine_topk_bruteforce,
+        cosine_topk_bruteforce_cached,
     )
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     queries = embeddings.filter(F.col("vec_id") < 10)
-    exact = cosine_topk_bruteforce(embeddings, queries, k=5).select(
+    exact = cosine_topk_bruteforce_cached(embeddings, queries, k=5).select(
         "query_id", "neighbor_id"
     )
     approx = (

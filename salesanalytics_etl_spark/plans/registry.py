@@ -44,7 +44,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # COUNTED from CORRECTNESS_r*.json latest-record rounds, not from memory
 # (the r10 roll note undercounted its own list — 21 r7-era rows, not 20,
 # and said "six new" where fourteen were listed; this comment is the
-# stamp bookkeeping future rounds rely on, so: 2+21+6+16+5 = 50).
+# stamp bookkeeping future rounds rely on, so: 2+21+7+16+4 = 50).
 # Priority order:
 # (0) q154/q155 — registered late in r10, ZERO driver records;
 # (1) the 21 r7-era rows (code unchanged; record hygiene);
@@ -54,16 +54,17 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #     signature subtree is now memoized/checkpointed and the verify
 #     shingle-sets persisted — values MUST be identical, re-stamp
 #     proves it on current code), q112/q113/q122 (the portable IVF
-#     assignment got the same materialize-once memo — same re-stamp
-#     rationale);
+#     assignment got the same materialize-once memo) and q27 (the
+#     exact top-k ground truth got it too, shared with both recall
+#     audits q121/q122 — q121 is already in section (1));
 # (3) the 16 queries NEW this round (q156-q171: Theil-Sen, autocorr,
 #     Zipf, soft-FD, chi-square digits, cross-source dup matrix,
 #     centroid distances, trigram TTR, price elasticity, purchase
 #     hazard, cluster-size histogram, orphan trend, k-anonymity,
 #     packing utilization, source-pair Jaccard, per-source length
 #     deciles) — never recorded, and never-recorded outranks stale;
-# (4) the stalest r8-era rows in query order (q01-q05); the remaining
-#     r8-era rows (q06-q13, q22, q26, q47, q52, q65, q66, q70, q71,
+# (4) the stalest r8-era rows in query order (q01-q04); the remaining
+#     r8-era rows (q05-q13, q22, q26, q47, q52, q65, q66, q70, q71,
 #     q75, q81, q86, q90, q106, q118, q126, q127, q128, q130, q132,
 #     q133) roll to r12.
 # Every name here is also swept by tests/test_queries.py +
@@ -102,6 +103,7 @@ _CHECK_FIRST = [
     "q112_ivf_replay",
     "q113_cell_stats_replay",
     "q122_ivf_recall_audit",
+    "q27_ann_cosine_topk",
     # --- (3) new this round, never recorded ---
     "q156_theil_sen_trend",
     "q157_sales_autocorrelation",
@@ -124,7 +126,6 @@ _CHECK_FIRST = [
     "q02_orders_sample_topk",
     "q03_sales_by_day",
     "q04_sales_by_month",
-    "q05_top_products",
 ]
 
 
