@@ -342,7 +342,9 @@ def _portable_perm_constants(n: int = N_HASHES) -> list[int]:
     ]
 
 
-_BANDED_MEMO: dict[tuple, DataFrame] = {}
+from salesanalytics_etl_spark.operators.memo import register_memo
+
+_BANDED_MEMO: dict[tuple, DataFrame] = register_memo({})
 
 
 def _portable_banded_cached(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -356,6 +358,11 @@ def _portable_banded_cached(df: DataFrame, text_col: str = "text") -> DataFrame:
     is (doc_id, band_id, band_key) — N_BANDS rows/doc, tiny next to the
     corpus. FIFO-bounded (OLDEST evicted — dict insertion order, never
     popitem's LIFO); evicted frames release their blocks on GC.
+
+    semanticHash is PLAN identity, not DATA identity: inputs must be
+    immutable for the application's lifetime, or the caller must
+    ``memo.clear_materialize_memos()`` after overwriting them (see
+    ``operators/memo.py`` for the full contract).
     """
     key = (
         df.sparkSession.sparkContext.applicationId,
@@ -432,6 +439,10 @@ def lsh_bucket_audit(
     counts — the SAME exchange the candidate pipeline already does —
     then a 6-row aggregate. No pair expansion anywhere, so the audit is
     safe to run on a corpus whose caps WOULD explode the pair join.
+
+    Memoized input contract: the banded-signature subtree is cached on
+    plan identity — ``df``'s underlying files must not be overwritten
+    mid-application, else call ``memo.clear_materialize_memos()`` first.
     """
     bsize = (
         _portable_banded_cached(df, text_col)
@@ -484,6 +495,10 @@ def minhash_near_dupes_portable(
     budget-gated off at gate scale in production too). Shuffle shape is
     unchanged: signature groupBy on doc_id, candidate equi-join on
     (band_id, band_key), verify joins on doc ids.
+
+    Memoized input contract: the banded-signature subtree is cached on
+    plan identity — ``df``'s underlying files must not be overwritten
+    mid-application, else call ``memo.clear_materialize_memos()`` first.
     """
     t_bp = int(round(threshold * 10000))
     # checkpointed + memoized: bucket sizing and both sides of the pair

@@ -303,7 +303,39 @@ def portable_cell_assignment(
     )
 
 
-_ASSIGNMENT_MEMO: dict[tuple, DataFrame] = {}
+from salesanalytics_etl_spark.operators.memo import register_memo
+
+_ASSIGNMENT_MEMO: dict[tuple, DataFrame] = register_memo({})
+_ANCHORS_MEMO: dict[tuple, list] = register_memo({})
+
+
+def _portable_anchors_cached(
+    corpus: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> list:
+    """Collect-once seam for :func:`_portable_anchors`: the anchor sample
+    is a corpus scan + n_cells-row collect consumed by BOTH the probe
+    side of :func:`cosine_topk_ivf_portable` and the assignment argmax
+    (:func:`portable_cell_assignment`) — without this, one cold IVF call
+    derived it twice (correct — the md5-smallest sample is deterministic
+    — but one whole extra corpus scan). Keyed like the assignment memo;
+    the cached value is the BOUNDED anchor row list (n_cells rows), so
+    no checkpoint is needed. Same immutable-input contract as every
+    semanticHash-keyed memo (``operators/memo.py``)."""
+    key = (
+        corpus.sparkSession.sparkContext.applicationId,
+        corpus.semanticHash(),
+        n_cells,
+        id_col,
+        vec_col,
+    )
+    hit = _ANCHORS_MEMO.get(key)
+    if hit is not None:
+        return hit
+    rows = _portable_anchors(corpus, n_cells, id_col, vec_col).collect()
+    _ANCHORS_MEMO[key] = rows
+    while len(_ANCHORS_MEMO) > 4:
+        del _ANCHORS_MEMO[next(iter(_ANCHORS_MEMO))]
+    return rows
 
 
 def portable_cell_assignment_cached(
@@ -320,7 +352,12 @@ def portable_cell_assignment_cached(
     per consumer. Keyed on (applicationId, semanticHash(corpus),
     n_cells, id_col, vec_col); the checkpointed frame is (cid, cell,
     cell_sim) — one narrow row per corpus vector. FIFO-bounded, oldest
-    evicted (dict insertion order, never popitem's LIFO)."""
+    evicted (dict insertion order, never popitem's LIFO).
+
+    semanticHash is PLAN identity, not DATA identity: inputs must be
+    immutable for the application's lifetime, or the caller must
+    ``memo.clear_materialize_memos()`` after overwriting them (see
+    ``operators/memo.py`` for the full contract)."""
     key = (
         corpus.sparkSession.sparkContext.applicationId,
         corpus.semanticHash(),
@@ -332,7 +369,11 @@ def portable_cell_assignment_cached(
     if hit is not None:
         return hit
     out = portable_cell_assignment(
-        corpus, n_cells, id_col, vec_col
+        corpus,
+        n_cells,
+        id_col,
+        vec_col,
+        anchor_rows=_portable_anchors_cached(corpus, n_cells, id_col, vec_col),
     ).localCheckpoint()
     _ASSIGNMENT_MEMO[key] = out
     while len(_ASSIGNMENT_MEMO) > 4:
@@ -370,13 +411,19 @@ def cosine_topk_ivf_portable(
     Scale: anchors are a bounded broadcast (n_cells rows); assignment is
     one broadcast nested-loop over the corpus scan (n_cells sims/row,
     no shuffle); the candidate join is an equi-join on cell id.
+
+    Memoized input contract: the anchor sample and cell assignment are
+    cached on plan identity — ``corpus``'s underlying files must not be
+    overwritten mid-application, else call
+    ``memo.clear_materialize_memos()`` first.
     """
     c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
     # the anchor list is bounded (n_cells rows) and feeds the probe side;
-    # the corpus ASSIGNMENT comes from the memoized checkpoint (same
-    # anchors by construction — both derive the md5-smallest sample), so
-    # q112/q113/q122 and repeat passes share one corpus argmax scan
-    anchor_rows = _portable_anchors(corpus, n_cells, id_col, vec_col).collect()
+    # the collect itself is memoized, and the corpus ASSIGNMENT below
+    # consumes the SAME cached rows through its own memoized checkpoint —
+    # so q112/q113/q122 and repeat passes share one anchor-sample scan
+    # and one corpus argmax scan between them
+    anchor_rows = _portable_anchors_cached(corpus, n_cells, id_col, vec_col)
     cells = portable_cell_assignment_cached(
         corpus, n_cells, id_col, vec_col
     ).select("cid", "cell")

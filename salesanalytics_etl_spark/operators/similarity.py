@@ -234,7 +234,9 @@ def cosine_topk_bruteforce(
     )
 
 
-_BRUTEFORCE_MEMO: dict[tuple, DataFrame] = {}
+from salesanalytics_etl_spark.operators.memo import register_memo
+
+_BRUTEFORCE_MEMO: dict[tuple, DataFrame] = register_memo({})
 
 
 def cosine_topk_bruteforce_cached(
@@ -250,7 +252,12 @@ def cosine_topk_bruteforce_cached(
     IVF) with identical arguments — each was re-scoring the full corpus.
     The checkpointed frame is k rows per query (bounded). Keyed on
     (applicationId, semanticHash(corpus), semanticHash(queries), k,
-    cols); FIFO-bounded, oldest evicted."""
+    cols); FIFO-bounded, oldest evicted.
+
+    semanticHash is PLAN identity, not DATA identity: inputs must be
+    immutable for the application's lifetime, or the caller must
+    ``memo.clear_materialize_memos()`` after overwriting them (see
+    ``operators/memo.py`` for the full contract)."""
     key = (
         corpus.sparkSession.sparkContext.applicationId,
         corpus.semanticHash(),

@@ -217,8 +217,35 @@ def break_stale_lock(path: str, min_age_seconds: float = 3600.0) -> bool:
     return True
 
 
+def _recover_swap_old(path: str) -> None:
+    """Repair a crashed directory swap. MUST be called under the lock.
+
+    :func:`merge_upsert_table`'s whole-table path swaps directories with
+    two renames: ``path -> path.__swap_old__`` then ``staging -> path``.
+    A crash between them leaves ``path`` MISSING and the live table
+    stranded in ``.__swap_old__`` — the next merge would otherwise take
+    the first-load branch and silently replace the table with just the
+    incoming batch. A crash after the second rename (before the rmtree)
+    leaves an obsolete ``.__swap_old__`` beside a healthy table, which
+    would make the next swap's ``os.rename(path, old)`` raise.
+
+    Recovery is unambiguous in both states: restore the old dir when the
+    table is missing (it IS the table), remove it when the table exists
+    (the swap completed; old is superseded).
+    """
+    import shutil
+
+    old = path.rstrip("/") + ".__swap_old__"
+    if not os.path.exists(old):
+        return
+    if os.path.exists(path):
+        shutil.rmtree(old)  # swap completed; old state is superseded
+    else:
+        os.rename(old, path)  # swap half-done; old state IS the table
+
+
 def vacuum_stale_staging(path: str, min_age_seconds: float = 3600.0) -> bool:
-    """Remove a crashed merge's leftover staging directory.
+    """Remove a crashed merge's leftover staging or swap-old directory.
 
     :func:`_stage_and_swap` removes its ``<path>.__swap_staging__`` in a
     ``finally:``, but a hard crash (OOM kill, node loss) between the
@@ -235,26 +262,34 @@ def vacuum_stale_staging(path: str, min_age_seconds: float = 3600.0) -> bool:
 
     Returns True when a stale staging dir was removed. The next merge
     is correct either way — the staging write is ``mode("overwrite")``
-    — so this is about disk hygiene, not correctness.
+    — so the staging half is disk hygiene, not correctness. The
+    ``.__swap_old__`` half (a crash inside the whole-table rename swap)
+    IS correctness-bearing and is repaired here too, via
+    :func:`_recover_swap_old` under the same lock: a stranded old dir
+    with the table missing is renamed back (it is the table); with the
+    table present it is removed (the swap completed).
     """
     import shutil
 
     staging = path.rstrip("/") + ".__swap_staging__"
-    if not os.path.exists(staging):
+    had_old = os.path.exists(path.rstrip("/") + ".__swap_old__")
+    if not os.path.exists(staging) and not had_old:
         return False
-    newest = os.path.getmtime(staging)
-    for dp, _, fs in os.walk(staging):
-        for f in fs:
-            try:
-                newest = max(newest, os.path.getmtime(os.path.join(dp, f)))
-            except OSError:
-                pass  # file vanished mid-walk — a live writer; recency
-                # is refreshed by its remaining siblings
-    if time.time() - newest < min_age_seconds:
-        return False
+    if os.path.exists(staging):
+        newest = os.path.getmtime(staging)
+        for dp, _, fs in os.walk(staging):
+            for f in fs:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(dp, f)))
+                except OSError:
+                    pass  # file vanished mid-walk — a live writer; recency
+                    # is refreshed by its remaining siblings
+        if time.time() - newest < min_age_seconds:
+            return False
     with single_writer_lock(path, owner="vacuum_stale_staging"):
+        _recover_swap_old(path)
         if not os.path.exists(staging):
-            return False  # a concurrent vacuum won
+            return had_old  # swap-old handled; no staging to reclaim
         shutil.rmtree(staging, ignore_errors=True)
         return True
 
@@ -746,6 +781,11 @@ def merge_upsert_table(
         merge_upsert_partitioned(spark, path, incoming, keys, partition_by)
         return
     with single_writer_lock(path, owner="merge_upsert_table"):
+        # A crash between the two renames below leaves the table
+        # stranded in .__swap_old__ with `path` missing; repair BEFORE
+        # the first-load existence check or that state would be
+        # mistaken for an empty table and replaced by the batch alone.
+        _recover_swap_old(path)
         if not os.path.exists(path):
             incoming.write.parquet(path)
             return
@@ -753,8 +793,9 @@ def merge_upsert_table(
         merged = merge_upsert(target, incoming, keys)
         # Spark cannot overwrite a path it is reading: stage the merged
         # state beside the table, then swap directories. The swap window
-        # is covered by the writer lock; a crash leaves either the old
-        # table or the staged dir (vacuum_stale_staging reclaims it).
+        # is covered by the writer lock; a crash leaves the old table,
+        # the staged dir, or a half-swapped .__swap_old__ — all three
+        # reclaimed by vacuum_stale_staging / _recover_swap_old.
         import shutil
 
         staging = path.rstrip("/") + ".__swap_staging__"

@@ -67,6 +67,90 @@ def test_bruteforce_memo_value_transparent(spark):
     assert cached == plain
 
 
+def test_clear_materialize_memos_invalidates_every_memo(spark):
+    """The r11 ADVICE invalidation hook: semanticHash keys are PLAN
+    identity, so in-session read-after-write pipelines must be able to
+    drop every cached frame in one call — and the next call re-derives
+    a FRESH entry rather than erroring or serving the dropped one."""
+    from salesanalytics_etl_spark.operators import dedup as D
+    from salesanalytics_etl_spark.operators import ivf as I
+    from salesanalytics_etl_spark.operators import similarity as S
+    from salesanalytics_etl_spark.operators.memo import (
+        clear_materialize_memos,
+    )
+
+    docs = _docs(spark, ["clear hook corpus alpha", "clear hook beta"])
+    emb = spark.createDataFrame(
+        [(i, [float(i), 2.0, 1.0]) for i in range(12)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    banded = D._portable_banded_cached(docs)
+    assigned = I.portable_cell_assignment_cached(emb, n_cells=3)
+    topk = S.cosine_topk_bruteforce_cached(
+        emb, emb.filter(F.col("vec_id") < 2), k=2
+    )
+    assert len(D._BANDED_MEMO) >= 1
+    assert len(I._ASSIGNMENT_MEMO) >= 1 and len(I._ANCHORS_MEMO) >= 1
+    assert len(S._BRUTEFORCE_MEMO) >= 1
+    dropped = clear_materialize_memos()
+    assert dropped >= 4
+    for memo in (
+        D._BANDED_MEMO,
+        I._ASSIGNMENT_MEMO,
+        I._ANCHORS_MEMO,
+        S._BRUTEFORCE_MEMO,
+    ):
+        assert len(memo) == 0
+    # post-clear calls re-derive fresh, value-identical entries
+    assert D._portable_banded_cached(docs) is not banded
+    assert I.portable_cell_assignment_cached(emb, n_cells=3) is not assigned
+    assert sorted(
+        map(tuple, I.portable_cell_assignment_cached(emb, n_cells=3).collect())
+    ) == sorted(map(tuple, assigned.collect()))
+    assert (
+        S.cosine_topk_bruteforce_cached(
+            emb, emb.filter(F.col("vec_id") < 2), k=2
+        )
+        is not topk
+    )
+    clear_materialize_memos()
+
+
+def test_cold_ivf_call_derives_anchors_once(spark, monkeypatch):
+    """The r11 ADVICE double-derivation: one cold cosine_topk_ivf_portable
+    call must scan the corpus for its anchor sample exactly ONCE — the
+    probe side and the memoized assignment share _portable_anchors_cached.
+    """
+    from salesanalytics_etl_spark.operators import ivf as I
+    from salesanalytics_etl_spark.operators.memo import (
+        clear_materialize_memos,
+    )
+
+    clear_materialize_memos()
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4), float(i % 7), 1.0]) for i in range(24)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    calls = {"n": 0}
+    real = I._portable_anchors
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(I, "_portable_anchors", counting)
+    out = I.cosine_topk_ivf_portable(
+        emb, emb.filter(F.col("vec_id") < 2), k=3, n_cells=4
+    )
+    assert out.count() > 0
+    assert calls["n"] == 1  # cold path: one anchor derivation total
+    # a second consumer of the same corpus hits the anchor memo: no new
+    # derivation at all
+    I.portable_cell_assignment_cached(emb, n_cells=4).count()
+    assert calls["n"] == 1
+    clear_materialize_memos()
+
+
 def test_memo_eviction_is_fifo_oldest_first(spark):
     from salesanalytics_etl_spark.operators import dedup as D
 

@@ -50,6 +50,73 @@ def test_parquet_backend_routes_partitioned(spark, tmp_path):
     assert got[0] == 99.0 and len(got) == 8
 
 
+def test_half_swapped_table_is_recovered_not_replaced(spark, tmp_path):
+    """The r11 ADVICE crash window: a crash BETWEEN the swap's two
+    renames leaves `path` missing and the live table stranded in
+    `.__swap_old__`. The next merge must restore it and merge on top —
+    never take the first-load branch and replace the table with just
+    the incoming batch."""
+    import os
+
+    path = str(tmp_path / "t_half")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k INT, s STRING, v DOUBLE"
+    )
+    merge_upsert_table(spark, path, base, ["k"])
+    # simulate the crash: first rename done, second never happened
+    os.rename(path, path + ".__swap_old__")
+    assert not os.path.exists(path)
+    batch = spark.createDataFrame([(3, "c", 3.0)], "k INT, s STRING, v DOUBLE")
+    merge_upsert_table(spark, path, batch, ["k"])
+    assert _rows(spark, path) == [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+    assert not os.path.exists(path + ".__swap_old__")
+
+
+def test_stale_swap_old_beside_healthy_table_is_cleared(spark, tmp_path):
+    """Crash AFTER the second rename but before the rmtree: an obsolete
+    `.__swap_old__` sits beside a healthy table and would make the next
+    swap's os.rename(path, old) raise. The next merge must clear it and
+    proceed; the old dir's stale rows must NOT resurface."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "t_stale")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k INT, s STRING, v DOUBLE"
+    )
+    merge_upsert_table(spark, path, base, ["k"])
+    shutil.copytree(path, path + ".__swap_old__")  # obsolete previous state
+    batch = spark.createDataFrame(
+        [(2, "B", 20.0), (3, "c", 3.0)], "k INT, s STRING, v DOUBLE"
+    )
+    merge_upsert_table(spark, path, batch, ["k"])
+    assert _rows(spark, path) == [(1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0)]
+    assert not os.path.exists(path + ".__swap_old__")
+
+
+def test_vacuum_reclaims_swap_old_both_states(spark, tmp_path):
+    """vacuum_stale_staging also repairs the swap-old states: restores
+    the table when `path` is missing (the old dir IS the table), removes
+    the old dir when `path` exists (swap completed)."""
+    import os
+    import shutil
+
+    from salesanalytics_etl_spark.operators.upsert import vacuum_stale_staging
+
+    path = str(tmp_path / "t_vac")
+    base = spark.createDataFrame([(1, "a", 1.0)], "k INT, s STRING, v DOUBLE")
+    merge_upsert_table(spark, path, base, ["k"])
+    # state A: table present + obsolete old dir → removed
+    shutil.copytree(path, path + ".__swap_old__")
+    assert vacuum_stale_staging(path) is True
+    assert os.path.exists(path) and not os.path.exists(path + ".__swap_old__")
+    # state B: table missing, stranded in old → renamed back
+    os.rename(path, path + ".__swap_old__")
+    assert vacuum_stale_staging(path) is True
+    assert os.path.exists(path) and not os.path.exists(path + ".__swap_old__")
+    assert _rows(spark, path) == [(1, "a", 1.0)]
+
+
 def test_unknown_format_raises(spark, tmp_path):
     df = spark.createDataFrame([(1,)], "k INT")
     with pytest.raises(ValueError, match="unknown table_format"):
