@@ -364,3 +364,89 @@ def test_two_level_agg_exchange_budget(spark, sf_dir, name):
     read_schema = _TWO_LEVEL_AGG[name]
     if read_schema:
         assert read_schema in plan, f"{name}: scan not pruned to {read_schema}"
+
+
+# --- integer-rank-pick invariant (the r11 q156/q171 bug class) --------
+#
+# An equality filter against a derived rank/offset spelled with `/`
+# (fractional Divide) compares an integer rank to a DOUBLE — green when
+# the count makes the quotient land on an integer (sf0.01's odd pair
+# count), 0 rows when it doesn't (sf0.1's even count). The invariant:
+# NO registered query may plan an EqualTo/EqualNullSafe whose expression
+# subtree contains a double/float-typed Divide — rank picks must be
+# integer arithmetic end-to-end (`(n + 1) div 2`, IntegralDivide).
+# Decimal divides are excluded (exact arithmetic, different pattern);
+# inequality comparisons are excluded (thresholds on ratios are fine).
+
+
+def _iter_logical_nodes(node):
+    yield node
+    cls = node.getClass().getSimpleName()
+    if cls == "InMemoryRelation":
+        try:
+            yield from _iter_logical_nodes(node.cachedPlan().logicalLink().get())
+        except Exception:
+            pass
+        return
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _iter_logical_nodes(it.next())
+
+
+def _iter_expr_tree(e):
+    yield e
+    it = e.children().iterator()
+    while it.hasNext():
+        yield from _iter_expr_tree(it.next())
+
+
+def _double_divide_equalities(df) -> list[str]:
+    """EqualTo/EqualNullSafe expressions whose subtree contains a
+    fractional double/float Divide, across the optimized logical plan."""
+    hits = []
+    for node in _iter_logical_nodes(df._jdf.queryExecution().optimizedPlan()):
+        eit = node.expressions().iterator()
+        while eit.hasNext():
+            for e in _iter_expr_tree(eit.next()):
+                if e.getClass().getSimpleName() not in (
+                    "EqualTo",
+                    "EqualNullSafe",
+                ):
+                    continue
+                for sub in _iter_expr_tree(e):
+                    if sub.getClass().getSimpleName() == "Divide" and (
+                        sub.dataType().simpleString() in ("double", "float")
+                    ):
+                        hits.append(e.toString()[:200])
+                        break
+    return hits
+
+
+def test_rank_pick_lint_flags_planted_regression(spark):
+    """The lint must go RED on the exact q156 bug shape (`/` against a
+    row_number-derived rank) and GREEN on the integer-`div` fix."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "k INT, v DOUBLE"
+    )
+    r = df.withColumn(
+        "r", F.row_number().over(Window.orderBy("v"))
+    ).withColumn("n", F.count("*").over(Window.partitionBy()))
+    bad = r.filter(F.col("r") == (F.col("n") + 1) / 2)
+    good = r.filter(F.col("r") == F.expr("(n + 1) div 2"))
+    assert _double_divide_equalities(bad), "planted `/` regression missed"
+    assert not _double_divide_equalities(good), "`div` form false-positived"
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_no_double_divide_equality(spark, sf_dir, name):
+    df = all_queries()[name](spark, sf_dir)
+    hits = _double_divide_equalities(df)
+    assert not hits, (
+        f"{name} plans an equality against a double division — the "
+        f"q156/q171 class (integer-true at some SFs, empty at others); "
+        f"use integer `div` end-to-end for rank/offset picks:\n"
+        + "\n".join(hits)
+    )
