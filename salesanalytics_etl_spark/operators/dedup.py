@@ -588,6 +588,83 @@ def minhash_near_dupes_portable(
     return out
 
 
+def source_minhash_jaccard(
+    df: DataFrame, key_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Pairwise MinHash-ESTIMATED shingle Jaccard between groups (the
+    q25/q109 sketch-vs-exact pairing applied to SOURCE grain — q170's
+    exact form stays as this sketch's audit twin).
+
+    Why this exists at 100 TB: the exact source-pair Jaccard (q170)
+    must DISTINCT the full ``(source, 5-gram)`` domain — a corpus-sized
+    shuffle. Here the only corpus-sized work is map-side (normalize →
+    explode → hash feeding a partial min): the exchange carries at most
+    ``partitions × |sources|`` partially-aggregated signature rows of
+    ``N_HASHES`` longs, and the pairwise compare runs on a
+    ``|sources|``-row frame. No distinct anywhere — min-aggregation is
+    duplicate-insensitive, the same trick the doc-grain signature stage
+    uses (see :func:`_portable_banded`).
+
+    Portable hash family throughout (md5-prefix shingle hashes, xor-mask
+    permutations from ``md5('perm-'||i)``), so a DuckDB oracle replays
+    the sketch bit-for-bit and the driver hash-checks the ESTIMATE
+    itself. Output: one row per unordered source pair with the exact
+    matching-component count and the estimate in basis points
+    (``matching * 10000 div N_HASHES`` — integer arithmetic end-to-end,
+    no float surface).
+    """
+    perms = _portable_perm_constants()
+    n = spread_partitions(df.select(key_col, text_col), by=None).select(
+        key_col, normalize_text(F.col(text_col)).alias("norm")
+    )
+    h = (
+        n.select(
+            key_col,
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("norm") - 4, F.lit(1))
+                )
+            ).alias("i"),
+            "norm",
+        )
+        .select(key_col, F.expr("substr(norm, i, 5)").alias("g"))
+        .select(key_col, md5_token_hash(F.col("g")).alias("h"))
+    )
+    sigs = h.groupBy(key_col).agg(
+        *[
+            F.min(F.col("h").bitwiseXOR(F.lit(perms[i]))).alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    a = sigs.select(
+        F.col(key_col).alias("source_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    b = sigs.select(
+        F.col(key_col).alias("source_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    matching = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            matching.cast("int").alias("matching_components"),
+        )
+        .withColumn(
+            "est_jaccard_bp",
+            F.expr(
+                f"cast(matching_components * 10000 div {N_HASHES} as int)"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

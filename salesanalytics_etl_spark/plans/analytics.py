@@ -1116,3 +1116,63 @@ def q171_source_length_deciles(
         )
         .orderBy("source", "decile")
     )
+
+
+@register(
+    "q172_source_minhash_jaccard",
+    # The q25/q109 sketch-vs-exact pairing applied to SOURCE grain: q170
+    # (exact) DISTINCTs the full (source, 5-gram) domain — a corpus-
+    # sized shuffle at 100 TB — while this sketch's only corpus-sized
+    # work is map-side (explode+hash into a partial min); the exchange
+    # carries |sources| signature rows of N_HASHES longs. Same portable
+    # hash family as q109 (md5-prefix shingles, md5('perm-'||i) xor
+    # masks), so DuckDB replays the ESTIMATE bit-for-bit and the driver
+    # hash-checks the approximation itself; q170 stays as the exact
+    # audit twin that quantifies the estimate's error.
+    oracle=r"""
+    WITH n AS (
+      SELECT source,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT source,
+             CAST(('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 5)),
+                                  1, 15)) AS BIGINT) AS h
+      FROM n, UNNEST(range(1, GREATEST(len(t) - 4, 1) + 1)) AS u(i)
+    ),
+    perms AS (
+      SELECT i, CAST(('0x' || substr(md5('perm-' || i), 1, 15)) AS BIGINT) AS a
+      FROM (SELECT unnest(range(0, 32)) AS i)
+    ),
+    sigs AS (
+      SELECT s.source, p.i, MIN(xor(s.h, p.a)) AS mh
+      FROM sh s CROSS JOIN perms p
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS matching
+      FROM sigs a JOIN sigs b ON a.i = b.i AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST(matching AS INT) AS matching_components,
+           CAST(matching * 10000 // 32 AS INT) AS est_jaccard_bp
+    FROM pairs ORDER BY 1, 2
+    """,
+    doc="Source-pair MinHash-estimated shingle Jaccard (32-component "
+    "portable signatures) — the sketch-mode twin of q170's exact "
+    "matrix: signature-sized shuffle instead of a corpus-sized "
+    "(source, shingle) distinct, for monitoring cross-source content "
+    "overlap at volumes where the exact form is an audit-only run.",
+)
+def q172_source_minhash_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import (
+        source_minhash_jaccard,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return source_minhash_jaccard(documents)

@@ -85,3 +85,28 @@ def test_errors_ride_and_budget_holds():
     assert len(line) <= 1950
     out = json.loads(line)
     assert len(out["errors"]) == 5  # capped
+
+
+def test_write_local_bench_untrimmed(tmp_path):
+    """The local bench artifact keeps EVERY query's sweep time and floor
+    — the stdout line may trim, this file may not (r11 verdict item 2).
+    Round inference: max existing BENCH_r*.json + 1, zero-padded."""
+    from bench import local_bench_path, write_local_bench
+
+    (tmp_path / "BENCH_r03.json").write_text("{}")
+    (tmp_path / "BENCH_r11.json").write_text("{}")
+    p = local_bench_path(tmp_path)
+    assert p.name == "BENCH_LOCAL_r12.json"
+    timings = {f"q{i:02d}_x": 0.1 * i for i in range(1, 200)}
+    floor = {n: t * 0.9 for n, t in timings.items()}
+    out = write_local_bench(timings, floor, {"q99_x": "boom"}, 0.1, path=p)
+    import json as J
+
+    d = J.loads(out.read_text())
+    assert len(d["queries"]) == 199 and len(d["floors"]) == 199
+    assert d["errors"] == {"q99_x": "boom"}
+    assert d["sf"] == 0.1
+    # no BENCH_r files at all -> round 1
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert local_bench_path(empty).name == "BENCH_LOCAL_r01.json"

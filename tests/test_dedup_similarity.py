@@ -336,3 +336,33 @@ def test_ivf_recall_audit_matches_direct_recomputation(spark, sf_dir):
         assert row.n_exact == len(want_exact) == 5
         assert row.n_hits == len(want_hits)
         assert row.recall_bp == len(want_hits) * 10000 // 5
+
+
+def test_source_minhash_jaccard_estimates_set_similarity(spark):
+    """The sketch twin of q170 (r11 verdict item 3): identical sources
+    estimate J=1 (all 32 components match), disjoint-vocabulary sources
+    estimate near 0, and duplicates inside a source do NOT move the
+    estimate (min-aggregation is duplicate-insensitive — the property
+    that lets the operator skip the corpus-sized distinct)."""
+    from salesanalytics_etl_spark.operators.dedup import (
+        source_minhash_jaccard,
+    )
+
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    other = "zzz yyy xxx www vvv uuu qqq ppp completely different words"
+    df = spark.createDataFrame(
+        [
+            (1, "a", same),
+            (2, "b", same),  # identical corpus -> J_hat = 1
+            (3, "b", same),  # in-source duplicate: must not matter
+            (4, "c", other),  # disjoint vocabulary -> J_hat ~ 0
+        ],
+        "doc_id BIGINT, source STRING, text STRING",
+    )
+    got = {
+        (r.source_a, r.source_b): (r.matching_components, r.est_jaccard_bp)
+        for r in source_minhash_jaccard(df).collect()
+    }
+    assert got[("a", "b")] == (32, 10000)
+    assert got[("a", "c")][1] < 2500 and got[("b", "c")][1] < 2500
+    assert got[("a", "c")] == got[("b", "c")]  # duplicate-insensitive

@@ -14,22 +14,32 @@ Runs, in order, and fails loudly on the first red:
 3. `bench.py` (unless --skip-bench), asserting the JSON line parses.
 
 Each step is a fresh subprocess so session pins can't leak between
-steps. This exists because the closing steps were previously a
-checklist in a round note — and checklists drift (r10's roll list
+steps, and each step's full output still streams to the console.
+
+On success it WRITES ``CLOSE_r{N}.json`` — a machine-written closing
+artifact (sweep counts, discovered exchange-gate list, bench line,
+LEAKCHECK echo) so the next round's judge audits a recorded result
+instead of re-deriving every claim from a prose round note (r11
+verdict item 5). This exists because the closing steps were previously
+a checklist in a round note — and checklists drift (r10's roll list
 missed an entry; r11 made the list mechanical, this makes the RUN
-mechanical).
+mechanical and its RESULT durable).
 """
 
 from __future__ import annotations
 
 import json
+import re
 import subprocess
 import sys
 from pathlib import Path
 
 _REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 _ANSI_SWEEP = r"""
+import json
 import sys
 sys.path.insert(0, %(repo)r)
 sys.path.insert(0, %(repo)r + "/tests")
@@ -43,57 +53,108 @@ spark = (SparkSession.builder.master("local[8]")
 assert spark.conf.get("spark.sql.ansi.enabled") == "true", "expected ANSI-on default"
 assert len(e.entry(spark).collect()) > 0, "entry smoke: 0 rows"
 qs, os_ = e.queries(), e.oracle_sql()
-n_red = 0
+n_green = n_no_oracle = 0
+reds = []
 for name, fn in qs.items():
     sql = os_.get(name)
     try:
         if sql is None:
             fn(spark, "/root/testdata/sf0.01").count()
+            n_no_oracle += 1
             continue
         probs = strict_compare(fn(spark, "/root/testdata/sf0.01"), sql,
                                "/root/testdata/sf0.01")
     except Exception as ex:
         probs = [repr(ex)[:300]]
     if probs:
-        n_red += 1
+        reds.append(name)
         print("RED", name, probs, flush=True)
-print("ANSI sweep:", "ALL GREEN" if not n_red else f"{n_red} RED")
-sys.exit(1 if n_red else 0)
+    else:
+        n_green += 1
+print("ANSI sweep:", "ALL GREEN" if not reds else f"{len(reds)} RED")
+print("SWEEP_JSON " + json.dumps({
+    "green": n_green, "no_oracle": n_no_oracle, "red": len(reds),
+    "red_names": reds, "entry_smoke": "green"}))
+sys.exit(1 if reds else 0)
 """
 
 
-def _run(argv: list[str], label: str) -> None:
+def _current_round() -> int:
+    """The round IN PROGRESS: the driver stamps BENCH_r{N}/CORRECTNESS_r{N}
+    when a round closes, so current = max(recorded) + 1."""
+    rounds = [0]
+    for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json"):
+        for p in Path(_REPO).glob(pat):
+            m = re.search(r"_r(\d+)\.json$", p.name)
+            if m:
+                rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
+def _run_capture(argv: list[str], label: str) -> str:
+    """Run a step, stream its output, return stdout; exit loudly on red."""
     print(f"==> {label}", flush=True)
-    rc = subprocess.run(argv, cwd=_REPO).returncode
-    if rc != 0:
-        raise SystemExit(f"close_round: {label} FAILED (rc={rc})")
+    out = subprocess.run(argv, cwd=_REPO, capture_output=True, text=True)
+    sys.stdout.write(out.stdout)
+    sys.stderr.write(out.stderr[-2000:])
+    if out.returncode != 0:
+        raise SystemExit(f"close_round: {label} FAILED (rc={out.returncode})")
+    return out.stdout
 
 
 def main() -> None:
     skip_bench = "--skip-bench" in sys.argv
-    _run(
+    artifact: dict = {"round": _current_round()}
+
+    sweep_out = _run_capture(
         [sys.executable, "-c", _ANSI_SWEEP % {"repo": _REPO}],
         "full-surface DEFAULT-session (ANSI-on) sweep @ sf0.01",
     )
-    _run(
+    for line in sweep_out.splitlines():
+        if line.startswith("SWEEP_JSON "):
+            artifact["sweep_sf001"] = json.loads(line[len("SWEEP_JSON "):])
+
+    gate_out = _run_capture(
         [sys.executable, "-m", "tools.exchange_gate", "/root/testdata/sf0.1"],
         "exchange-sensitive strict gate @ sf0.1",
     )
+    m = re.search(r"exchange-sensitive queries \((\d+),[^)]*\): (.+)", gate_out)
+    artifact["exchange_gate_sf01"] = {
+        "n_queries": int(m.group(1)) if m else None,
+        "names": m.group(2).split() if m else [],
+        "green": sum(1 for ln in gate_out.splitlines()
+                     if ln.startswith("GREEN ")),
+        "red": sum(1 for ln in gate_out.splitlines()
+                   if ln.startswith("RED ")),
+    }
+
     if not skip_bench:
-        print("==> bench @ sf0.1", flush=True)
-        out = subprocess.run(
-            [sys.executable, "bench.py"], cwd=_REPO, capture_output=True,
-            text=True,
-        )
-        if out.returncode != 0:
-            raise SystemExit(f"close_round: bench FAILED\n{out.stderr[-500:]}")
-        line = out.stdout.strip().splitlines()[-1]
+        bench_out = _run_capture([sys.executable, "bench.py"], "bench @ sf0.1")
+        line = bench_out.strip().splitlines()[-1]
         parsed = json.loads(line)  # raises on malformed line
         print(
             f"bench: value={parsed['value']} value_min={parsed['value_min']} "
             f"len={len(line)}"
         )
-    print("close_round: ALL GATES GREEN")
+        from bench import local_bench_path
+
+        local = local_bench_path()
+        artifact["bench_sf01"] = {
+            "driver_line": parsed,
+            "line_len": len(line),
+            "untrimmed_file": local.name if local.exists() else None,
+        }
+
+    leak = Path(_REPO) / "LEAKCHECK.json"
+    if leak.exists():
+        try:
+            artifact["leakcheck_echo"] = json.loads(leak.read_text())
+        except ValueError:
+            artifact["leakcheck_echo"] = "unparseable"
+
+    out_path = Path(_REPO) / f"CLOSE_r{artifact['round']:02d}.json"
+    out_path.write_text(json.dumps(artifact, indent=1) + "\n")
+    print(f"close_round: ALL GATES GREEN -> {out_path.name}")
 
 
 if __name__ == "__main__":
