@@ -40,92 +40,85 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-# Round-11 rotation (driver records the FIRST 50 entries). The list is
+# Round-12 rotation (driver records the FIRST 50 entries). The list is
 # COUNTED from CORRECTNESS_r*.json latest-record rounds, not from memory
-# (the r10 roll note undercounted its own list — 21 r7-era rows, not 20,
-# and said "six new" where fourteen were listed; this comment is the
-# stamp bookkeeping future rounds rely on, so: 2+21+7+16+4 = 50).
-# Priority order:
-# (0) q154/q155 — registered late in r10, ZERO driver records;
-# (1) the 21 r7-era rows (code unchanged; record hygiene);
-# (2) queries whose code changed this round and must re-stamp:
-#     q149 (per-value entropy term moved to the floor formula — values
-#     on 7th-decimal midpoints change), q109/q116 (the shared banded
-#     signature subtree is now memoized/checkpointed and the verify
-#     shingle-sets persisted — values MUST be identical, re-stamp
-#     proves it on current code), q112/q113/q122 (the portable IVF
-#     assignment got the same materialize-once memo) and q27 (the
-#     exact top-k ground truth got it too, shared with both recall
-#     audits q121/q122 — q121 is already in section (1));
-# (3) the 16 queries NEW this round (q156-q171: Theil-Sen, autocorr,
-#     Zipf, soft-FD, chi-square digits, cross-source dup matrix,
-#     centroid distances, trigram TTR, price elasticity, purchase
-#     hazard, cluster-size histogram, orphan trend, k-anonymity,
-#     packing utilization, source-pair Jaccard, per-source length
-#     deciles) — never recorded, and never-recorded outranks stale;
-# (4) the stalest r8-era rows in query order (q01-q04); the remaining
-#     r8-era rows (q05-q13, q22, q26, q47, q52, q65, q66, q70, q71,
-#     q75, q81, q86, q90, q106, q118, q126, q127, q128, q130, q132,
-#     q133) roll to r12.
+# (the r10 roll note undercounted its own list; r11 made the arithmetic
+# self-counting — this comment is the stamp bookkeeping future rounds
+# rely on, so: 1+3+29+17 = 50). Priority order:
+# (0) q172 — the source-pair MinHash sketch twin, NEW this round,
+#     ZERO driver records (never-recorded outranks stale);
+# (1) queries whose code changed this round and must re-stamp: q112/
+#     q113/q122 (the portable-IVF cold path now derives its anchor
+#     sample through the memoized _portable_anchors_cached — one scan
+#     instead of two; values MUST be identical since the md5-smallest
+#     sample is deterministic, the re-stamp proves it on current code);
+# (2) the 29 r8-era rows in query order — the ENTIRE remaining r8 debt,
+#     including the reference-core q05-q13 (r11 verdict item 1: the
+#     reference's own queries.sql surface must not carry the stalest
+#     records);
+# (3) 17 slots left, filled with the stalest r9-era rows in query
+#     order (q14-q42); the remaining 28 r9-era rows (q43, q51,
+#     q53-q56, q58-q63, q68, q76, q78-q80, q83, q94, q101, q125,
+#     q129, q131, q135-q139) roll to r13 — after this window closes,
+#     NO query's latest driver record is older than r9.
 # Every name here is also swept by tests/test_queries.py +
 # tests/strict_gate.py against the same oracles, so reordering changes
 # what the driver RECORDS, never what is verified.
 _CHECK_FIRST = [
-    # --- (0) registered r10, never recorded ---
-    "q154_time_to_conversion",
-    "q155_new_vs_returning",
-    # --- (1) r7-era rows (all 21 — incl. q50, missed by r10's note) ---
-    "q50_curation_sample",
-    "q64_approx_distinct_sketch",
-    "q67_pii_redaction",
-    "q73_embedding_quantization",
-    "q74_source_overlap",
-    "q82_approx_percentile_sketch",
-    "q85_compression_quality",
-    "q87_stratified_cap_sample",
-    "q88_lang_metadata_agreement",
-    "q89_embedding_cluster_stats",
-    "q91_cohort_retention",
-    "q92_part_cooccurrence",
-    "q95_sentence_split_udtf",
-    "q96_event_transition_matrix",
-    "q97_daily_sales_anomalies",
-    "q100_etl_dataflow",
-    "q107_hopping_window",
-    "q108_identifier_linkage",
-    "q121_ann_recall_audit",
-    "q123_typo_linkage_degree",
-    "q124_join_key_skew",
-    # --- (2) code changed this round ---
-    "q149_categorical_entropy",
-    "q109_minhash_lsh_replay",
-    "q116_lsh_bucket_audit",
+    # --- (0) new this round, never recorded ---
+    "q172_source_minhash_jaccard",
+    # --- (1) code changed this round (anchor-collect memo) ---
     "q112_ivf_replay",
     "q113_cell_stats_replay",
     "q122_ivf_recall_audit",
-    "q27_ann_cosine_topk",
-    # --- (3) new this round, never recorded ---
-    "q156_theil_sen_trend",
-    "q157_sales_autocorrelation",
-    "q158_zipf_slope",
-    "q159_soft_fd_audit",
-    "q160_digit_uniformity_chi2",
-    "q161_cross_source_dup_matrix",
-    "q162_centroid_distance_matrix",
-    "q163_trigram_diversity",
-    "q164_price_elasticity",
-    "q165_purchase_hazard",
-    "q166_cluster_size_histogram",
-    "q167_orphan_rate_trend",
-    "q168_k_anonymity_audit",
-    "q169_packing_utilization",
-    "q170_source_shingle_jaccard",
-    "q171_source_length_deciles",
-    # --- (4) stalest r8-era rows, query order ---
-    "q01_table_counts",
-    "q02_orders_sample_topk",
-    "q03_sales_by_day",
-    "q04_sales_by_month",
+    # --- (2) all 29 r8-era rows, query order ---
+    "q05_top_products",
+    "q06_top_customers",
+    "q07_status_histogram",
+    "q08_avg_order_value",
+    "q09_parts_no_sales",
+    "q10_customers_no_orders",
+    "q11_last_order_details",
+    "q12_order_totals",
+    "q13_order_reconciliation",
+    "q22_docs_token_stats",
+    "q26_simhash_neardup",
+    "q47_docs_chunking",
+    "q52_merge_upsert",
+    "q65_tfidf_top_terms",
+    "q66_inverted_index",
+    "q70_benchmark_decontamination",
+    "q71_sequence_packing",
+    "q75_curation_pipeline",
+    "q81_bigram_merge_candidates",
+    "q86_bm25_search",
+    "q90_weighted_priority_sample",
+    "q106_token_budget_mixture",
+    "q118_fuzzy_decontamination",
+    "q126_sales_gap_fill",
+    "q127_peak_window_traffic",
+    "q128_distributed_percentiles",
+    "q130_robust_order_outliers",
+    "q132_nation_revenue_interpolated",
+    "q133_fk_integrity_sweep",
+    # --- (3) the 17 stalest r9-era rows, query order ---
+    "q14_sales_daterange",
+    "q17_view_sales_by_day_sql",
+    "q18_running_daily_sales",
+    "q20_docs_fingerprint",
+    "q21_docs_exact_dedupe",
+    "q24_docs_langid",
+    "q28_ann_cosine_lsh",
+    "q29_events_hourly",
+    "q30_events_sessionize",
+    "q32_embedding_neardup",
+    "q33_token_frequencies",
+    "q37_order_value_percentiles",
+    "q38_repeat_customers_intersect",
+    "q39_events_json_props",
+    "q40_churned_customers_except",
+    "q41_part_name_search",
+    "q42_purchases_with_prior_views",
 ]
 
 
