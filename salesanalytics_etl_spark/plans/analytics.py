@@ -1176,3 +1176,334 @@ def q172_source_minhash_jaccard(
 
     (documents,) = _t(spark, sf_dir, "documents")
     return source_minhash_jaccard(documents)
+
+
+@register(
+    "q173_dup_cluster_source_span",
+    oracle=r"""
+    WITH f AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             source
+      FROM documents
+    ),
+    c AS (
+      SELECT fp, COUNT(*) AS m, COUNT(DISTINCT source) AS span
+      FROM f GROUP BY 1
+    )
+    SELECT CAST(m AS BIGINT) AS cluster_size,
+           CAST(span AS INT) AS n_sources,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM c WHERE m >= 2
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Exact-duplicate cluster census by (cluster size, source span): "
+    "a cluster spanning ONE source is a re-crawl (dedupe locally, keep "
+    "one), a cluster spanning many is syndication/mirroring (a corpus-"
+    "composition decision, and a leakage risk if sources map to data "
+    "splits — q84's check at cluster grain). Complements q161 (pairwise "
+    "source matrix) with the cluster-size dimension and q49 (near-dup "
+    "clusters) with the exact-fingerprint population. One fp-keyed agg "
+    "over the corpus, then a rollup bounded by |size classes| x "
+    "|sources| — no joins, no pair expansion.",
+)
+def q173_dup_cluster_source_span(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    clusters = (
+        documents.select(
+            F.md5(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+            ).alias("fp"),
+            "source",
+        )
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.countDistinct("source").alias("span"),
+        )
+        .filter(F.col("m") >= 2)
+    )
+    return (
+        clusters.groupBy(
+            F.col("m").cast("bigint").alias("cluster_size"),
+            F.col("span").cast("int").alias("n_sources"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size", "n_sources")
+    )
+
+
+@register(
+    "q174_source_length_psi",
+    # Population Stability Index of the document-length distribution,
+    # per source vs the whole corpus — the drift score risk teams put on
+    # every feature; here it flags a source whose scraper started
+    # truncating or padding. Buckets are n_chars div 100 (exact integer
+    # arithmetic — bounded by max document length, a corpus PROPERTY,
+    # not corpus size). MLE over buckets the source populates (p>0;
+    # q>0 follows since the corpus contains the source); each bucket's
+    # (p-q)*ln(p/q) is ONE fixed-shape double expression rounded to 6dp
+    # and summed as DECIMAL(18,6) — the q120 discipline, order-
+    # insensitive and engine-portable.
+    oracle=r"""
+    WITH b AS (
+      SELECT source, n_chars // 100 AS bkt FROM documents
+    ),
+    sb AS (SELECT source, bkt, COUNT(*) AS m FROM b GROUP BY 1, 2),
+    st AS (SELECT source, SUM(m) AS n_s FROM sb GROUP BY 1),
+    cb AS (SELECT bkt, SUM(m) AS mc FROM sb GROUP BY 1),
+    ct AS (SELECT SUM(mc) AS n FROM cb),
+    contrib AS (
+      SELECT sb.source,
+             CAST(ROUND(
+               (CAST(sb.m AS DOUBLE) / st.n_s - CAST(cb.mc AS DOUBLE) / ct.n)
+               * (ln(CAST(sb.m AS DOUBLE)) - ln(CAST(st.n_s AS DOUBLE))
+                  - ln(CAST(cb.mc AS DOUBLE)) + ln(CAST(ct.n AS DOUBLE))),
+               6) AS DECIMAL(18,6)) AS term
+      FROM sb JOIN st USING (source) JOIN cb USING (bkt) CROSS JOIN ct
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           FLOOR(CAST(SUM(term) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+             AS psi
+    FROM contrib GROUP BY source ORDER BY source
+    """,
+    doc="Per-source Population Stability Index of document length vs "
+    "the corpus blend (100-char buckets, MLE, natural log) — the "
+    "length-distribution DRIFT score that turns q171's decile "
+    "fingerprint into one monitorable number per source. Shuffles one "
+    "(source, bucket) partial-agg rollup; everything downstream is "
+    "|sources| x |buckets| bounded.",
+)
+def q174_source_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    sb = (
+        documents.select("source", F.expr("n_chars div 100").alias("bkt"))
+        .groupBy("source", "bkt")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    st = sb.groupBy("source").agg(F.sum("m").alias("n_s"))
+    cb = sb.groupBy("bkt").agg(F.sum("m").alias("mc"))
+    ct = cb.agg(F.sum("mc").alias("n"))
+    term = F.round(
+        (
+            F.col("m").cast("double") / F.col("n_s")
+            - F.col("mc").cast("double") / F.col("n")
+        )
+        * (
+            F.log(F.col("m").cast("double"))
+            - F.log(F.col("n_s").cast("double"))
+            - F.log(F.col("mc").cast("double"))
+            + F.log(F.col("n").cast("double"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        sb.join(F.broadcast(st), "source")
+        .join(F.broadcast(cb), "bkt")
+        .crossJoin(F.broadcast(ct))
+        .select("source", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            floor_round(F.sum("term").cast("double"), 4).alias("psi"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q175_event_cooccurrence_lift",
+    # Market-basket association at USER grain over the event stream:
+    # which event types co-occur in the same user's history more (or
+    # less) than independence predicts. Complements q96/q135 (SEQUENTIAL
+    # transition structure) with the order-free association measure, and
+    # q92 (part co-occurrence counts) with the normalized lift statistic.
+    # Scale: one distinct to (user, type) — |types| rows per user, a
+    # BOUNDED domain — then a user-keyed self-join whose per-user output
+    # is <= |types|^2; the totals frame is a 1-row broadcast (J6
+    # pattern, no collect). lift = c_ab*N/(c_a*c_b) computed in double
+    # (products stay under 2^53 far past trillion-user scale) and
+    # floor-rounded to 4dp on both engines.
+    oracle=r"""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tc AS (SELECT event_type, COUNT(*) AS c FROM ut GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT user_id) AS nu FROM events),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS c_ab
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.c_ab AS BIGINT) AS users_both,
+           CAST(ta.c AS BIGINT) AS users_a,
+           CAST(tb.c AS BIGINT) AS users_b,
+           FLOOR(CAST(p.c_ab AS DOUBLE) * n.nu / (ta.c * tb.c)
+                 * 10000.0 + 0.5) / 10000.0 AS lift
+    FROM pairs p
+    JOIN tc ta ON ta.event_type = p.type_a
+    JOIN tc tb ON tb.event_type = p.type_b
+    CROSS JOIN n
+    ORDER BY 1, 2
+    """,
+    doc="Event-type co-occurrence lift at user grain: "
+    "P(a,b)/(P(a)P(b)) over distinct user histories, the order-free "
+    "association complement to the q96 transition matrix. Output is "
+    "|event types|^2 bounded; the user-keyed self-join emits at most "
+    "|types|^2 rows per user.",
+)
+def q175_event_cooccurrence_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    ut = events.select("user_id", "event_type").distinct()
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    n = events.agg(F.countDistinct("user_id").alias("nu"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                tc.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("c").alias("users_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                tc.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("c").alias("users_b"),
+                )
+            ),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("c_ab").cast("bigint").alias("users_both"),
+            F.col("users_a").cast("bigint").alias("users_a"),
+            F.col("users_b").cast("bigint").alias("users_b"),
+            floor_round(
+                F.col("c_ab").cast("double")
+                * F.col("nu")
+                / (F.col("users_a") * F.col("users_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "q176_source_jaccard_sketch_error",
+    # The recall-audit pattern (q121/q122) applied to the NEW sketch:
+    # join q172's MinHash estimate against q170's exact source-pair
+    # Jaccard and emit the signed per-pair error in basis points — the
+    # quality gate that says when the signature-sized monitor can stand
+    # in for the corpus-sized audit. Estimate side emits EVERY pair
+    # (the pairwise compare has no overlap filter); exact side emits
+    # only pairs sharing >= 1 shingle — coalesced to 0 so a
+    # zero-overlap pair shows its full estimate as error instead of
+    # vanishing. exact_jaccard is floor-rounded to 4dp upstream, so
+    # *10000 is integer-valued and the INT cast is exact.
+    oracle=r"""
+    WITH n AS (
+      SELECT source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    shl AS (
+      SELECT source,
+             CAST(('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 5)),
+                                  1, 15)) AS BIGINT) AS h,
+             substr(t, CAST(i AS INTEGER), 5) AS g
+      FROM n, UNNEST(range(1, GREATEST(len(t) - 4, 1) + 1)) AS u(i)
+    ),
+    perms AS (
+      SELECT i, CAST(('0x' || substr(md5('perm-' || i), 1, 15)) AS BIGINT) AS a
+      FROM (SELECT unnest(range(0, 32)) AS i)
+    ),
+    sigs AS (
+      SELECT s.source, p.i, MIN(xor(s.h, p.a)) AS mh
+      FROM shl s CROSS JOIN perms p
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS matching
+      FROM sigs a JOIN sigs b ON a.i = b.i AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    sh AS (SELECT DISTINCT source, g FROM shl),
+    sizes AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS ov
+      FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT i.source_a, i.source_b,
+             CAST(FLOOR(CAST(i.ov AS DOUBLE)
+                        / (sa.sz + sb.sz - i.ov) * 10000.0 + 0.5) AS INT)
+               AS exact_bp
+      FROM inter i
+      JOIN sizes sa ON sa.source = i.source_a
+      JOIN sizes sb ON sb.source = i.source_b
+    )
+    SELECT e.source_a, e.source_b,
+           COALESCE(x.exact_bp, 0) AS exact_jaccard_bp,
+           CAST(e.matching * 10000 // 32 AS INT) AS est_jaccard_bp,
+           CAST(e.matching * 10000 // 32 - COALESCE(x.exact_bp, 0) AS INT)
+             AS err_bp
+    FROM est e LEFT JOIN exact x USING (source_a, source_b)
+    ORDER BY 1, 2
+    """,
+    doc="Per-source-pair error of the MinHash estimate (q172) against "
+    "the exact shingle Jaccard (q170), in basis points — the audit that "
+    "qualifies the sketch as the at-scale monitor (run the exact form "
+    "on a sampled cadence, the sketch continuously, and alert on "
+    "err_bp drift). Composes both registered pipelines unchanged.",
+)
+def q176_source_jaccard_sketch_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    est = q172_source_minhash_jaccard(spark, sf_dir).select(
+        "source_a", "source_b", "est_jaccard_bp"
+    )
+    # jaccard is floor-rounded to 4dp upstream, so jaccard*10000 is
+    # integer-valued up to an ulp (0.7263*10000 = 7262.999...); ROUND to
+    # nearest before the INT cast — a bare cast truncates the ulp away
+    exact = q170_source_shingle_jaccard(spark, sf_dir).select(
+        "source_a",
+        "source_b",
+        F.round(F.col("jaccard") * 10000, 0).cast("int").alias("exact_bp"),
+    )
+    return (
+        est.join(exact, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce(F.col("exact_bp"), F.lit(0))
+            .cast("int")
+            .alias("exact_jaccard_bp"),
+            "est_jaccard_bp",
+            (
+                F.col("est_jaccard_bp")
+                - F.coalesce(F.col("exact_bp"), F.lit(0))
+            )
+            .cast("int")
+            .alias("err_bp"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -44,9 +44,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # COUNTED from CORRECTNESS_r*.json latest-record rounds, not from memory
 # (the r10 roll note undercounted its own list; r11 made the arithmetic
 # self-counting — this comment is the stamp bookkeeping future rounds
-# rely on, so: 1+3+29+17 = 50). Priority order:
-# (0) q172 — the source-pair MinHash sketch twin, NEW this round,
-#     ZERO driver records (never-recorded outranks stale);
+# rely on, so: 5+3+29+13 = 50). Priority order:
+# (0) the 5 queries NEW this round, ZERO driver records (never-
+#     recorded outranks stale): q172 source-pair MinHash sketch twin,
+#     q173 dup-cluster source span, q174 source length PSI, q175 event
+#     co-occurrence lift, q176 sketch-vs-exact error audit;
 # (1) queries whose code changed this round and must re-stamp: q112/
 #     q113/q122 (the portable-IVF cold path now derives its anchor
 #     sample through the memoized _portable_anchors_cached — one scan
@@ -56,8 +58,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #     including the reference-core q05-q13 (r11 verdict item 1: the
 #     reference's own queries.sql surface must not carry the stalest
 #     records);
-# (3) 17 slots left, filled with the stalest r9-era rows in query
-#     order (q14-q42); the remaining 28 r9-era rows (q43, q51,
+# (3) 13 slots left, filled with the stalest r9-era rows in query
+#     order (q14-q38); the remaining 32 r9-era rows (q39-q43, q51,
 #     q53-q56, q58-q63, q68, q76, q78-q80, q83, q94, q101, q125,
 #     q129, q131, q135-q139) roll to r13 — after this window closes,
 #     NO query's latest driver record is older than r9.
@@ -67,6 +69,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 _CHECK_FIRST = [
     # --- (0) new this round, never recorded ---
     "q172_source_minhash_jaccard",
+    "q173_dup_cluster_source_span",
+    "q174_source_length_psi",
+    "q175_event_cooccurrence_lift",
+    "q176_source_jaccard_sketch_error",
     # --- (1) code changed this round (anchor-collect memo) ---
     "q112_ivf_replay",
     "q113_cell_stats_replay",
@@ -101,7 +107,7 @@ _CHECK_FIRST = [
     "q130_robust_order_outliers",
     "q132_nation_revenue_interpolated",
     "q133_fk_integrity_sweep",
-    # --- (3) the 17 stalest r9-era rows, query order ---
+    # --- (3) the 13 stalest r9-era rows, query order ---
     "q14_sales_daterange",
     "q17_view_sales_by_day_sql",
     "q18_running_daily_sales",
@@ -115,10 +121,6 @@ _CHECK_FIRST = [
     "q33_token_frequencies",
     "q37_order_value_percentiles",
     "q38_repeat_customers_intersect",
-    "q39_events_json_props",
-    "q40_churned_customers_except",
-    "q41_part_name_search",
-    "q42_purchases_with_prior_views",
 ]
 
 
