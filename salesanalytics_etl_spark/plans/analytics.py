@@ -1507,3 +1507,227 @@ def q176_source_jaccard_sketch_error(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "q177_boilerplate_fraction",
+    # Per-document boilerplate share: the fraction of a doc's DISTINCT
+    # 5-gram shingles that appear in >= 2 documents, rolled into 11
+    # fixed buckets (0-10 = frac_bp div 1000). The per-doc complement
+    # to q103 (span-level dup counts) and q69 (intra-doc repetition):
+    # a doc can be 90% boilerplate without any single long span
+    # duplicating. Shuffle shape is the q104-surprisal class: one
+    # (doc, shingle-hash) distinct, one hash-keyed doc-frequency agg,
+    # one join back on the hash — all keyed, never pairwise; shingles
+    # travel as 60-bit md5-prefix longs (the portable family), not
+    # strings, so the exchange carries 8-byte keys.
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 5)),
+                                  1, 15)) AS BIGINT) AS h
+      FROM n, UNNEST(range(1, GREATEST(len(t) - 4, 1) + 1)) AS u(i)
+    ),
+    df AS (SELECT h, COUNT(*) AS d FROM sh GROUP BY 1),
+    per_doc AS (
+      SELECT sh.doc_id,
+             COUNT(*) AS n_shingles,
+             SUM(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END) AS n_common
+      FROM sh JOIN df USING (h)
+      GROUP BY 1
+    )
+    SELECT CAST(n_common * 10000 // n_shingles // 1000 AS INT)
+             AS boilerplate_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_shingles) AS BIGINT) AS total_shingles
+    FROM per_doc GROUP BY 1 ORDER BY 1
+    """,
+    doc="Boilerplate-share histogram: per doc, the fraction of its "
+    "distinct 5-gram shingles seen in 2+ documents (exact integer bp, "
+    "11 fixed deciles) — the curation signal that separates 'corpus "
+    "has duplicates' (q21/q25) from 'every doc is partially templated' "
+    "(navigation chrome, license headers), which near-dup pair mining "
+    "underreports because no pair crosses the threshold.",
+)
+def q177_boilerplate_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import (
+        md5_token_hash,
+        shingle_rows,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sh = (
+        shingle_rows(documents)
+        .select("doc_id", md5_token_hash(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    df_ = sh.groupBy("h").agg(F.count(F.lit(1)).alias("d"))
+    per_doc = (
+        sh.join(df_, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("d") >= 2, 1).otherwise(0)).alias(
+                "n_common"
+            ),
+        )
+    )
+    return (
+        per_doc.groupBy(
+            F.expr("cast(n_common * 10000 div n_shingles div 1000 as int)")
+            .alias("boilerplate_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_shingles").cast("bigint").alias("total_shingles"),
+        )
+        .orderBy("boilerplate_decile")
+    )
+
+
+@register(
+    "q178_split_neardup_leakage",
+    # q84 proves EXACT-dup leakage across the id-hash split; this is the
+    # NEAR-dup extension — the decontamination metric that actually
+    # matters for LLM training, where a paraphrased or boilerplate-
+    # shifted copy of a test document in train is still leakage. Pairs
+    # come from the portable MinHash+LSH pipeline (q109, J >= 0.5),
+    # split assignment from q51's deterministic md5 doc-id bucket
+    # (80/10/10); the rollup counts pairs by unordered split pair, so
+    # the (train, val)/(train, test)/(val, test) rows ARE the leak
+    # report and the within-split rows are the dedup-before-split
+    # workload. Composes two oracle-green pipelines unchanged; output
+    # is <= 6 rows at any corpus size.
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 5)),
+                                  1, 15)) AS BIGINT) AS h
+      FROM docs, UNNEST(range(1, GREATEST(len(t) - 4, 1) + 1)) AS u(i)
+    ),
+    perms AS (
+      SELECT i, CAST(('0x' || substr(md5('perm-' || i), 1, 15)) AS BIGINT) AS a
+      FROM (SELECT unnest(range(0, 32)) AS i)
+    ),
+    sigvals AS (
+      SELECT s.doc_id, p.i, MIN(xor(s.h, p.a)) AS mh
+      FROM sh s CROSS JOIN perms p
+      GROUP BY s.doc_id, p.i
+    ),
+    banded AS (
+      SELECT doc_id, i // 5 AS band_id,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_key
+      FROM sigvals WHERE i < 30
+      GROUP BY doc_id, i // 5
+    ),
+    bsize AS (SELECT band_id, band_key, COUNT(*) AS m FROM banded GROUP BY 1, 2),
+    member AS (
+      SELECT b.doc_id, b.band_id, b.band_key
+      FROM banded b JOIN bsize s USING (band_id, band_key)
+      WHERE s.m BETWEEN 2 AND 64
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM member x JOIN member y USING (band_id, band_key)
+      WHERE x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    ovl AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS ov
+      FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      LEFT JOIN ovl o USING (doc_a, doc_b)
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE COALESCE(o.ov, 0) * 10000
+            >= 5000 * (sa.sz + sb.sz - COALESCE(o.ov, 0))
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                        AS INT) % 100 AS bucket
+            FROM documents)
+    )
+    SELECT LEAST(pa.split, pb.split) AS split_a,
+           GREATEST(pa.split, pb.split) AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs,
+           CAST(SUM(CASE WHEN pa.split <> pb.split THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaking
+    FROM pairs
+    JOIN sp pa ON pa.doc_id = pairs.doc_a
+    JOIN sp pb ON pb.doc_id = pairs.doc_b
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Near-duplicate leakage across the q51 train/val/test split: "
+    "MinHash+LSH pairs (J >= 0.5, the q109 portable pipeline) joined "
+    "to each side's deterministic split assignment and rolled up by "
+    "unordered split pair — cross-split rows are test-set "
+    "contamination exact-dup audits (q84) cannot see. <= 6 output rows "
+    "at any corpus size; pair volume rides the LSH cap + q116 audit.",
+)
+def q178_split_neardup_leakage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import (
+        minhash_near_dupes_portable,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dupes_portable(documents).select("doc_a", "doc_b")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 100
+    )
+    sp = documents.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    joined = (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        joined.groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_neardup_pairs"),
+            F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_leaking"),
+        )
+        .orderBy("split_a", "split_b")
+    )

@@ -44,11 +44,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # COUNTED from CORRECTNESS_r*.json latest-record rounds, not from memory
 # (the r10 roll note undercounted its own list; r11 made the arithmetic
 # self-counting — this comment is the stamp bookkeeping future rounds
-# rely on, so: 5+3+29+13 = 50). Priority order:
-# (0) the 5 queries NEW this round, ZERO driver records (never-
+# rely on, so: 7+3+29+11 = 50). Priority order:
+# (0) the 7 queries NEW this round, ZERO driver records (never-
 #     recorded outranks stale): q172 source-pair MinHash sketch twin,
 #     q173 dup-cluster source span, q174 source length PSI, q175 event
-#     co-occurrence lift, q176 sketch-vs-exact error audit;
+#     co-occurrence lift, q176 sketch-vs-exact error audit, q177
+#     boilerplate fraction, q178 near-dup split leakage;
 # (1) queries whose code changed this round and must re-stamp: q112/
 #     q113/q122 (the portable-IVF cold path now derives its anchor
 #     sample through the memoized _portable_anchors_cached — one scan
@@ -58,8 +59,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #     including the reference-core q05-q13 (r11 verdict item 1: the
 #     reference's own queries.sql surface must not carry the stalest
 #     records);
-# (3) 13 slots left, filled with the stalest r9-era rows in query
-#     order (q14-q38); the remaining 32 r9-era rows (q39-q43, q51,
+# (3) 11 slots left, filled with the stalest r9-era rows in query
+#     order (q14-q33); the remaining 34 r9-era rows (q37-q43, q51,
 #     q53-q56, q58-q63, q68, q76, q78-q80, q83, q94, q101, q125,
 #     q129, q131, q135-q139) roll to r13 — after this window closes,
 #     NO query's latest driver record is older than r9.
@@ -73,6 +74,8 @@ _CHECK_FIRST = [
     "q174_source_length_psi",
     "q175_event_cooccurrence_lift",
     "q176_source_jaccard_sketch_error",
+    "q177_boilerplate_fraction",
+    "q178_split_neardup_leakage",
     # --- (1) code changed this round (anchor-collect memo) ---
     "q112_ivf_replay",
     "q113_cell_stats_replay",
@@ -107,7 +110,7 @@ _CHECK_FIRST = [
     "q130_robust_order_outliers",
     "q132_nation_revenue_interpolated",
     "q133_fk_integrity_sweep",
-    # --- (3) the 13 stalest r9-era rows, query order ---
+    # --- (3) the 11 stalest r9-era rows, query order ---
     "q14_sales_daterange",
     "q17_view_sales_by_day_sql",
     "q18_running_daily_sales",
@@ -119,8 +122,6 @@ _CHECK_FIRST = [
     "q30_events_sessionize",
     "q32_embedding_neardup",
     "q33_token_frequencies",
-    "q37_order_value_percentiles",
-    "q38_repeat_customers_intersect",
 ]
 
 
