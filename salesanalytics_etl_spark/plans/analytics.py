@@ -1004,66 +1004,15 @@ def q170_source_shingle_jaccard(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from salesanalytics_etl_spark.operators.dedup import (
-        normalize_text,
-        spread_partitions,
+        source_shingle_jaccard_cached,
     )
 
     (documents,) = _t(spark, sf_dir, "documents")
-    n = spread_partitions(documents.select("source", "text")).select(
-        "source", normalize_text(F.col("text")).alias("norm")
-    )
-    sh = (
-        n.select(
-            "source",
-            F.explode(
-                F.sequence(
-                    F.lit(1), F.greatest(F.length("norm") - 4, F.lit(1))
-                )
-            ).alias("i"),
-            "norm",
-        )
-        .select("source", F.expr("substr(norm, i, 5)").alias("g"))
-        .distinct()
-    )
-    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("source").alias("source_a"), "g")
-    b = sh.select(F.col("source").alias("source_b"), "g")
-    inter = (
-        a.join(b, "g")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("ov"))
-    )
-    return (
-        inter.join(
-            F.broadcast(
-                sizes.select(
-                    F.col("source").alias("source_a"),
-                    F.col("sz").alias("sza"),
-                )
-            ),
-            "source_a",
-        )
-        .join(
-            F.broadcast(
-                sizes.select(
-                    F.col("source").alias("source_b"),
-                    F.col("sz").alias("szb"),
-                )
-            ),
-            "source_b",
-        )
-        .select(
-            "source_a",
-            "source_b",
-            F.col("ov").cast("bigint").alias("shared_shingles"),
-            floor_round(
-                F.col("ov").cast("double")
-                / (F.col("sza") + F.col("szb") - F.col("ov")),
-                4,
-            ).alias("jaccard"),
-        )
-        .orderBy("source_a", "source_b")
+    # memoized core (shared with the q176 error audit); ORDER BY is
+    # re-applied on the |sources|^2-row checkpointed frame — free, and
+    # checkpoints only guarantee partition order
+    return source_shingle_jaccard_cached(documents).orderBy(
+        "source_a", "source_b"
     )
 
 
@@ -1171,11 +1120,14 @@ def q172_source_minhash_jaccard(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from salesanalytics_etl_spark.operators.dedup import (
-        source_minhash_jaccard,
+        source_minhash_jaccard_cached,
     )
 
     (documents,) = _t(spark, sf_dir, "documents")
-    return source_minhash_jaccard(documents)
+    # memoized (shared with the q176 error audit); order re-asserted
+    return source_minhash_jaccard_cached(documents).orderBy(
+        "source_a", "source_b"
+    )
 
 
 @register(
@@ -1478,13 +1430,22 @@ def q175_event_cooccurrence_lift(
 def q176_source_jaccard_sketch_error(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    est = q172_source_minhash_jaccard(spark, sf_dir).select(
+    from salesanalytics_etl_spark.operators.dedup import (
+        source_minhash_jaccard_cached,
+        source_shingle_jaccard_cached,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    # both sides come from the memoized matrices the monitor (q172) and
+    # audit (q170) queries register — a session running all three pays
+    # for each corpus scan once
+    est = source_minhash_jaccard_cached(documents).select(
         "source_a", "source_b", "est_jaccard_bp"
     )
     # jaccard is floor-rounded to 4dp upstream, so jaccard*10000 is
     # integer-valued up to an ulp (0.7263*10000 = 7262.999...); ROUND to
     # nearest before the INT cast — a bare cast truncates the ulp away
-    exact = q170_source_shingle_jaccard(spark, sf_dir).select(
+    exact = source_shingle_jaccard_cached(documents).select(
         "source_a",
         "source_b",
         F.round(F.col("jaccard") * 10000, 0).cast("int").alias("exact_bp"),

@@ -44,7 +44,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # COUNTED from CORRECTNESS_r*.json latest-record rounds, not from memory
 # (the r10 roll note undercounted its own list; r11 made the arithmetic
 # self-counting — this comment is the stamp bookkeeping future rounds
-# rely on, so: 7+3+29+11 = 50). Priority order:
+# rely on, so: 7+5+29+9 = 50). Priority order:
 # (0) the 7 queries NEW this round, ZERO driver records (never-
 #     recorded outranks stale): q172 source-pair MinHash sketch twin,
 #     q173 dup-cluster source span, q174 source length PSI, q175 event
@@ -55,15 +55,19 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #     sample through the memoized _portable_anchors_cached — one scan
 #     instead of two; values MUST be identical since the md5-smallest
 #     sample is deterministic, the re-stamp proves it on current code);
+#     q109 (its verified-pair frame is now memoized, shared with q178)
+#     and q170 (its exact matrix moved into the memoized
+#     source_shingle_jaccard_cached operator, shared with q176) — both
+#     pure-perf, value-identical, re-stamp proves it;
 # (2) the 29 r8-era rows in query order — the ENTIRE remaining r8 debt,
 #     including the reference-core q05-q13 (r11 verdict item 1: the
 #     reference's own queries.sql surface must not carry the stalest
 #     records);
-# (3) 11 slots left, filled with the stalest r9-era rows in query
-#     order (q14-q33); the remaining 34 r9-era rows (q37-q43, q51,
-#     q53-q56, q58-q63, q68, q76, q78-q80, q83, q94, q101, q125,
-#     q129, q131, q135-q139) roll to r13 — after this window closes,
-#     NO query's latest driver record is older than r9.
+# (3) 9 slots left, filled with the stalest r9-era rows in query
+#     order (q14-q30); the remaining 36 r9-era rows (q32, q33,
+#     q37-q43, q51, q53-q56, q58-q63, q68, q76, q78-q80, q83, q94,
+#     q101, q125, q129, q131, q135-q139) roll to r13 — after this
+#     window closes, NO query's latest driver record is older than r9.
 # Every name here is also swept by tests/test_queries.py +
 # tests/strict_gate.py against the same oracles, so reordering changes
 # what the driver RECORDS, never what is verified.
@@ -76,10 +80,13 @@ _CHECK_FIRST = [
     "q176_source_jaccard_sketch_error",
     "q177_boilerplate_fraction",
     "q178_split_neardup_leakage",
-    # --- (1) code changed this round (anchor-collect memo) ---
+    # --- (1) code changed this round (anchor-collect memo; pair/matrix
+    #     memos shared with the q176/q178 compositions) ---
     "q112_ivf_replay",
     "q113_cell_stats_replay",
     "q122_ivf_recall_audit",
+    "q109_minhash_lsh_replay",
+    "q170_source_shingle_jaccard",
     # --- (2) all 29 r8-era rows, query order ---
     "q05_top_products",
     "q06_top_customers",
@@ -120,8 +127,6 @@ _CHECK_FIRST = [
     "q28_ann_cosine_lsh",
     "q29_events_hourly",
     "q30_events_sessionize",
-    "q32_embedding_neardup",
-    "q33_token_frequencies",
 ]
 
 

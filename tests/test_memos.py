@@ -167,3 +167,46 @@ def test_memo_eviction_is_fifo_oldest_first(spark):
     re0 = D._portable_banded_cached(frames[0])
     assert re0 is not handles[0]
     D._BANDED_MEMO.clear()
+
+
+def test_pair_and_source_matrix_memos_value_transparent(spark):
+    """The r12 composition memos: minhash_near_dupes_portable's verified
+    pairs (shared q109→q178) and the source-similarity matrices (shared
+    q170/q172→q176) must return byte-equal results cached vs fresh, and
+    the second call must be the SAME checkpointed frame."""
+    from salesanalytics_etl_spark.operators import dedup as D
+    from salesanalytics_etl_spark.operators.memo import (
+        clear_materialize_memos,
+    )
+
+    clear_materialize_memos()
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "the quick brown fox jumps over the lazy dog"),
+            (2, "s1", "the quick brown fox jumps over the lazy dog!"),
+            (3, "s2", "a completely different document about spark"),
+        ],
+        "doc_id BIGINT, source STRING, text STRING",
+    )
+    p1 = D.minhash_near_dupes_portable(docs)
+    assert D.minhash_near_dupes_portable(docs) is p1  # memo hit
+    clear_materialize_memos()
+    p2 = D.minhash_near_dupes_portable(docs)
+    assert p2 is not p1
+    assert sorted(map(tuple, p2.collect())) == sorted(
+        map(tuple, p1.collect())
+    )
+    exact_plain = sorted(map(tuple, D.source_shingle_jaccard(docs).collect()))
+    exact_cached = sorted(
+        map(tuple, D.source_shingle_jaccard_cached(docs).collect())
+    )
+    assert exact_cached == exact_plain
+    assert D.source_shingle_jaccard_cached(
+        docs
+    ) is D.source_shingle_jaccard_cached(docs)
+    sk_plain = sorted(map(tuple, D.source_minhash_jaccard(docs).collect()))
+    sk_cached = sorted(
+        map(tuple, D.source_minhash_jaccard_cached(docs).collect())
+    )
+    assert sk_cached == sk_plain
+    clear_materialize_memos()
