@@ -635,10 +635,27 @@ def source_minhash_jaccard(
     (``matching * 10000 div N_HASHES`` — integer arithmetic end-to-end,
     no float surface).
     """
+    return signature_pair_estimates(
+        source_minhash_signatures(df, key_col, text_col), key_col
+    ).orderBy("source_a", "source_b")
+
+
+def source_minhash_signatures(
+    df: DataFrame, key_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """(key, mh0..mh31) portable MinHash signatures at group grain — the
+    shared sketch stage of :func:`source_minhash_jaccard` AND the
+    streaming maintenance path (``streaming/sketch_maintenance.py``):
+    min is a MONOTONE FOLD, so the identical expression tree over a
+    STREAMING frame is exact incremental signature maintenance — the
+    state store keeps |sources| × N_HASHES running mins and every
+    micro-batch folds in map-side. No distinct anywhere (min is
+    duplicate-insensitive)."""
     perms = _portable_perm_constants()
-    n = spread_partitions(df.select(key_col, text_col), by=None).select(
-        key_col, normalize_text(F.col(text_col)).alias("norm")
-    )
+    base = df.select(key_col, text_col)
+    if not df.isStreaming:  # inputFiles() probe is batch-only
+        base = spread_partitions(base, by=None)
+    n = base.select(key_col, normalize_text(F.col(text_col)).alias("norm"))
     h = (
         n.select(
             key_col,
@@ -652,12 +669,20 @@ def source_minhash_jaccard(
         .select(key_col, F.expr("substr(norm, i, 5)").alias("g"))
         .select(key_col, md5_token_hash(F.col("g")).alias("h"))
     )
-    sigs = h.groupBy(key_col).agg(
+    return h.groupBy(key_col).agg(
         *[
             F.min(F.col("h").bitwiseXOR(F.lit(perms[i]))).alias(f"mh{i}")
             for i in range(N_HASHES)
         ]
     )
+
+
+def signature_pair_estimates(
+    sigs: DataFrame, key_col: str = "source"
+) -> DataFrame:
+    """Pairwise estimated Jaccard from a (key, mh0..mh31) signature
+    frame — |keys|²-bounded, consumed by the batch matrix query and by
+    the streaming monitor's per-batch readout. Unordered."""
     a = sigs.select(
         F.col(key_col).alias("source_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES)],
@@ -683,7 +708,6 @@ def source_minhash_jaccard(
                 f"cast(matching_components * 10000 div {N_HASHES} as int)"
             ),
         )
-        .orderBy("source_a", "source_b")
     )
 
 

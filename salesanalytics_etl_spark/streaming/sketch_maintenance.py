@@ -1,0 +1,85 @@
+"""Streaming MinHash signature maintenance — the q172 source-similarity
+monitor kept current under a document STREAM.
+
+The insight is that no custom stateful operator is needed: a MinHash
+signature component is ``min(hash ⊕ perm_i)`` over everything ever
+seen, and min is a monotone, duplicate-insensitive fold — so Spark's
+OWN streaming aggregation state store maintains the exact signature
+incrementally. The streaming query is the IDENTICAL expression tree as
+the batch sketch (``operators/dedup.py:source_minhash_signatures``
+builds both), grouped by source, run in ``complete`` output mode:
+
+- state size: |sources| × N_HASHES longs — bounded by the SOURCE
+  domain, never by document volume (the watermarkless aggregation is
+  safe for exactly this reason; a doc-grain streaming agg would not
+  be);
+- every micro-batch folds map-side (partial min) before touching the
+  store — the same shuffle shape as the batch path;
+- the maintained signatures are BIT-IDENTICAL to a batch run over all
+  documents seen so far, by the algebra of min — no approximation on
+  top of the sketch's own. ``tests/test_sketch_stream.py`` pins this:
+  stream fed file-by-file == batch over the union, signatures and
+  pairwise estimates both.
+
+Readout: :func:`current_estimates` applies the shared pairwise
+comparator (``signature_pair_estimates``) to the maintained table —
+|sources|²-bounded, so a dashboard can poll it per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from salesanalytics_etl_spark.operators.dedup import (
+    signature_pair_estimates,
+    source_minhash_signatures,
+)
+
+
+def read_documents_stream(
+    spark: SparkSession, docs_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a documents parquet directory; the
+    schema is taken from the existing files (file sources require an
+    explicit schema). ``maxFilesPerTrigger`` slices the backlog into
+    micro-batches so tests exercise real multi-batch folding."""
+    schema = spark.read.parquet(docs_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+
+def maintain_source_signatures(stream: DataFrame) -> DataFrame:
+    """The streaming signature aggregation — the batch builder applied
+    to a streaming frame (it skips the batch-only repartition probe)."""
+    return source_minhash_signatures(stream)
+
+
+def run_signature_maintenance_to_memory(
+    spark: SparkSession,
+    docs_dir: str,
+    table: str,
+    max_files_per_trigger: int = 1,
+):
+    """Drain the backlog (availableNow) into an in-memory table holding
+    the CURRENT signatures (complete mode re-emits the |sources|-row
+    state each batch — bounded, so complete is cheap here)."""
+    stream = read_documents_stream(spark, docs_dir, max_files_per_trigger)
+    return (
+        maintain_source_signatures(stream)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def current_estimates(spark: SparkSession, table: str) -> DataFrame:
+    """Pairwise estimated Jaccard from the maintained signature table —
+    the q172 readout against live state."""
+    return signature_pair_estimates(spark.table(table)).orderBy(
+        "source_a", "source_b"
+    )

@@ -1,0 +1,65 @@
+"""Streaming MinHash maintenance: the state-store-maintained source
+signatures must be BIT-IDENTICAL to a batch run over all documents seen
+so far (min is a monotone, duplicate-insensitive fold — the property
+that makes the sketch exactly streamable), and the pairwise readout
+must equal the batch q172 matrix."""
+
+from __future__ import annotations
+
+import pytest
+
+from salesanalytics_etl_spark.operators.dedup import (
+    source_minhash_jaccard,
+    source_minhash_signatures,
+)
+from salesanalytics_etl_spark.streaming.sketch_maintenance import (
+    current_estimates,
+    run_signature_maintenance_to_memory,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Re-write documents as 3 parquet files so maxFilesPerTrigger=1
+    yields 3 real micro-batches (multi-batch state folding, not a
+    single-batch degenerate run). No watermark in this pipeline, so
+    file order cannot drop rows — any split works."""
+    out = str(tmp_path_factory.mktemp("docs_stream"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(3).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_streamed_signatures_equal_batch(spark, sf_dir, docs_stream_dir):
+    q = run_signature_maintenance_to_memory(
+        spark, docs_stream_dir, "sig_state", max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress is not None
+    batches = q.recentProgress
+    assert len(batches) >= 3, "expected >= 3 micro-batches"
+    got = {
+        r["source"]: tuple(r[f"mh{i}"] for i in range(32))
+        for r in spark.table("sig_state").collect()
+    }
+    want = {
+        r["source"]: tuple(r[f"mh{i}"] for i in range(32))
+        for r in source_minhash_signatures(
+            spark.read.parquet(docs_stream_dir)
+        ).collect()
+    }
+    assert got == want  # bit-identical signatures, all sources
+
+    # pairwise readout == the batch q172 matrix on the same corpus
+    est_stream = sorted(
+        map(tuple, current_estimates(spark, "sig_state").collect())
+    )
+    est_batch = sorted(
+        map(
+            tuple,
+            source_minhash_jaccard(
+                spark.read.parquet(docs_stream_dir)
+            ).collect(),
+        )
+    )
+    assert est_stream == est_batch
