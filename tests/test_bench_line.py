@@ -110,3 +110,33 @@ def test_write_local_bench_untrimmed(tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
     assert local_bench_path(empty).name == "BENCH_LOCAL_r01.json"
+
+
+def test_floor_diff_detects_regressions(tmp_path, monkeypatch, capsys):
+    """floor_diff: floor-vs-floor comparison from the untrimmed local
+    bench files — flags only deltas that trip BOTH the absolute and
+    relative filters, reports new queries, and exits 1 on regression."""
+    import json as J
+
+    from tools import floor_diff as FD
+
+    monkeypatch.setattr(FD, "_REPO", tmp_path)
+    prev = {"floors": {"q01_a": 1.0, "q02_b": 0.1, "q03_c": 5.0}}
+    cur = {"floors": {"q01_a": 1.5, "q02_b": 0.2, "q03_c": 5.2,
+                      "q04_new": 2.0}}
+    (tmp_path / "BENCH_LOCAL_r11.json").write_text(J.dumps(prev))
+    (tmp_path / "BENCH_LOCAL_r12.json").write_text(J.dumps(cur))
+    monkeypatch.setattr("sys.argv", ["floor_diff"])
+    rc = FD.main()
+    out = capsys.readouterr().out
+    # q01: +0.5s and +50% -> flagged; q02: +100% but only +0.1s abs ->
+    # not flagged; q03: +0.2s sub-absolute-floor -> not flagged
+    assert rc == 1
+    assert "REGRESSED q01_a" in out
+    assert "q02_b" not in out.split("new queries")[0].replace(
+        "3 shared", "")
+    assert "q04=2.00s" in out
+    # clean comparison exits 0
+    (tmp_path / "BENCH_LOCAL_r12.json").write_text(J.dumps(
+        {"floors": prev["floors"]}))
+    assert FD.main() == 0
