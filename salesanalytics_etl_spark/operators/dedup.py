@@ -682,7 +682,16 @@ def signature_pair_estimates(
 ) -> DataFrame:
     """Pairwise estimated Jaccard from a (key, mh0..mh31) signature
     frame — |keys|²-bounded, consumed by the batch matrix query and by
-    the streaming monitor's per-batch readout. Unordered."""
+    the streaming monitor's per-batch readout. Unordered.
+
+    The signature frame is localCheckpointed FIRST: both join aliases
+    consume it, and without the materialization each side re-runs the
+    whole corpus-scan signature subtree (the q108 self-join lesson —
+    .explain showed 2 scans + 2 signature aggregations for a |keys|-row
+    frame). Eager at plan-construction time, like the IVF anchor
+    collect; the frame is |keys| rows, so the checkpoint is trivially
+    bounded."""
+    sigs = sigs.localCheckpoint()
     a = sigs.select(
         F.col(key_col).alias("source_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES)],

@@ -450,3 +450,31 @@ def test_no_double_divide_equality(spark, sf_dir, name):
         f"use integer `div` end-to-end for rank/offset picks:\n"
         + "\n".join(hits)
     )
+
+
+def test_q172_signatures_scan_once(spark, sf_dir):
+    """The sketch monitor's whole point at 100 TB: ONE corpus scan into
+    the signature aggregation, and a pairwise compare that never touches
+    the corpus again. The signature plan must scan documents once with
+    exactly two exchanges (the pre-explosion spread + the signature
+    groupBy); the pairwise plan consumes the checkpointed |sources|-row
+    frame — ZERO parquet scans — through a broadcast join (an earlier
+    shape re-ran the whole signature subtree per join alias: 2 scans +
+    2 aggregations for a 20-row frame)."""
+    from salesanalytics_etl_spark.operators.dedup import (
+        source_minhash_jaccard,
+        source_minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig_tree = _formatted_plan(source_minhash_signatures(docs)).split(
+        "\n\n"
+    )[0]
+    assert sig_tree.count("Scan parquet") == 1, "one corpus scan"
+    assert sig_tree.count("Exchange") == 2, "spread + signature agg only"
+    pair_tree = _formatted_plan(source_minhash_jaccard(docs)).split("\n\n")[0]
+    assert pair_tree.count("Scan parquet") == 0, (
+        "pairwise must ride the checkpointed signature frame, not "
+        "re-scan the corpus"
+    )
+    assert "BroadcastNestedLoopJoin" in pair_tree
