@@ -1692,3 +1692,175 @@ def q178_split_neardup_leakage(
         )
         .orderBy("split_a", "split_b")
     )
+
+
+@register(
+    "q179_lang_source_mutual_info",
+    # Mutual information of the (lang, source) contingency table — the
+    # mixture diagnostic that says how much knowing the source tells
+    # you about language (high MI = language-siloed sources, a
+    # rebalancing constraint; zero = languages spread evenly). Joint
+    # counts are one (lang, source) rollup; marginals re-aggregate it;
+    # each cell's p*log2(p_xy/(p_x*p_y)) is ONE fixed-shape double
+    # expression rounded to 6dp and summed as DECIMAL(18,6) — the
+    # q120/q174 discipline, order-insensitive and engine-portable. MLE,
+    # finite by construction (every joint cell's marginals are >= it).
+    oracle=r"""
+    WITH j AS (
+      SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    ml AS (SELECT lang, SUM(c) AS cl FROM j GROUP BY 1),
+    ms AS (SELECT source, SUM(c) AS cs FROM j GROUP BY 1),
+    n AS (SELECT SUM(c) AS n FROM j),
+    contrib AS (
+      SELECT j.lang, j.c,
+             CAST(ROUND(
+               (CAST(j.c AS DOUBLE) / n.n)
+               * (log2(CAST(j.c AS DOUBLE)) + log2(CAST(n.n AS DOUBLE))
+                  - log2(CAST(ml.cl AS DOUBLE)) - log2(CAST(ms.cs AS DOUBLE))),
+               6) AS DECIMAL(18,6)) AS term
+      FROM j JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN n
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           FLOOR(CAST(SUM(term) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+             AS mi_bits
+    FROM contrib
+    """,
+    doc="Mutual information (bits) of the lang x source contingency "
+    "table — quantifies language siloing across sources for mixture "
+    "design: one (lang, source) rollup, marginals re-aggregated from "
+    "it (the token stream shuffles once), |langs|x|sources| bounded "
+    "everywhere after.",
+)
+def q179_lang_source_mutual_info(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    j = documents.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ml = j.groupBy("lang").agg(F.sum("c").alias("cl"))
+    ms = j.groupBy("source").agg(F.sum("c").alias("cs"))
+    n = j.agg(F.sum("c").alias("n"))
+    term = F.round(
+        (F.col("c").cast("double") / F.col("n"))
+        * (
+            F.log2(F.col("c").cast("double"))
+            + F.log2(F.col("n").cast("double"))
+            - F.log2(F.col("cl").cast("double"))
+            - F.log2(F.col("cs").cast("double"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        j.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(n))
+        .select(F.col("c"), term.alias("term"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("c").cast("bigint").alias("n_docs"),
+            floor_round(F.sum("term").cast("double"), 4).alias("mi_bits"),
+        )
+    )
+
+
+@register(
+    "q180_dedup_yield_curve",
+    # The crawl-economics curve: process documents in a deterministic
+    # hash order sliced into 20 "batches"; per batch, how many docs are
+    # NEW CONTENT (their fingerprint's first appearance is in this
+    # batch) vs re-crawled duplicates — cumulative unique share tells
+    # you when additional crawling stops paying. First-seen batch is
+    # MIN(batch) per fingerprint (one fp-keyed agg — duplicate-
+    # insensitive, the same algebra as the sketch mins); the cumulative
+    # sum runs over the FIXED 20-row batch frame (q18's calendar-grain
+    # window class, here batch-grain — bounded by construction).
+    oracle=r"""
+    WITH d AS (
+      SELECT CAST(('0x' || substr(md5('yield-' || CAST(doc_id AS VARCHAR)),
+                                  1, 6)) AS INT) % 20 AS batch,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    first_seen AS (SELECT fp, MIN(batch) AS fb FROM d GROUP BY 1),
+    per_batch AS (
+      SELECT d.batch, COUNT(*) AS n_docs,
+             SUM(CASE WHEN f.fb = d.batch THEN 1 ELSE 0 END) AS with_first
+      FROM d JOIN first_seen f USING (fp) GROUP BY 1
+    ),
+    uniq AS (SELECT fb AS batch, COUNT(*) AS n_new FROM first_seen GROUP BY 1)
+    SELECT p.batch AS batch,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(COALESCE(u.n_new, 0) AS BIGINT) AS n_new_fingerprints,
+           CAST(SUM(COALESCE(u.n_new, 0))
+                  OVER (ORDER BY p.batch) AS BIGINT) AS cum_unique,
+           CAST(COALESCE(u.n_new, 0) * 10000 // p.n_docs AS INT)
+             AS yield_bp
+    FROM per_batch p LEFT JOIN uniq u ON u.batch = p.batch
+    ORDER BY 1
+    """,
+    doc="Dedup yield curve over 20 deterministic hash-ordered crawl "
+    "batches: per batch the new-fingerprint count, cumulative unique "
+    "content, and yield (new/processed, exact bp) — when the curve "
+    "flattens, additional crawling re-buys existing content. One "
+    "fp-keyed MIN agg + a 20-row cumulative window (bounded grain).",
+)
+def q180_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    d = documents.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("yield-"), F.col("doc_id").cast("string"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 20
+        ).alias("batch"),
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        ).alias("fp"),
+    )
+    first_seen = d.groupBy("fp").agg(F.min("batch").alias("fb"))
+    per_batch = (
+        d.join(first_seen, "fp")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("fb") == F.col("batch"), 1).otherwise(0)
+            ).alias("with_first"),
+        )
+    )
+    uniq = first_seen.groupBy(F.col("fb").alias("batch")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("batch")  # 20-row frame — bounded by construction
+    return (
+        per_batch.join(uniq, "batch", "left")
+        .select(
+            "batch",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.coalesce(F.col("n_new"), F.lit(0))
+            .cast("bigint")
+            .alias("n_new_fingerprints"),
+        )
+        .withColumn(
+            "cum_unique",
+            F.sum("n_new_fingerprints").over(w).cast("bigint"),
+        )
+        .withColumn(
+            "yield_bp",
+            F.expr(
+                "cast(n_new_fingerprints * 10000 div n_docs as int)"
+            ),
+        )
+        .orderBy("batch")
+    )

@@ -44,12 +44,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # COUNTED from CORRECTNESS_r*.json latest-record rounds, not from memory
 # (the r10 roll note undercounted its own list; r11 made the arithmetic
 # self-counting — this comment is the stamp bookkeeping future rounds
-# rely on, so: 7+5+29+9 = 50). Priority order:
-# (0) the 7 queries NEW this round, ZERO driver records (never-
+# rely on, so: 9+5+29+7 = 50). Priority order:
+# (0) the 9 queries NEW this round, ZERO driver records (never-
 #     recorded outranks stale): q172 source-pair MinHash sketch twin,
 #     q173 dup-cluster source span, q174 source length PSI, q175 event
 #     co-occurrence lift, q176 sketch-vs-exact error audit, q177
-#     boilerplate fraction, q178 near-dup split leakage;
+#     boilerplate fraction, q178 near-dup split leakage, q179
+#     lang-source mutual information, q180 dedup yield curve;
 # (1) queries whose code changed this round and must re-stamp: q112/
 #     q113/q122 (the portable-IVF cold path now derives its anchor
 #     sample through the memoized _portable_anchors_cached — one scan
@@ -63,10 +64,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #     including the reference-core q05-q13 (r11 verdict item 1: the
 #     reference's own queries.sql surface must not carry the stalest
 #     records);
-# (3) 9 slots left, filled with the stalest r9-era rows in query
-#     order (q14-q30); the remaining 36 r9-era rows (q32, q33,
-#     q37-q43, q51, q53-q56, q58-q63, q68, q76, q78-q80, q83, q94,
-#     q101, q125, q129, q131, q135-q139) roll to r13 — after this
+# (3) 7 slots left, filled with the stalest r9-era rows in query
+#     order (q14-q28); the remaining 38 r9-era rows (q29, q30, q32,
+#     q33, q37-q43, q51, q53-q56, q58-q63, q68, q76, q78-q80, q83,
+#     q94, q101, q125, q129, q131, q135-q139) roll to r13 — after this
 #     window closes, NO query's latest driver record is older than r9.
 # Every name here is also swept by tests/test_queries.py +
 # tests/strict_gate.py against the same oracles, so reordering changes
@@ -80,6 +81,8 @@ _CHECK_FIRST = [
     "q176_source_jaccard_sketch_error",
     "q177_boilerplate_fraction",
     "q178_split_neardup_leakage",
+    "q179_lang_source_mutual_info",
+    "q180_dedup_yield_curve",
     # --- (1) code changed this round (anchor-collect memo; pair/matrix
     #     memos shared with the q176/q178 compositions) ---
     "q112_ivf_replay",
@@ -125,8 +128,6 @@ _CHECK_FIRST = [
     "q21_docs_exact_dedupe",
     "q24_docs_langid",
     "q28_ann_cosine_lsh",
-    "q29_events_hourly",
-    "q30_events_sessionize",
 ]
 
 

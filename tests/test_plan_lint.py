@@ -164,6 +164,9 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     # hazard: reverse-cumulative at-risk over the <= 6-row gap-bucket
     # frame (buckets are div-30-capped-at-5 by construction)
     "q165_purchase_hazard": 1,
+    # dedup yield curve: cumulative sum over the FIXED 20-row batch
+    # frame (batches are md5 % 20 by construction)
+    "q180_dedup_yield_curve": 1,
 }
 
 
