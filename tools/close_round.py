@@ -145,6 +145,21 @@ def main() -> None:
             "untrimmed_file": local.name if local.exists() else None,
         }
 
+    # floor-vs-floor report (non-fatal: memoized queries' two-pass
+    # floors are cache-hit numbers, so a "regression" here is a
+    # review-me signal, not a gate — the artifact records it either way)
+    fd = subprocess.run(
+        [sys.executable, "-m", "tools.floor_diff"],
+        cwd=_REPO,
+        capture_output=True,
+        text=True,
+    )
+    sys.stdout.write(fd.stdout)
+    artifact["floor_diff"] = {
+        "rc": fd.returncode,
+        "lines": fd.stdout.strip().splitlines()[-12:],
+    }
+
     leak = Path(_REPO) / "LEAKCHECK.json"
     if leak.exists():
         try:
