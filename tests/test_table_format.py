@@ -157,3 +157,47 @@ def test_delta_backend_merge_semantics(spark, tmp_path):
         (r.k, r.s, r.v)
         for r in spark.read.format("delta").load(path).collect()
     )
+
+
+def test_crash_injected_mid_swap_then_next_merge_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """Fault-injection for the r11 ADVICE window: os.rename raises
+    IMMEDIATELY AFTER the first rename of the swap (the exact crash
+    point), leaving path missing + .__swap_old__ + a staging dir. The
+    re-run of the same merge must recover the table and produce the
+    exact no-crash result; nothing stranded on disk."""
+    import os
+
+    import pytest
+
+    import salesanalytics_etl_spark.operators.upsert as U
+
+    path = str(tmp_path / "t_crash")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k INT, s STRING, v DOUBLE"
+    )
+    merge_upsert_table(spark, path, base, ["k"])
+    batch = spark.createDataFrame(
+        [(2, "B", 20.0), (3, "c", 3.0)], "k INT, s STRING, v DOUBLE"
+    )
+
+    real_rename = os.rename
+
+    def crash_after_first_rename(src, dst):
+        real_rename(src, dst)
+        if src == path:  # just moved table -> old; staging not yet in
+            raise OSError("injected crash between the swap's renames")
+
+    monkeypatch.setattr(U.os, "rename", crash_after_first_rename)
+    with pytest.raises(OSError, match="injected crash"):
+        merge_upsert_table(spark, path, batch, ["k"])
+    monkeypatch.setattr(U.os, "rename", real_rename)
+    # crash state: table gone, live rows stranded in old, staging left
+    assert not os.path.exists(path)
+    assert os.path.exists(path + ".__swap_old__")
+    # the re-run recovers and completes the merge
+    merge_upsert_table(spark, path, batch, ["k"])
+    assert _rows(spark, path) == [(1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0)]
+    assert not os.path.exists(path + ".__swap_old__")
+    assert not os.path.exists(path + ".__swap_staging__")
