@@ -342,7 +342,7 @@ def _portable_perm_constants(n: int = N_HASHES) -> list[int]:
     ]
 
 
-from salesanalytics_etl_spark.operators.memo import register_memo
+from salesanalytics_etl_spark.operators.memo import record_sources, register_memo
 
 _BANDED_MEMO: dict[tuple, DataFrame] = register_memo({})
 # verified near-dup pairs of minhash_near_dupes_portable (already a
@@ -378,6 +378,7 @@ def _portable_banded_cached(df: DataFrame, text_col: str = "text") -> DataFrame:
         return hit
     out = _portable_banded(df, text_col).localCheckpoint()
     _BANDED_MEMO[key] = out
+    record_sources(_BANDED_MEMO, key, df)
     while len(_BANDED_MEMO) > 4:
         del _BANDED_MEMO[next(iter(_BANDED_MEMO))]
     return out
@@ -605,6 +606,7 @@ def minhash_near_dupes_portable(
     sh_sets.unpersist()
     cands.unpersist()
     _PAIRS_MEMO[key] = out
+    record_sources(_PAIRS_MEMO, key, df)
     while len(_PAIRS_MEMO) > 4:
         del _PAIRS_MEMO[next(iter(_PAIRS_MEMO))]
     return out
@@ -745,6 +747,7 @@ def source_minhash_jaccard_cached(
         return hit
     out = source_minhash_jaccard(df, key_col, text_col).localCheckpoint()
     _SRC_SKETCH_MEMO[key] = out
+    record_sources(_SRC_SKETCH_MEMO, key, df)
     while len(_SRC_SKETCH_MEMO) > 4:
         del _SRC_SKETCH_MEMO[next(iter(_SRC_SKETCH_MEMO))]
     return out
@@ -837,6 +840,7 @@ def source_shingle_jaccard_cached(
         return hit
     out = source_shingle_jaccard(df, text_col).localCheckpoint()
     _SRC_EXACT_MEMO[key] = out
+    record_sources(_SRC_EXACT_MEMO, key, df)
     while len(_SRC_EXACT_MEMO) > 4:
         del _SRC_EXACT_MEMO[next(iter(_SRC_EXACT_MEMO))]
     return out

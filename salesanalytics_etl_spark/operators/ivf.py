@@ -303,7 +303,7 @@ def portable_cell_assignment(
     )
 
 
-from salesanalytics_etl_spark.operators.memo import register_memo
+from salesanalytics_etl_spark.operators.memo import record_sources, register_memo
 
 _ASSIGNMENT_MEMO: dict[tuple, DataFrame] = register_memo({})
 _ANCHORS_MEMO: dict[tuple, list] = register_memo({})
@@ -333,6 +333,7 @@ def _portable_anchors_cached(
         return hit
     rows = _portable_anchors(corpus, n_cells, id_col, vec_col).collect()
     _ANCHORS_MEMO[key] = rows
+    record_sources(_ANCHORS_MEMO, key, corpus)
     while len(_ANCHORS_MEMO) > 4:
         del _ANCHORS_MEMO[next(iter(_ANCHORS_MEMO))]
     return rows
@@ -376,6 +377,7 @@ def portable_cell_assignment_cached(
         anchor_rows=_portable_anchors_cached(corpus, n_cells, id_col, vec_col),
     ).localCheckpoint()
     _ASSIGNMENT_MEMO[key] = out
+    record_sources(_ASSIGNMENT_MEMO, key, corpus)
     while len(_ASSIGNMENT_MEMO) > 4:
         del _ASSIGNMENT_MEMO[next(iter(_ASSIGNMENT_MEMO))]
     return out

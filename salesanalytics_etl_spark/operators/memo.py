@@ -11,21 +11,96 @@ of the application — true for the registry's query surface (read-only
 ``sf_dir`` tables) and for any append-only lakehouse layout, but NOT
 for in-session read-after-write pipelines.
 
-Such pipelines must call :func:`clear_materialize_memos` after mutating
-a table that a memoized operator has already scanned. The memos are
-per-process (driver-side dicts), so this is a local, instantaneous
-invalidation — the checkpointed blocks are released on GC.
+The framework's own mutation paths (``merge_upsert_table``,
+``merge_upsert_partitioned``, ``compact_partitions`` — see
+``operators/upsert.py``) invalidate automatically through
+:func:`invalidate_memos_for_path`, scoped to the mutated table via the
+file sources recorded at memo-set time (:func:`record_sources` — the
+sources must be captured from the INPUT frame before checkpointing,
+because a checkpointed frame's lineage, hence ``inputFiles()``, is
+gone). Entries whose sources are unknown are dropped too: unknown must
+fail safe. EXTERNAL writers (another process, a job this module never
+sees) still need the manual hook: call :func:`clear_materialize_memos`
+after mutating a table that a memoized operator has already scanned.
+The memos are per-process (driver-side dicts), so either invalidation
+is local and instantaneous — the checkpointed blocks are released on GC.
 """
 
 from __future__ import annotations
 
 _MEMOS: list[dict] = []
 
+# id(memo) -> {key: tuple of source file URIs recorded at set time}
+_SOURCES: dict[int, dict] = {}
+
 
 def register_memo(memo: dict) -> dict:
     """Enroll a module-level memo dict so the global clear can reach it."""
     _MEMOS.append(memo)
     return memo
+
+
+def record_sources(memo: dict, key, *dfs) -> None:
+    """Record the file sources behind ``memo[key]`` AT SET TIME.
+
+    ``dfs`` must be the pre-checkpoint input frame(s) (a checkpointed
+    frame's plan is a scan of RDD blocks — ``inputFiles()`` returns
+    nothing). Failure to enumerate ANY input's sources records an EMPTY
+    tuple, which :func:`invalidate_memos_for_path` treats as "unknown:
+    drop" — an enumeration hiccup can only cost a recompute, never serve
+    stale data.
+    """
+    try:
+        files = tuple(f for df in dfs for f in df.inputFiles())
+    except Exception:
+        files = ()
+    srcs = _SOURCES.setdefault(id(memo), {})
+    srcs[key] = files
+    # prune records for keys the memo itself has evicted (FIFO bound),
+    # so a long session's source registry stays bounded with the memo
+    for k in list(srcs):
+        if k not in memo and k != key:
+            del srcs[k]
+
+
+def _uri_path(uri: str) -> str:
+    """The filesystem path of a Hadoop file URI (``file:/x``,
+    ``file:///x`` or a bare path)."""
+    if "://" in uri:
+        return "/" + uri.split("://", 1)[1].lstrip("/")
+    if uri.startswith("file:"):
+        return "/" + uri[len("file:"):].lstrip("/")
+    return uri
+
+
+def invalidate_memos_for_path(path: str) -> int:
+    """Drop every memo entry that scanned files under ``path`` (plus any
+    entry with UNKNOWN sources — fail safe); returns entries dropped.
+
+    Called by the framework's own table mutators after an overwrite, so
+    in-session read-after-write pipelines are correct without the caller
+    remembering :func:`clear_materialize_memos` (r12 ADVICE). Entries
+    over OTHER tables survive — a MERGE into a staging table must not
+    cold-restart every memoized corpus operator in the session.
+    """
+    import os
+
+    target = os.path.abspath(path).rstrip("/")
+    prefix = target + "/"
+    dropped = 0
+    for m in _MEMOS:
+        srcs = _SOURCES.get(id(m), {})
+        for k in list(m):
+            files = srcs.get(k, ())
+            hit = not files or any(
+                _uri_path(f) == target or _uri_path(f).startswith(prefix)
+                for f in files
+            )
+            if hit:
+                del m[k]
+                srcs.pop(k, None)
+                dropped += 1
+    return dropped
 
 
 def clear_materialize_memos() -> int:
@@ -36,9 +111,12 @@ def clear_materialize_memos() -> int:
     ``lsh_bucket_audit``, ``cosine_topk_ivf_portable``,
     ``portable_cell_assignment_cached``, ``cosine_topk_bruteforce_cached``
     — may have scanned earlier in the session. See the module docstring
-    for why ``semanticHash`` cannot detect the overwrite itself.
+    for why ``semanticHash`` cannot detect the overwrite itself. The
+    framework's own mutators invalidate automatically (scoped to the
+    mutated path); this global hook remains for EXTERNAL writers.
     """
     dropped = sum(len(m) for m in _MEMOS)
     for m in _MEMOS:
         m.clear()
+    _SOURCES.clear()
     return dropped

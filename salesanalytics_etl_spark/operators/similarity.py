@@ -234,7 +234,7 @@ def cosine_topk_bruteforce(
     )
 
 
-from salesanalytics_etl_spark.operators.memo import register_memo
+from salesanalytics_etl_spark.operators.memo import record_sources, register_memo
 
 _BRUTEFORCE_MEMO: dict[tuple, DataFrame] = register_memo({})
 
@@ -273,6 +273,7 @@ def cosine_topk_bruteforce_cached(
         corpus, queries, k, id_col, vec_col
     ).localCheckpoint()
     _BRUTEFORCE_MEMO[key] = out
+    record_sources(_BRUTEFORCE_MEMO, key, corpus, queries)
     while len(_BRUTEFORCE_MEMO) > 4:
         del _BRUTEFORCE_MEMO[next(iter(_BRUTEFORCE_MEMO))]
     return out

@@ -253,21 +253,30 @@ def vacuum_stale_staging(path: str, min_age_seconds: float = 3600.0) -> bool:
     can double a table's footprint and, left unmonitored, fills the
     volume. Safe to run from a janitor job at any time:
 
-    - refuses (returns False) while the NEWEST file under the staging
-      dir is younger than ``min_age_seconds`` — a live merge is still
-      writing it (each written file refreshes recency);
-    - takes the table's single-writer lock for the removal, so it can
+    - the ``.__swap_old__`` repair (:func:`_recover_swap_old`) runs
+      under the lock UNCONDITIONALLY — it is correctness-bearing and
+      unambiguous at any age, and the canonical crash-between-renames
+      state leaves a FRESH staging dir beside ``.__swap_old__`` with the
+      table missing (r12 ADVICE: an age gate here declined to restore
+      the table for up to an hour);
+    - the staging ``rmtree`` alone is age-gated: it refuses while the
+      NEWEST file under the staging dir is younger than
+      ``min_age_seconds``, because with the advisory lock STOLEN from a
+      dead pid a fresh staging could still belong to a cross-host writer
+      the host-local liveness check cannot see (each written file
+      refreshes recency);
+    - the whole body holds the table's single-writer lock, so it can
       never race a merge that is between its staging write and its
-      dynamic overwrite (that merge holds the lock the whole time).
+      dynamic overwrite (that merge holds the lock the whole time); if a
+      LIVE writer holds the lock this returns False — the running merge
+      removes its own staging and there is no crash state to repair.
 
-    Returns True when a stale staging dir was removed. The next merge
-    is correct either way — the staging write is ``mode("overwrite")``
-    — so the staging half is disk hygiene, not correctness. The
-    ``.__swap_old__`` half (a crash inside the whole-table rename swap)
-    IS correctness-bearing and is repaired here too, via
-    :func:`_recover_swap_old` under the same lock: a stranded old dir
-    with the table missing is renamed back (it is the table); with the
-    table present it is removed (the swap completed).
+    Returns True when anything was reclaimed or repaired. The staging
+    half is disk hygiene, not correctness — the next merge's staging
+    write is ``mode("overwrite")`` either way. The ``.__swap_old__``
+    half IS correctness-bearing: a stranded old dir with the table
+    missing is renamed back (it is the table); with the table present
+    it is removed (the swap completed).
     """
     import shutil
 
@@ -275,23 +284,44 @@ def vacuum_stale_staging(path: str, min_age_seconds: float = 3600.0) -> bool:
     had_old = os.path.exists(path.rstrip("/") + ".__swap_old__")
     if not os.path.exists(staging) and not had_old:
         return False
-    if os.path.exists(staging):
-        newest = os.path.getmtime(staging)
-        for dp, _, fs in os.walk(staging):
-            for f in fs:
-                try:
-                    newest = max(newest, os.path.getmtime(os.path.join(dp, f)))
-                except OSError:
-                    pass  # file vanished mid-walk — a live writer; recency
-                    # is refreshed by its remaining siblings
-        if time.time() - newest < min_age_seconds:
-            return False
-    with single_writer_lock(path, owner="vacuum_stale_staging"):
-        _recover_swap_old(path)
-        if not os.path.exists(staging):
-            return had_old  # swap-old handled; no staging to reclaim
-        shutil.rmtree(staging, ignore_errors=True)
-        return True
+    try:
+        with single_writer_lock(path, owner="vacuum_stale_staging"):
+            _recover_swap_old(path)
+            if not os.path.exists(staging):
+                return had_old  # swap-old handled; no staging to reclaim
+            newest = os.path.getmtime(staging)
+            for dp, _, fs in os.walk(staging):
+                for f in fs:
+                    try:
+                        newest = max(
+                            newest, os.path.getmtime(os.path.join(dp, f))
+                        )
+                    except OSError:
+                        pass  # file vanished mid-walk — a live writer;
+                        # recency is refreshed by its remaining siblings
+            if time.time() - newest < min_age_seconds:
+                return had_old  # staging too fresh to reclaim safely
+            shutil.rmtree(staging, ignore_errors=True)
+            return True
+    except ConcurrentWriterError:
+        return False  # live writer owns the table (and its own cleanup)
+
+
+def _invalidate_memos(path: str) -> None:
+    """Drop materialize-once memo entries that scanned ``path`` — called
+    by every table mutator here AFTER its overwrite lands, so in-session
+    read-after-write pipelines never serve a pre-merge cached frame (the
+    memos key on plan identity, which cannot see a same-path overwrite —
+    r12 ADVICE; ``operators/memo.py`` has the full contract). Scoped by
+    the sources recorded at memo-set time: mutating a staging table must
+    not cold-restart every memoized corpus operator in the session. The
+    manual ``clear_materialize_memos`` hook remains for EXTERNAL writers
+    this module never sees."""
+    from salesanalytics_etl_spark.operators.memo import (
+        invalidate_memos_for_path,
+    )
+
+    invalidate_memos_for_path(path)
 
 
 def merge_upsert(
@@ -421,9 +451,11 @@ def merge_upsert_partitioned(
     if missing:
         raise ValueError(f"incoming lacks partition columns: {missing}")
     with single_writer_lock(path, owner="merge_upsert_partitioned"):
-        return _merge_upsert_partitioned_locked(
+        n = _merge_upsert_partitioned_locked(
             spark, path, incoming, keys, partition_by
         )
+    _invalidate_memos(path)
+    return n
 
 
 def _partition_predicate(rows, partition_by: list[str]):
@@ -597,7 +629,8 @@ def compact_partitions(
             partition_by,
             pinned,
         )
-        return len(crowded)
+    _invalidate_memos(path)
+    return len(crowded)
 
 
 def upsert_counts(target_before: DataFrame | None, incoming: DataFrame) -> int:
@@ -771,6 +804,7 @@ def merge_upsert_table(
     """
     if table_format == "delta":
         merge_upsert_delta(spark, path, incoming, keys)
+        _invalidate_memos(path)
         return
     if table_format != "parquet":
         raise ValueError(
@@ -779,7 +813,7 @@ def merge_upsert_table(
         )
     if partition_by:
         merge_upsert_partitioned(spark, path, incoming, keys, partition_by)
-        return
+        return  # the partitioned path invalidates memos itself
     with single_writer_lock(path, owner="merge_upsert_table"):
         # A crash between the two renames below leaves the table
         # stranded in .__swap_old__ with `path` missing; repair BEFORE
@@ -788,6 +822,7 @@ def merge_upsert_table(
         _recover_swap_old(path)
         if not os.path.exists(path):
             incoming.write.parquet(path)
+            _invalidate_memos(path)
             return
         target = spark.read.schema(incoming.schema).parquet(path)
         merged = merge_upsert(target, incoming, keys)
@@ -804,3 +839,4 @@ def merge_upsert_table(
         os.rename(path, old)
         os.rename(staging, path)
         shutil.rmtree(old)
+    _invalidate_memos(path)

@@ -210,3 +210,81 @@ def test_pair_and_source_matrix_memos_value_transparent(spark):
     )
     assert sk_cached == sk_plain
     clear_materialize_memos()
+
+
+def test_merge_auto_invalidates_memos_over_mutated_table(spark, tmp_path):
+    """The r12 ADVICE hazard end-to-end: a memoized operator scans a
+    parquet table, merge_upsert_table overwrites it IN the same session,
+    and the next memoized call must see the post-merge data — the
+    framework's own mutator invalidates, no manual hook needed. The
+    semanticHash key cannot distinguish the re-read (same path, same
+    plan), so without auto-invalidation this test serves the stale frame."""
+    from salesanalytics_etl_spark.operators import dedup as D
+    from salesanalytics_etl_spark.operators.memo import clear_materialize_memos
+    from salesanalytics_etl_spark.operators.upsert import merge_upsert_table
+
+    clear_materialize_memos()
+    path = str(tmp_path / "docs_tbl")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id BIGINT, text STRING",
+    ).write.parquet(path)
+    before = D._portable_banded_cached(spark.read.parquet(path))
+    assert {r.doc_id for r in before.collect()} == {1}
+    batch = spark.createDataFrame(
+        [(2, "eta theta iota kappa lambda mu")], "doc_id BIGINT, text STRING"
+    )
+    merge_upsert_table(spark, path, batch, ["doc_id"])
+    after = D._portable_banded_cached(spark.read.parquet(path))
+    assert after is not before  # entry was dropped, not served stale
+    assert {r.doc_id for r in after.collect()} == {1, 2}  # post-merge data
+    clear_materialize_memos()
+
+
+def test_merge_into_unrelated_path_keeps_memo_entries(spark, tmp_path):
+    """The invalidation is SCOPED by recorded sources: merging into a
+    staging table must not cold-restart memoized operators over OTHER
+    tables (the whole point of recording sources at set time)."""
+    from salesanalytics_etl_spark.operators import dedup as D
+    from salesanalytics_etl_spark.operators.memo import clear_materialize_memos
+    from salesanalytics_etl_spark.operators.upsert import merge_upsert_table
+
+    clear_materialize_memos()
+    docs_path = str(tmp_path / "docs_keep")
+    spark.createDataFrame(
+        [(1, "nu xi omicron pi rho sigma")], "doc_id BIGINT, text STRING"
+    ).write.parquet(docs_path)
+    kept = D._portable_banded_cached(spark.read.parquet(docs_path))
+    other = str(tmp_path / "other_tbl")
+    merge_upsert_table(
+        spark,
+        other,
+        spark.createDataFrame([(1, "x")], "k BIGINT, v STRING"),
+        ["k"],
+    )
+    merge_upsert_table(  # second merge exercises the swap path too
+        spark,
+        other,
+        spark.createDataFrame([(2, "y")], "k BIGINT, v STRING"),
+        ["k"],
+    )
+    assert D._portable_banded_cached(spark.read.parquet(docs_path)) is kept
+    clear_materialize_memos()
+
+
+def test_unknown_source_memo_entries_drop_fail_safe(spark):
+    """Entries whose sources could not be recorded (in-memory frames:
+    inputFiles() is empty) must be dropped by ANY path invalidation —
+    unknown provenance fails safe to a recompute, never a stale hit."""
+    from salesanalytics_etl_spark.operators import dedup as D
+    from salesanalytics_etl_spark.operators.memo import (
+        clear_materialize_memos,
+        invalidate_memos_for_path,
+    )
+
+    clear_materialize_memos()
+    docs = _docs(spark, ["tau upsilon phi chi psi omega"])
+    h = D._portable_banded_cached(docs)
+    assert invalidate_memos_for_path("/nowhere/in/particular") >= 1
+    assert D._portable_banded_cached(docs) is not h
+    clear_materialize_memos()

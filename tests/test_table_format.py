@@ -201,3 +201,58 @@ def test_crash_injected_mid_swap_then_next_merge_recovers(
     assert _rows(spark, path) == [(1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0)]
     assert not os.path.exists(path + ".__swap_old__")
     assert not os.path.exists(path + ".__swap_staging__")
+
+
+def test_vacuum_repairs_fresh_crash_state_immediately(spark, tmp_path):
+    """The r12 ADVICE gap: the canonical crash-between-renames state is a
+    FRESH .__swap_staging__ beside .__swap_old__ with the table MISSING —
+    the correctness-bearing swap-old repair must run regardless of the
+    staging age (the old early-return declined to restore the table for
+    up to an hour); only the staging rmtree is age-gated."""
+    import os
+
+    from salesanalytics_etl_spark.operators.upsert import vacuum_stale_staging
+
+    path = str(tmp_path / "t_fresh_crash")
+    base = spark.createDataFrame([(1, "a", 1.0)], "k INT, s STRING, v DOUBLE")
+    merge_upsert_table(spark, path, base, ["k"])
+    # canonical crash state: table -> old (first rename), staging written
+    # moments ago, second rename never happened
+    os.rename(path, path + ".__swap_old__")
+    os.makedirs(path + ".__swap_staging__")
+    with open(path + ".__swap_staging__/part-0.parquet", "wb") as f:
+        f.write(b"fresh staging bytes")
+    assert vacuum_stale_staging(path) is True  # default 1h age gate
+    # the table is BACK (correctness half ran despite fresh staging) ...
+    assert _rows(spark, path) == [(1, "a", 1.0)]
+    assert not os.path.exists(path + ".__swap_old__")
+    # ... while the fresh staging survives the age gate (disk hygiene
+    # half stays conservative), and an age-0 pass reclaims it
+    assert os.path.exists(path + ".__swap_staging__")
+    assert vacuum_stale_staging(path, min_age_seconds=0.0) is True
+    assert not os.path.exists(path + ".__swap_staging__")
+
+
+def test_vacuum_declines_while_live_writer_holds_lock(spark, tmp_path):
+    """A LIVE writer's lock means there is no crash state to repair — the
+    janitor must return False (not raise, not race the merge)."""
+    import os
+    import shutil
+    import socket
+
+    from salesanalytics_etl_spark.operators.upsert import vacuum_stale_staging
+
+    path = str(tmp_path / "t_live")
+    base = spark.createDataFrame([(1, "a", 1.0)], "k INT, s STRING, v DOUBLE")
+    merge_upsert_table(spark, path, base, ["k"])
+    shutil.copytree(path, path + ".__swap_old__")
+    lock = path + ".__writer_lock__"
+    with open(lock, "w") as f:  # live holder: THIS pid on THIS host
+        f.write(f"{os.getpid()} {socket.gethostname()} test 0")
+    try:
+        assert vacuum_stale_staging(path) is False
+        assert os.path.exists(path + ".__swap_old__")  # untouched
+    finally:
+        os.remove(lock)
+    assert vacuum_stale_staging(path) is True  # lock gone -> repaired
+    assert not os.path.exists(path + ".__swap_old__")
