@@ -90,18 +90,29 @@ def format_bench_line(
     return line
 
 
+def current_round(repo: str | Path = _REPO) -> int:
+    """The round IN PROGRESS: the driver stamps ``BENCH_r{N}.json`` AND
+    ``CORRECTNESS_r{N}.json`` when a round closes, so current =
+    max(recorded)+1. Both globs on purpose (r12 ADVICE): inferring from
+    BENCH alone while the closer inferred from both meant a round that
+    ever stamped CORRECTNESS without BENCH would make bench.py overwrite
+    the prior round's BENCH_LOCAL slot and floor_diff compare mislabeled
+    rounds — ONE helper, shared by bench.py and tools/close_round.py."""
+    rounds = [0]
+    for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json"):
+        rounds.extend(
+            int(m.group(1))
+            for p in Path(repo).glob(pat)
+            if (m := re.search(r"_r(\d+)\.json$", p.name))
+        )
+    return max(rounds) + 1
+
+
 def local_bench_path(repo: str | Path = _REPO) -> Path:
-    """``BENCH_LOCAL_r{N}.json`` for the round IN PROGRESS: the driver
-    writes ``BENCH_r{N}.json`` when the round closes, so the current
-    round is max(existing)+1. Idempotent within a round (re-runs
+    """``BENCH_LOCAL_r{N}.json`` for the round IN PROGRESS (see
+    :func:`current_round`). Idempotent within a round (re-runs
     overwrite)."""
-    rounds = [
-        int(m.group(1))
-        for p in Path(repo).glob("BENCH_r*.json")
-        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", p.name))
-    ]
-    n = (max(rounds) + 1) if rounds else 1
-    return Path(repo) / f"BENCH_LOCAL_r{n:02d}.json"
+    return Path(repo) / f"BENCH_LOCAL_r{current_round(repo):02d}.json"
 
 
 def write_local_bench(

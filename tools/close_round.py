@@ -1,8 +1,10 @@
 """Round-closing gate runner: one command, the full closing discipline.
 
-    python -m tools.close_round [--skip-bench]
+    python -m tools.close_round [--skip-bench] [--skip-tests]
 
 Runs, in order, and fails loudly on the first red:
+0. the full pytest suite (unless --skip-tests), its pass/skip/fail
+   counts + duration embedded in the artifact;
 1. full-surface sweep under a DEFAULT session (no ansi/timeZone pins —
    Spark 4 defaults ANSI ON; the driver builds its own session, so the
    surface must not depend on `get_spark`'s pins) at sf0.01, entry
@@ -80,15 +82,12 @@ sys.exit(1 if reds else 0)
 
 
 def _current_round() -> int:
-    """The round IN PROGRESS: the driver stamps BENCH_r{N}/CORRECTNESS_r{N}
-    when a round closes, so current = max(recorded) + 1."""
-    rounds = [0]
-    for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json"):
-        for p in Path(_REPO).glob(pat):
-            m = re.search(r"_r(\d+)\.json$", p.name)
-            if m:
-                rounds.append(int(m.group(1)))
-    return max(rounds) + 1
+    """Shared with bench.py (r12 ADVICE: two divergent round-inference
+    helpers meant a round stamping CORRECTNESS without BENCH would
+    mislabel the BENCH_LOCAL slot)."""
+    from bench import current_round
+
+    return current_round(_REPO)
 
 
 def _run_capture(argv: list[str], label: str) -> str:
@@ -104,7 +103,29 @@ def _run_capture(argv: list[str], label: str) -> str:
 
 def main() -> None:
     skip_bench = "--skip-bench" in sys.argv
+    skip_tests = "--skip-tests" in sys.argv
     artifact: dict = {"round": _current_round()}
+
+    if not skip_tests:
+        # The full suite IS part of the closing discipline (r12 verdict
+        # item 5: the round note claimed suite counts the artifact never
+        # carried) — run it first so a red test fails the close before
+        # the multi-minute sweep/bench steps.
+        t_out = _run_capture(
+            [sys.executable, "-m", "pytest", "tests/", "-q"],
+            "pytest tests/ (full suite)",
+        )
+        m = re.search(
+            r"(?:(\d+) failed, )?(\d+) passed(?:, (\d+) skipped)?"
+            r".* in ([0-9.]+)s",
+            t_out,
+        )
+        artifact["pytest"] = {
+            "failed": int(m.group(1) or 0) if m else None,
+            "passed": int(m.group(2)) if m else None,
+            "skipped": int(m.group(3) or 0) if m else None,
+            "seconds": float(m.group(4)) if m else None,
+        }
 
     sweep_out = _run_capture(
         [sys.executable, "-c", _ANSI_SWEEP % {"repo": _REPO}],
@@ -160,12 +181,22 @@ def main() -> None:
         "lines": fd.stdout.strip().splitlines()[-12:],
     }
 
+    # The echo embeds whatever LEAKCHECK.json is on disk AT CLOSE TIME,
+    # which is the PREVIOUS round's file (the driver writes this round's
+    # after the close) — the key says so and the file's own round rides
+    # along, so the artifact audits standalone (r12 verdict item 5).
     leak = Path(_REPO) / "LEAKCHECK.json"
     if leak.exists():
         try:
-            artifact["leakcheck_echo"] = json.loads(leak.read_text())
+            data = json.loads(leak.read_text())
+            artifact["leakcheck_prev_round_echo"] = {
+                "round_of_file": data.get("round"),
+                "note": "LEAKCHECK.json as on disk at close time — the "
+                "driver writes the closing round's file AFTER the close",
+                "content": data,
+            }
         except ValueError:
-            artifact["leakcheck_echo"] = "unparseable"
+            artifact["leakcheck_prev_round_echo"] = "unparseable"
 
     out_path = Path(_REPO) / f"CLOSE_r{artifact['round']:02d}.json"
     out_path.write_text(json.dumps(artifact, indent=1) + "\n")
