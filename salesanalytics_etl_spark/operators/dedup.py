@@ -1313,3 +1313,44 @@ def duplicate_spans(
     )
     spans.unpersist()
     return out
+
+
+SHINGLE_SAMPLE_MOD = 16  # q181/q182: keep shingle IDENTITIES with h % 16 == 0
+
+
+def sampled_shingle_boilerplate(
+    df: DataFrame, text_col: str = "text", mod: int = SHINGLE_SAMPLE_MOD
+) -> DataFrame:
+    """(doc_id, n_sampled, n_common): per-doc boilerplate counts over a
+    HASH-SAMPLED shingle domain — the monitor-cadence estimator for the
+    exact q177 statistic.
+
+    Why sampling, not a count-min sketch: shingle doc-frequency is a flat
+    long-tail domain (|distinct shingles| >> any broadcastable sketch
+    width), so a fixed-width CMS saturates — its overestimate ≈ N/w
+    swamps the df >= 2 test at any real corpus size (measured: at a mere
+    sf0.001 the estimate was +51 on an avg true df of ~2). Hash-sampling
+    the SHINGLE IDENTITY (keep h % mod == 0) instead keeps EVERY
+    (doc, shingle) pair of the kept shingles, so each kept shingle's df
+    is EXACT and each doc's sampled shingles are a deterministic ~1/mod
+    uniform subset of its distinct shingles — an unbiased estimator of
+    its boilerplate share whose corpus-keyed exchange is 1/mod of the
+    exact pipeline's. Deterministic (md5 hash domain), hence
+    DuckDB-replayable bit-for-bit; q182 audits the decile drift the
+    sampling introduces.
+    """
+    sh = (
+        shingle_rows(df, text_col)
+        .select("doc_id", md5_token_hash(F.col("sh")).alias("h"))
+        .distinct()
+        .filter(F.col("h") % mod == 0)
+    )
+    df_ = sh.groupBy("h").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        sh.join(df_, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.when(F.col("d") >= 2, 1).otherwise(0)).alias("n_common"),
+        )
+    )

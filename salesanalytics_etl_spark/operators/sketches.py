@@ -252,3 +252,90 @@ def hdr_percentiles(
             for p in percents
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (engine-portable, md5-derived hash rows)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 2048  # buckets per row; eps ≈ e/w ≈ 0.13% of total inserts
+
+
+def cms_seed_constants(d: int = CMS_D) -> list[int]:
+    """The d xor-mask row constants, derived like the MinHash perms
+    (md5('cms-'||i) 60-bit prefix) so DuckDB regenerates the identical
+    sketch: ``CAST(('0x'||substr(md5('cms-'||i),1,15)) AS BIGINT)``."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"cms-{i}".encode()).hexdigest()[:15], 16)
+        for i in range(d)
+    ]
+
+
+def cms_build(
+    rows: DataFrame, key_col: str = "h", d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """(i, b, c) counter rows of a count-min sketch over ``rows[key_col]``
+    (60-bit longs, e.g. ``md5_token_hash`` output) — one increment per
+    input ROW, so doc-frequency wants DISTINCT (doc, key) rows in.
+
+    THE 100 TB shape this buys (vs the exact q177 pattern): the exact
+    doc-frequency table is |distinct keys| rows and must SHUFFLE-join
+    back against the corpus-sized key stream; the CMS is ≤ d·w rows
+    (8 K at the defaults) regardless of corpus size, so the estimate
+    join (:func:`cms_lookup`) becomes d map-side broadcast joins and the
+    only corpus-keyed exchange left is the build's bounded
+    ``groupBy(i, bucket)`` — partial-aggregated map-side into at most
+    d·w groups. Counters are one-sided: estimate ≥ truth always, with
+    P[err > eN] ≤ (1/2)^d at w = e/e buckets (Cormode & Muthukrishnan,
+    J. Algorithms 2005). The (i, b) grain is mergeable by SUM — shard
+    sketches combine with the same groupBy, which is what a streaming
+    maintenance job would do.
+    """
+    seeds = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"))
+            for i, a in enumerate(cms_seed_constants(d))
+        ]
+    )
+    return (
+        rows.select(F.col(key_col).alias("_k"))
+        .select("_k", F.explode(seeds).alias("_s"))
+        .groupBy(
+            F.col("_s.i").alias("i"),
+            F.expr(f"(_k ^ _s.a) % {w}").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_lookup(
+    rows: DataFrame,
+    cms: DataFrame,
+    key_col: str = "h",
+    d: int = CMS_D,
+    w: int = CMS_W,
+    out_col: str = "dhat",
+) -> DataFrame:
+    """Adds ``out_col`` = min over the d counter rows for ``rows[key_col]``
+    — the CMS point estimate. d map-side BROADCAST joins (the sketch is
+    ≤ d·w rows), never a corpus shuffle; a key whose (i, b) counter is
+    absent was never inserted and reads 0 (only possible for keys outside
+    the build input, since any inserted key's counters are ≥ 1)."""
+    out = rows
+    ests = []
+    for i, a in enumerate(cms_seed_constants(d)):
+        cms_i = cms.filter(F.col("i") == i).select(
+            F.col("b").alias(f"_b{i}"), F.col("c").alias(f"_c{i}")
+        )
+        out = out.join(
+            F.broadcast(cms_i),
+            F.expr(f"({key_col} ^ {a}L) % {w}") == F.col(f"_b{i}"),
+            "left",
+        )
+        ests.append(F.coalesce(F.col(f"_c{i}"), F.lit(0)))
+    return out.withColumn(out_col, F.least(*ests)).drop(
+        *[f"_b{i}" for i in range(d)], *[f"_c{i}" for i in range(d)]
+    )

@@ -1864,3 +1864,485 @@ def q180_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-13 family: sampled monitors + their error audits, the sampled
+# near-dup replay, per-source LM-quality drift, and a CMS certification
+# --------------------------------------------------------------------------
+
+_SHINGLES_SQL = r"""
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 5)),
+                                  1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+            FROM documents) n,
+           UNNEST(range(1, GREATEST(len(t) - 4, 1) + 1)) AS u(i)
+"""
+
+
+@register(
+    "q181_boilerplate_sampled",
+    # The monitor-cadence twin of q177 (the sketch/exact/audit pattern of
+    # q172/q170/q176 applied to boilerplate share). A count-min sketch is
+    # the WRONG tool here — shingle df is a flat long-tail domain, so a
+    # broadcastable-width CMS saturates (overestimate ≈ N/w swamps the
+    # df >= 2 test; measured at sf0.001: +51 on true df ~2). Instead the
+    # SHINGLE IDENTITY domain is hash-sampled (h % 16 == 0): every
+    # (doc, shingle) pair of a kept shingle survives, so kept shingles'
+    # doc-frequencies are EXACT and each doc's sampled shingles are an
+    # unbiased ~1/16 subset — the corpus-keyed exchange (the dominant
+    # cost of q177 at 100 TB) shrinks 16x while the decile estimate stays
+    # unbiased per doc. Docs with no sampled shingle land in decile -1
+    # (reported, never silently dropped); q182 audits the decile drift.
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    samp AS (SELECT doc_id, h FROM sh WHERE h % 16 = 0),
+    df AS (SELECT h, COUNT(*) AS d FROM samp GROUP BY 1),
+    per_doc AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_sampled,
+             SUM(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END) AS n_common
+      FROM samp s JOIN df USING (h)
+      GROUP BY 1
+    )
+    SELECT CASE WHEN p.n_sampled IS NULL THEN -1
+                ELSE CAST(p.n_common * 10000 // p.n_sampled // 1000 AS INT)
+           END AS boilerplate_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(p.n_sampled), 0) AS BIGINT)
+             AS total_sampled_shingles
+    FROM (SELECT doc_id FROM documents) a
+    LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Boilerplate-share histogram at monitor cadence: per doc, the "
+    "fraction of its HASH-SAMPLED (h % 16 == 0) distinct 5-gram shingles "
+    "seen in 2+ documents, rolled into the q177 deciles plus a -1 bucket "
+    "for docs with no sampled shingle. Sampling by shingle identity "
+    "keeps the kept shingles' doc-frequencies exact, so the estimate is "
+    "unbiased per doc with 1/16 the corpus-keyed exchange of the exact "
+    "q177 audit; q182 quantifies the decile drift.",
+)
+def q181_boilerplate_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import (
+        sampled_shingle_boilerplate,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    per_doc = sampled_shingle_boilerplate(documents)
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .groupBy(
+            F.when(F.col("n_sampled").isNull(), F.lit(-1))
+            .otherwise(
+                F.expr(
+                    "cast(n_common * 10000 div n_sampled div 1000 as int)"
+                )
+            )
+            .cast("int")
+            .alias("boilerplate_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_sampled"), F.lit(0))
+            .cast("bigint")
+            .alias("total_sampled_shingles"),
+        )
+        .orderBy("boilerplate_decile")
+    )
+
+
+@register(
+    "q182_boilerplate_sample_error",
+    # The audit-cadence error report for q181 (the q176 role): per doc,
+    # the EXACT boilerplate decile (q177's corpus-sized pipeline) against
+    # the SAMPLED decile (q181's estimator), rolled into a decile-pair
+    # confusion matrix — bounded <= 12x11 rows at any corpus size. A mass
+    # off the diagonal says the 1/16 sample is too thin for the corpus's
+    # doc-length distribution (raise the sample rate); the -1 column
+    # counts docs the monitor cannot see at all.
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    edf AS (SELECT h, COUNT(*) AS d FROM sh GROUP BY 1),
+    exact_doc AS (
+      SELECT sh.doc_id, COUNT(*) AS n_sh,
+             SUM(CASE WHEN edf.d >= 2 THEN 1 ELSE 0 END) AS n_c
+      FROM sh JOIN edf USING (h) GROUP BY 1
+    ),
+    samp AS (SELECT doc_id, h FROM sh WHERE h % 16 = 0),
+    sdf AS (SELECT h, COUNT(*) AS d FROM samp GROUP BY 1),
+    samp_doc AS (
+      SELECT s.doc_id, COUNT(*) AS n_s,
+             SUM(CASE WHEN sdf.d >= 2 THEN 1 ELSE 0 END) AS n_cs
+      FROM samp s JOIN sdf USING (h) GROUP BY 1
+    )
+    SELECT CAST(e.n_c * 10000 // e.n_sh // 1000 AS INT) AS exact_decile,
+           CASE WHEN s.n_s IS NULL THEN -1
+                ELSE CAST(s.n_cs * 10000 // s.n_s // 1000 AS INT)
+           END AS sampled_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM exact_doc e LEFT JOIN samp_doc s USING (doc_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Sampling-error audit for the q181 monitor: exact boilerplate "
+    "decile (q177 pipeline) vs sampled decile per doc, rolled into a "
+    "bounded decile-pair confusion matrix. The q170->q172->q176 "
+    "discipline applied to the sampling estimator: the monitor is only "
+    "trusted because this audit-cadence query measures its drift.",
+)
+def q182_boilerplate_sample_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import (
+        md5_token_hash,
+        sampled_shingle_boilerplate,
+        shingle_rows,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sh = (
+        shingle_rows(documents)
+        .select("doc_id", md5_token_hash(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    edf = sh.groupBy("h").agg(F.count(F.lit(1)).alias("d"))
+    exact_doc = (
+        sh.join(edf, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.when(F.col("d") >= 2, 1).otherwise(0)).alias("n_c"),
+        )
+    )
+    samp_doc = sampled_shingle_boilerplate(documents)
+    return (
+        exact_doc.join(samp_doc, "doc_id", "left")
+        .groupBy(
+            F.expr("cast(n_c * 10000 div n_sh div 1000 as int)").alias(
+                "exact_decile"
+            ),
+            F.when(F.col("n_sampled").isNull(), F.lit(-1))
+            .otherwise(
+                F.expr(
+                    "cast(n_common * 10000 div n_sampled div 1000 as int)"
+                )
+            )
+            .cast("int")
+            .alias("sampled_decile"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("exact_decile", "sampled_decile")
+    )
+
+
+@register(
+    "q183_sampled_neardup_replay",
+    # The r12 verdict's sampled-sub-corpus gate made first-class: DuckDB
+    # cannot replay the full MinHash+LSH pipeline at 10x/30x probe volume
+    # (>79 GB temp spill, measured — SCALE.md Round-12 addendum), so the
+    # full-pipeline VALUE gate at probe volume runs on a DETERMINISTIC
+    # 5% doc sample (md5('sample-'||doc_id) % 100 < 5 — salt distinct
+    # from q51's split hash so the sample is independent of splits).
+    # Registering the sampled pipeline as its own query means the SAME
+    # surface gates at sf0.01 in the driver window AND at 30x in
+    # SCALE.md, with the unsampled q109 remaining the full-corpus record.
+    # Output is a fixed 1-row summary, so the row stays comparable at
+    # any volume.
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+      WHERE CAST(('0x' || substr(md5('sample-' || CAST(doc_id AS VARCHAR)),
+                                 1, 6)) AS INT) % 100 < 5
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 5)),
+                                  1, 15)) AS BIGINT) AS h
+      FROM docs, UNNEST(range(1, GREATEST(len(t) - 4, 1) + 1)) AS u(i)
+    ),
+    perms AS (
+      SELECT i, CAST(('0x' || substr(md5('perm-' || i), 1, 15)) AS BIGINT) AS a
+      FROM (SELECT unnest(range(0, 32)) AS i)
+    ),
+    sigvals AS (
+      SELECT s.doc_id, p.i, MIN(xor(s.h, p.a)) AS mh
+      FROM sh s CROSS JOIN perms p
+      GROUP BY s.doc_id, p.i
+    ),
+    banded AS (
+      SELECT doc_id, i // 5 AS band_id,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_key
+      FROM sigvals WHERE i < 30
+      GROUP BY doc_id, i // 5
+    ),
+    bsize AS (SELECT band_id, band_key, COUNT(*) AS m FROM banded GROUP BY 1, 2),
+    member AS (
+      SELECT b.doc_id, b.band_id, b.band_key
+      FROM banded b JOIN bsize s USING (band_id, band_key)
+      WHERE s.m BETWEEN 2 AND 64
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM member x JOIN member y USING (band_id, band_key)
+      WHERE x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    ovl AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS ov
+      FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT FLOOR(CAST(COALESCE(o.ov, 0) AS DOUBLE)
+                   / (sa.sz + sb.sz - COALESCE(o.ov, 0))
+                   * 10000.0 + 0.5) / 10000.0 AS jaccard
+      FROM cand c
+      LEFT JOIN ovl o USING (doc_a, doc_b)
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE COALESCE(o.ov, 0) * 10000
+            >= 5000 * (sa.sz + sb.sz - COALESCE(o.ov, 0))
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM docs) AS n_docs_sampled,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(CAST(ROUND(jaccard * 10000, 0) AS INT)), 0)
+                AS BIGINT) AS sum_jaccard_bp
+    FROM pairs
+    """,
+    doc="The q109 portable MinHash+LSH pipeline on a deterministic 5% "
+    "doc sample (md5 salt 'sample-', independent of the q51 split hash), "
+    "summarized to one fixed row (docs, verified pairs, summed Jaccard "
+    "bp). Exists so the FULL approximate pipeline value-gates at probe "
+    "volumes where DuckDB cannot replay the unsampled corpus (measured "
+    ">79 GB spill at 10x/30x) — the SCALE.md 30x gate runs this exact "
+    "registered surface.",
+)
+def q183_sampled_neardup_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import (
+        minhash_near_dupes_portable,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sampled = documents.filter(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("sample-"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+        < 5
+    )
+    pairs = minhash_near_dupes_portable(sampled)
+    summary = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.round(F.col("jaccard") * 10000, 0).cast("int")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("sum_jaccard_bp"),
+    )
+    n_docs = sampled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_sampled")
+    )
+    # 1-row x 1-row broadcast combine (BroadcastNestedLoopJoin, never a
+    # CartesianProduct over data-sized inputs)
+    return n_docs.join(F.broadcast(summary), F.lit(True), "inner").select(
+        "n_docs_sampled", "n_pairs", "sum_jaccard_bp"
+    )
+
+
+@register(
+    "q184_source_surprisal_drift",
+    # Per-source LM-quality drift: the q104 per-doc unigram cross-entropy
+    # (the CCNet-style perplexity proxy) rolled to SOURCE grain — the
+    # quality counterpart of q174 (length PSI) and q179 (lang-source MI)
+    # in the source-monitoring family. A source whose mean bits/token
+    # drifts up is degrading (boilerplate stripped? OCR noise? spam).
+    # Exactness: bits_per_token is already floor-rounded to 4dp on both
+    # engines (q104's contract), so bits_bp = ROUND(x*10000) is
+    # integer-valued EXACTLY; both means are integer division of BIGINT
+    # sums — order-insensitive, engine-portable, no doubles cross the
+    # gate. Scale: per-doc table is corpus-sized but the rollup is keyed
+    # by source (bounded); one exchange on doc_id (the q104 join), one
+    # on source.
+    oracle=r"""
+    WITH nn AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, t.term FROM nn, UNNEST(w) AS t(term)
+      WHERE length(t.term) > 0
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), vocab AS (
+      SELECT term, SUM(tf) AS ctf FROM tf GROUP BY term
+    ), tot AS (
+      SELECT SUM(ctf) AS n FROM vocab
+    ), bits AS (
+      SELECT term,
+             CAST(ROUND(log2(n) - log2(ctf), 6) AS DECIMAL(18,6)) AS bits
+      FROM vocab, tot
+    ), per_doc AS (
+      SELECT doc_id, SUM(tf) AS n_tokens, SUM(tf * bits) AS s
+      FROM tf JOIN bits USING (term) GROUP BY doc_id
+    ), scored AS (
+      SELECT doc_id, n_tokens,
+             CAST(ROUND(FLOOR(CAST(s AS DOUBLE) / n_tokens * 10000.0 + 0.5),
+                        0) AS BIGINT) AS bits_bp
+      FROM per_doc
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(sc.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(sc.bits_bp) // COUNT(*) AS BIGINT) AS mean_doc_bits_bp,
+           CAST(SUM(sc.n_tokens * sc.bits_bp) // SUM(sc.n_tokens) AS BIGINT)
+             AS mean_token_bits_bp
+    FROM scored sc JOIN documents d USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Per-source mean unigram surprisal (doc-mean and token-weighted "
+    "mean, integer basis points of bits/token): the q104 quality score "
+    "at source-monitor grain. Composes the corpus's own unigram LM; all "
+    "emitted statistics are integer division of exact BIGINT sums, so "
+    "the gate sees no engine-native double rounding.",
+)
+def q184_source_surprisal_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.text import unigram_surprisal
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    us = unigram_surprisal(documents)
+    scored = us.select(
+        "doc_id",
+        "n_tokens",
+        # bits_per_token is FLOOR(x*1e4+0.5)/1e4 on both engines, so
+        # *10000 is integer-valued up to an ulp; ROUND before the cast
+        # (the q176 exact_bp idiom)
+        F.round(F.col("bits_per_token") * 10000, 0)
+        .cast("bigint")
+        .alias("bits_bp"),
+    )
+    return (
+        scored.join(documents.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("sum(bits_bp) div count(1)")
+            .cast("bigint")
+            .alias("mean_doc_bits_bp"),
+            F.expr("sum(n_tokens * bits_bp) div sum(n_tokens)")
+            .cast("bigint")
+            .alias("mean_token_bits_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q185_cms_user_frequency_audit",
+    # Count-min sketch certification on the domain CMS is FOR — skewed
+    # per-key frequency (heavy users), where the top keys stand above
+    # the eps*N collision noise — with the exact recount beside it (the
+    # q110-HLL pattern applied to frequency estimation). The sketch is
+    # d x w = 4 x 2048 counter rows built with md5-derived xor-mask
+    # hash rows, so DuckDB rebuilds the IDENTICAL counters and the
+    # driver hash-checks the sketch itself; estimates are one-sided
+    # (never under the exact count). At 100 TB the exact side runs at
+    # audit cadence; the sketch side's exchange is bounded at d*w rows
+    # regardless of event volume, and (i, b) counters merge by SUM — the
+    # same groupBy IS the multi-shard/streaming merge.
+    oracle=r"""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5('u-' || CAST(user_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS h
+      FROM events
+    ),
+    seeds AS (
+      SELECT i, CAST(('0x' || substr(md5('cms-' || i), 1, 15)) AS BIGINT) AS a
+      FROM (SELECT unnest(range(0, 4)) AS i)
+    ),
+    cms AS (
+      SELECT s.i AS i, xor(ev.h, s.a) % 2048 AS b, COUNT(*) AS c
+      FROM ev CROSS JOIN seeds s GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT user_id, ANY_VALUE(h) AS h, COUNT(*) AS n_events
+      FROM ev GROUP BY 1
+    ),
+    top AS (SELECT * FROM exact ORDER BY n_events DESC, user_id LIMIT 10),
+    est AS (
+      SELECT t.user_id, t.n_events, MIN(c.c) AS dhat
+      FROM top t CROSS JOIN seeds s
+      JOIN cms c ON c.i = s.i AND c.b = xor(t.h, s.a) % 2048
+      GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(dhat AS BIGINT) AS cms_estimate,
+           CAST(dhat - n_events AS BIGINT) AS cms_err
+    FROM est ORDER BY n_events DESC, user_id
+    """,
+    doc="Top-10 heaviest users by exact event count, with the count-min "
+    "sketch estimate and its (one-sided) error beside them: certifies "
+    "operators/sketches.py cms_build/cms_lookup bit-for-bit against an "
+    "independent engine on the skewed-frequency domain CMS is designed "
+    "for (q101's Misra-Gries is the per-key TOP-K sketch; CMS answers "
+    "point queries for ANY key with bounded memory). Total order "
+    "(n_events DESC, user_id) — ties broken.",
+)
+def q185_cms_user_frequency_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import md5_token_hash
+    from salesanalytics_etl_spark.operators.sketches import (
+        cms_build,
+        cms_lookup,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    hashed = events.select(
+        "user_id",
+        md5_token_hash(
+            F.concat(F.lit("u-"), F.col("user_id").cast("string"))
+        ).alias("h"),
+    )
+    cms = cms_build(hashed, "h")
+    top = (
+        hashed.groupBy("user_id")
+        .agg(F.first("h").alias("h"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(10)
+    )
+    return (
+        cms_lookup(top, cms, "h", out_col="dhat")
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("dhat").cast("bigint").alias("cms_estimate"),
+            (F.col("dhat") - F.col("n_events"))
+            .cast("bigint")
+            .alias("cms_err"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+    )
