@@ -40,94 +40,90 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-# Round-12 rotation (driver records the FIRST 50 entries). The list is
+# Round-13 rotation (driver records the FIRST 50 entries). The list is
 # COUNTED from CORRECTNESS_r*.json latest-record rounds, not from memory
 # (the r10 roll note undercounted its own list; r11 made the arithmetic
 # self-counting — this comment is the stamp bookkeeping future rounds
-# rely on, so: 9+5+29+7 = 50). Priority order:
-# (0) the 9 queries NEW this round, ZERO driver records (never-
-#     recorded outranks stale): q172 source-pair MinHash sketch twin,
-#     q173 dup-cluster source span, q174 source length PSI, q175 event
-#     co-occurrence lift, q176 sketch-vs-exact error audit, q177
-#     boilerplate fraction, q178 near-dup split leakage, q179
-#     lang-source mutual information, q180 dedup yield curve;
-# (1) queries whose code changed this round and must re-stamp: q112/
-#     q113/q122 (the portable-IVF cold path now derives its anchor
-#     sample through the memoized _portable_anchors_cached — one scan
-#     instead of two; values MUST be identical since the md5-smallest
-#     sample is deterministic, the re-stamp proves it on current code);
-#     q109 (its verified-pair frame is now memoized, shared with q178)
-#     and q170 (its exact matrix moved into the memoized
-#     source_shingle_jaccard_cached operator, shared with q176) — both
-#     pure-perf, value-identical, re-stamp proves it;
-# (2) the 29 r8-era rows in query order — the ENTIRE remaining r8 debt,
-#     including the reference-core q05-q13 (r11 verdict item 1: the
-#     reference's own queries.sql surface must not carry the stalest
-#     records);
-# (3) 7 slots left, filled with the stalest r9-era rows in query
-#     order (q14-q28); the remaining 38 r9-era rows (q29, q30, q32,
-#     q33, q37-q43, q51, q53-q56, q58-q63, q68, q76, q78-q80, q83,
-#     q94, q101, q125, q129, q131, q135-q139) roll to r13 — after this
-#     window closes, NO query's latest driver record is older than r9.
+# rely on, so: 5+7+38 = 50). Priority order:
+# (0) the 5 queries NEW this round, ZERO driver records (never-
+#     recorded outranks stale): q181 hash-sampled boilerplate monitor,
+#     q182 its decile-drift audit, q183 sampled MinHash+LSH replay,
+#     q184 per-source surprisal drift, q185 CMS frequency audit;
+# (1) 7 code-changed re-stamps, ONE per code path changed this round
+#     (values must be identical; the re-stamp proves it on current
+#     code): q52 (merge_upsert_table now auto-invalidates the
+#     materialize-once memos after its swap — r12 ADVICE), plus one
+#     query per memoized operator that gained record_sources bookkeeping
+#     at its set site: q109 (banded+pairs memos), q176 (both source-
+#     matrix memos), q170 (exact-matrix memo consumer), q112
+#     (anchors+assignment memos), q122 (IVF recall + bruteforce memo),
+#     q28 (bruteforce memo via the ANN surface). The REST of the
+#     memo-backed family (q25, q27, q34, q113, q116, q121, q172, q178)
+#     shares exactly those code paths, carries r11/r12 records, and
+#     rolls to the r14 window so the ENTIRE r9-era debt retires now
+#     (r12 verdict item 1 takes the remaining slots);
+# (2) ALL 38 r9-era rows in query order — the complete remaining r9
+#     debt (q29, q30, q32, q33, q37-q43, q51, q53-q56, q58-q63, q68,
+#     q76, q78-q80, q83, q94, q101, q125, q129, q131, q135-q139).
+#     After this window closes, NO query's latest driver record is
+#     older than r10.
 # Every name here is also swept by tests/test_queries.py +
 # tests/strict_gate.py against the same oracles, so reordering changes
 # what the driver RECORDS, never what is verified.
 _CHECK_FIRST = [
     # --- (0) new this round, never recorded ---
-    "q172_source_minhash_jaccard",
-    "q173_dup_cluster_source_span",
-    "q174_source_length_psi",
-    "q175_event_cooccurrence_lift",
-    "q176_source_jaccard_sketch_error",
-    "q177_boilerplate_fraction",
-    "q178_split_neardup_leakage",
-    "q179_lang_source_mutual_info",
-    "q180_dedup_yield_curve",
-    # --- (1) code changed this round (anchor-collect memo; pair/matrix
-    #     memos shared with the q176/q178 compositions) ---
-    "q112_ivf_replay",
-    "q113_cell_stats_replay",
-    "q122_ivf_recall_audit",
-    "q109_minhash_lsh_replay",
-    "q170_source_shingle_jaccard",
-    # --- (2) all 29 r8-era rows, query order ---
-    "q05_top_products",
-    "q06_top_customers",
-    "q07_status_histogram",
-    "q08_avg_order_value",
-    "q09_parts_no_sales",
-    "q10_customers_no_orders",
-    "q11_last_order_details",
-    "q12_order_totals",
-    "q13_order_reconciliation",
-    "q22_docs_token_stats",
-    "q26_simhash_neardup",
-    "q47_docs_chunking",
+    "q181_boilerplate_sampled",
+    "q182_boilerplate_sample_error",
+    "q183_sampled_neardup_replay",
+    "q184_source_surprisal_drift",
+    "q185_cms_user_frequency_audit",
+    # --- (1) code-changed re-stamps, one per changed code path ---
     "q52_merge_upsert",
-    "q65_tfidf_top_terms",
-    "q66_inverted_index",
-    "q70_benchmark_decontamination",
-    "q71_sequence_packing",
-    "q75_curation_pipeline",
-    "q81_bigram_merge_candidates",
-    "q86_bm25_search",
-    "q90_weighted_priority_sample",
-    "q106_token_budget_mixture",
-    "q118_fuzzy_decontamination",
-    "q126_sales_gap_fill",
-    "q127_peak_window_traffic",
-    "q128_distributed_percentiles",
-    "q130_robust_order_outliers",
-    "q132_nation_revenue_interpolated",
-    "q133_fk_integrity_sweep",
-    # --- (3) the 11 stalest r9-era rows, query order ---
-    "q14_sales_daterange",
-    "q17_view_sales_by_day_sql",
-    "q18_running_daily_sales",
-    "q20_docs_fingerprint",
-    "q21_docs_exact_dedupe",
-    "q24_docs_langid",
+    "q109_minhash_lsh_replay",
+    "q176_source_jaccard_sketch_error",
+    "q170_source_shingle_jaccard",
+    "q112_ivf_replay",
+    "q122_ivf_recall_audit",
     "q28_ann_cosine_lsh",
+    # --- (2) all 38 r9-era rows, query order ---
+    "q29_events_hourly",
+    "q30_events_sessionize",
+    "q32_embedding_neardup",
+    "q33_token_frequencies",
+    "q37_order_value_percentiles",
+    "q38_repeat_customers_intersect",
+    "q39_events_json_props",
+    "q40_churned_customers_except",
+    "q41_part_name_search",
+    "q42_purchases_with_prior_views",
+    "q43_purchase_asof_signup",
+    "q51_train_val_test_split",
+    "q53_customer_sample_topk",
+    "q54_part_sample_topk",
+    "q55_lineitem_sample_topk",
+    "q56_conformance_coercion",
+    "q58_mom_sales_growth",
+    "q59_salted_event_rollup",
+    "q60_winnowing_fingerprints",
+    "q61_small_quantity_revenue",
+    "q62_check_violations",
+    "q63_sales_cube",
+    "q68_segment_percentiles",
+    "q76_incremental_dedupe",
+    "q78_regional_supplier_revenue",
+    "q79_rolling_7day_sales",
+    "q80_event_funnel",
+    "q83_sentence_dedup_stats",
+    "q94_scd2_customers",
+    "q101_heavy_hitter_shingles",
+    "q125_snapshot_diff",
+    "q129_segment_percentiles_distributed",
+    "q131_orders_profile",
+    "q135_event_transitions",
+    "q136_retention_cohorts",
+    "q137_order_value_histogram",
+    "q138_benford_digit_audit",
+    "q139_winsorized_order_stats",
 ]
 
 
