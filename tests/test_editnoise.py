@@ -1,0 +1,101 @@
+"""Edit-noise near-dup audit operators (operators/editnoise.py).
+
+The oracle gate (q186/q187) proves engine parity; these tests pin the
+SEMANTICS: the variant generator's determinism and drop rate, the
+recall histogram's internal consistency, and the pigeonhole guarantee
+the SimHash audit is supposed to measure.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from salesanalytics_etl_spark.operators.editnoise import (
+    editnoise_lsh_audit,
+    editnoise_pairs,
+    editnoise_simhash_audit,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_variant_deterministic_and_matches_python(spark):
+    """The Spark variant equals an independent pure-Python rederivation
+    (same md5 tags, 1-based positions) — the property the DuckDB twin
+    relies on."""
+    rows = (
+        editnoise_pairs(_docs(spark), sample_mod=None)
+        .orderBy("doc_id")
+        .limit(20)
+        .collect()
+    )
+    assert rows, "no docs at sf0.001?"
+    for r in rows:
+        toks = r.t.split(" ")
+        kept = [
+            tok
+            for i, tok in enumerate(toks, start=1)
+            if int(
+                hashlib.md5(f"edit-{r.doc_id}-{i}".encode()).hexdigest()[:6],
+                16,
+            )
+            % 10
+            != 0
+        ]
+        assert r.v == " ".join(kept), r.doc_id
+
+
+def test_drop_rate_near_ten_percent(spark):
+    pairs = editnoise_pairs(_docs(spark), sample_mod=None)
+    agg = pairs.select(
+        F.size(F.split("t", " ")).alias("n_t"),
+        F.size(F.split("v", " ")).alias("n_v"),
+    ).agg(F.sum("n_t").alias("t"), F.sum("n_v").alias("v")).collect()[0]
+    dropped = (agg.t - agg.v) / agg.t
+    assert 0.05 < dropped < 0.15, dropped
+
+
+def test_lsh_audit_internal_consistency(spark):
+    out = editnoise_lsh_audit(_docs(spark)).collect()
+    assert out, "sampled corpus empty at sf0.001?"
+    for r in out:
+        assert 0 <= r.j_decile <= 9
+        assert 0 <= r.n_band_hit <= r.n_pairs
+        # 6 bands max per pair
+        assert r.sum_band_hits <= 6 * r.n_pairs
+        assert r.n_band_hit <= r.sum_band_hits
+        # recall_bp = floor(hit/pairs * 1e4 + .5)
+        assert r.recall_bp == (r.n_band_hit * 20000 + r.n_pairs) // (
+            2 * r.n_pairs
+        )
+        # mean exact J must sit inside its decile (floor-rounding slack)
+        assert r.sum_exact_bp <= r.n_pairs * 10000
+
+
+def test_simhash_audit_pigeonhole(spark):
+    """Hamming <= 3 rows MUST show chunk_hit == n_pairs (4 chunks of 16
+    bits: 3 flipped bits cannot touch all 4) — the guarantee q26's
+    exact mode builds on; above 3 the hit rate is what the audit
+    measures."""
+    out = editnoise_simhash_audit(_docs(spark)).collect()
+    assert out
+    for r in out:
+        assert 0 <= r.hamming <= 63
+        assert 0 <= r.n_chunk_hit <= r.n_pairs
+        if r.hamming <= 3:
+            assert r.n_chunk_hit == r.n_pairs, r
+
+
+def test_identical_corpus_all_decile9_hamming0(spark):
+    """drop_mod so large nothing is dropped -> every pair is exact:
+    J = 1.0 (decile 9, all 6 bands hit) and Hamming = 0."""
+    docs = _docs(spark)
+    pairs = editnoise_pairs(docs, drop_mod=10**9, sample_mod=None)
+    same = pairs.filter(F.col("t") != F.col("v")).count()
+    assert same == 0
