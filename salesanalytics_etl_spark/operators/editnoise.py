@@ -68,6 +68,39 @@ def _md5_int(tag: Column) -> Column:
     return F.conv(F.substring(F.md5(tag), 1, 6), 16, 10).cast("int")
 
 
+def perturbed_text(
+    doc_id: Column,
+    norm_text: Column,
+    salt: str = "edit",
+    drop_mod: int = DROP_MOD,
+) -> Column:
+    """Deterministic token-drop variant of an ALREADY-NORMALIZED text
+    column: token at 1-based position i is dropped iff
+    ``md5(salt||'-'||doc_id||'-'||i) % drop_mod == 0``.
+
+    The keep-filter is a higher-order ``F.filter`` lambda (interpreted
+    per element) rather than explode+string_agg: the lambda costs one
+    md5 per token — the same work the explode path would do — but
+    stays inside one projection, with no shuffle and no re-grouping.
+    Parameterized by ``salt`` so the scale probe can mint DISTINCT
+    variants per replica (each replica a different small edit of the
+    same base doc — the realistic near-dup clique regime).
+    """
+    keep = lambda tok, i: (  # noqa: E731 - inline HOF predicate
+        _md5_int(
+            F.concat(
+                F.lit(f"{salt}-"),
+                doc_id.cast("string"),
+                F.lit("-"),
+                (i + F.lit(1)).cast("string"),
+            )
+        )
+        % drop_mod
+        != 0
+    )
+    return F.array_join(F.filter(F.split(norm_text, " "), keep), " ")
+
+
 def editnoise_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -79,15 +112,9 @@ def editnoise_pairs(
 
     ``t`` is the fingerprint-canonical form (:func:`normalize_text` —
     lowercase, whitespace collapsed), so ``split(t, ' ')`` yields the
-    identical token list in both engines. Token at 1-based position i
-    is dropped iff ``md5('edit-'||doc_id||'-'||i) % drop_mod == 0``.
-
-    The keep-filter is a higher-order ``F.filter`` lambda (interpreted
-    per element) rather than explode+string_agg: the lambda costs one
-    md5 per token — the same work the explode path would do — but
-    stays inside one projection, with no shuffle and no re-grouping.
-    A doc whose every token is dropped yields ``v = ''`` (the DuckDB
-    twin reproduces this via LEFT JOIN + COALESCE).
+    identical token list in both engines. A doc whose every token is
+    dropped yields ``v = ''`` (the DuckDB twin reproduces this via
+    LEFT JOIN + COALESCE).
     """
     base = df.select("doc_id", normalize_text(F.col(text_col)).alias("t"))
     if sample_mod:
@@ -100,24 +127,12 @@ def editnoise_pairs(
             % sample_mod
             == 0
         )
-    keep = lambda tok, i: (  # noqa: E731 - inline HOF predicate
-        _md5_int(
-            F.concat(
-                F.lit("edit-"),
-                F.col("doc_id").cast("string"),
-                F.lit("-"),
-                (i + F.lit(1)).cast("string"),
-            )
-        )
-        % drop_mod
-        != 0
-    )
     return spread_partitions(base).select(
         "doc_id",
         "t",
-        F.array_join(F.filter(F.split(F.col("t"), " "), keep), " ").alias(
-            "v"
-        ),
+        perturbed_text(
+            F.col("doc_id"), F.col("t"), "edit", drop_mod
+        ).alias("v"),
     )
 
 

@@ -2570,3 +2570,101 @@ def q187_editnoise_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = _t(spark, sf_dir, "documents")
     return editnoise_simhash_audit(documents)
+
+
+@register(
+    "q188_int8_quantization_audit",
+    # Every gate-surface number except the two 6dp cosines is an EXACT
+    # integer: the int8 codes are floor(x*127/m + .5) clamps whose
+    # expression shape matches token-for-token on both engines (IEEE
+    # ops are correctly rounded -> bit-identical codes), and the dot/
+    # norm sums are bigint. The float cosine rides q27's proven
+    # ROUND(...,6) form; the quantized cosine uses the midpoint-safe
+    # floor formula.
+    oracle=r"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    mx AS (
+      SELECT vec_id, emb,
+             list_max(list_transform(emb, x -> abs(x))) AS m
+      FROM vecs
+    ),
+    qv AS (
+      SELECT vec_id,
+             CASE WHEN m = 0 THEN list_transform(emb, x -> 0::BIGINT)
+                  ELSE list_transform(emb, x ->
+                    CAST(GREATEST(LEAST(FLOOR(x * 127.0 / m + 0.5),
+                                        127.0), -127.0) AS BIGINT))
+             END AS q
+      FROM mx
+    ),
+    nq AS (
+      SELECT vec_id,
+             CAST(SUM(q[CAST(i AS INTEGER)] * q[CAST(i AS INTEGER)])
+                  AS BIGINT) AS n2
+      FROM qv, UNNEST(range(1, len(q) + 1)) AS u(i)
+      GROUP BY vec_id
+    ),
+    gt AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])),
+                   6) AS cosine_sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[])),
+                       6) DESC,
+                 c.vec_id) <= 5
+    ),
+    gtq AS (
+      SELECT g.query_id, g.neighbor_id, g.cosine_sim,
+             a.q AS qa, b.q AS qb
+      FROM gt g JOIN qv a ON a.vec_id = g.query_id
+                JOIN qv b ON b.vec_id = g.neighbor_id
+    ),
+    qd AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             CAST(SUM(qa[CAST(i AS INTEGER)] * qb[CAST(i AS INTEGER)])
+                  AS BIGINT) AS qdot
+      FROM gtq, UNNEST(range(1, len(qa) + 1)) AS u(i)
+      GROUP BY 1, 2, 3
+    ),
+    joined AS (
+      SELECT d.query_id, d.neighbor_id, d.cosine_sim, d.qdot,
+             na.n2 AS qnorm2_q, nb.n2 AS qnorm2_n,
+             FLOOR(CAST(d.qdot AS DOUBLE)
+                   / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE))
+                   * 1000000.0 + 0.5) / 1000000.0 AS quant_cosine
+      FROM qd d JOIN nq na ON na.vec_id = d.query_id
+                JOIN nq nb ON nb.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, qdot, qnorm2_q, qnorm2_n,
+           quant_cosine,
+           CAST(FLOOR(ABS(quant_cosine - cosine_sim) * 10000.0 + 0.5)
+                AS INTEGER) AS err_bp
+    FROM joined
+    """,
+    doc="int8-quantization fidelity audit over the exact ANN ground "
+    "truth: per (query, true-top-5-neighbor) pair, the exact integer "
+    "dot product and squared norms of the symmetric int8 codes "
+    "(floor(x*127/max|x| + .5), clamped), the quantized cosine "
+    "(floor-6dp), and its error vs the float cosine in bp — the check "
+    "a 100 TB ANN deployment runs before switching scoring to int8 "
+    "SIMD kernels. Corpus scanned once map-side (GT x quantized "
+    "queries broadcast); 50 output rows. Rides the memoized q27 "
+    "brute-force frame.",
+)
+def q188_int8_quantization_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.similarity import (
+        quantization_error_audit,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    return quantization_error_audit(embeddings, queries, k=5)

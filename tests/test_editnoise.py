@@ -99,3 +99,34 @@ def test_identical_corpus_all_decile9_hamming0(spark):
     pairs = editnoise_pairs(docs, drop_mod=10**9, sample_mod=None)
     same = pairs.filter(F.col("t") != F.col("v")).count()
     assert same == 0
+
+
+def test_int8_quantize_codes(spark):
+    """Codes match a pure-Python rederivation; zero vector -> zeros;
+    clamp holds."""
+    from salesanalytics_etl_spark.operators.similarity import int8_quantize
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [1e-30, -1e-30, 1e-30, 1e-30]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r.q
+        for r in df.select(
+            "vec_id", int8_quantize(F.col("embedding")).alias("q")
+        ).collect()
+    }
+    import math
+
+    for vid, emb in rows:
+        m = max(abs(x) for x in emb)
+        if m == 0:
+            exp = [0, 0, 0, 0]
+        else:
+            exp = [
+                int(max(min(math.floor(x * 127.0 / m + 0.5), 127), -127))
+                for x in emb
+            ]
+        assert out[vid] == exp, (vid, out[vid], exp)

@@ -1,0 +1,160 @@
+"""Edit-noise volume probe: the PRODUCTION near-dup pipeline measured on
+realistic near-duplicate cliques at probe volume (r12 verdict gap #2).
+
+The standard scale probe replicates document text EXACTLY, so every
+prior volume measurement of MinHash+LSH ran in the degenerate regime
+(J = 1.0 cliques). This probe builds the corpus with
+``SPARK_GRAFT_PROBE_EDITNOISE=1`` — replica i of each base doc is a
+deterministic ~10%-token-drop variant (distinct salt per replica), so
+the FACTOR replicas of one base doc form a clique of realistic
+near-duplicates with pairwise shingle Jaccard ~0.6-0.9 — and measures:
+
+1. Ground truth: exact shingle Jaccard for every within-clique pair
+   (base_id-keyed self-join — bounded FACTOR^2 pairs per base, never
+   all-pairs).
+2. Production recall: which GT pairs with J >= 0.5 does
+   ``minhash_near_dupes`` (xxhash64, 6x5 banding, bucket cap 64,
+   estimate filter) actually emit — binned by true Jaccard, against
+   the analytic S-curve 1-(1-J^5)^6.
+3. Precision context: emitted pairs OUTSIDE the cliques (organic
+   near-dups of the base corpus, scaled).
+4. Bucket shape: the q116 audit (band bucket sizes, cap drops) under
+   the realistic regime.
+
+Usage:
+    SPARK_GRAFT_PROBE_EDITNOISE=1 SPARK_GRAFT_PROBE_FACTOR=30 \
+        python tools/editnoise_probe.py [--no-build]
+
+Results are recorded in SCALE.md (Round-13).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+os.environ.setdefault("SPARK_GRAFT_PROBE_EDITNOISE", "1")
+
+from tools import scale_probe  # noqa: E402  (reads env at import)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from salesanalytics_etl_spark.operators.dedup import (
+        lsh_bucket_audit,
+        minhash_near_dupes,
+        shingle_rows,
+        shingle_sets,
+    )
+    from salesanalytics_etl_spark.session import get_spark
+
+    assert scale_probe.EDITNOISE, "set SPARK_GRAFT_PROBE_EDITNOISE=1"
+    spark = get_spark(app_name="editnoise_probe")
+
+    base_dir, probe_dir = scale_probe.BASE, scale_probe.PROBE
+    if "--no-build" not in sys.argv:
+        scale_probe.build(spark, ["documents"])
+    docs = spark.read.parquet(f"{probe_dir}/documents.parquet")
+    dom = (
+        spark.read.parquet(f"{base_dir}/documents.parquet")
+        .agg(F.max("doc_id"))
+        .collect()[0][0]
+        + 1
+    )
+    n_docs = docs.count()
+    print(f"probe corpus: {n_docs} docs ({scale_probe.FACTOR}x, dom={dom})")
+
+    # --- 1. ground truth: within-clique exact Jaccard -----------------
+    sets = (
+        shingle_sets(shingle_rows(docs))
+        .withColumn("base_id", F.col("doc_id") % dom)
+        .persist()
+    )
+    sets.count()
+    a = sets.select(
+        "base_id",
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = sets.select(
+        "base_id",
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    gt = (
+        a.join(b, "base_id")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("ov"),
+            (
+                F.size("sh_a").cast("long")
+                + F.size("sh_b").cast("long")
+                - inter
+            ).alias("un"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("(ov * 20000 + un) div (2 * un)").alias("j_bp"),
+        )
+        .localCheckpoint()
+    )
+    sets.unpersist()
+    n_gt = gt.count()
+
+    # --- 2. production pipeline ---------------------------------------
+    t0 = time.perf_counter()
+    found = minhash_near_dupes(docs)  # already a localCheckpoint
+    n_found = found.count()
+    dt = time.perf_counter() - t0
+    print(f"pipeline: {n_found} pairs in {dt:.1f}s; GT clique pairs: {n_gt}")
+
+    target = gt.filter(F.col("j_bp") >= 5000).persist()
+    hit = target.join(found, ["doc_a", "doc_b"], "left_semi")
+    band = F.expr("least(j_bp, 9999) div 500 * 500").alias("band")
+    gt_by = target.select(band).groupBy("band").agg(
+        F.count("*").alias("n_gt")
+    )
+    hit_by = hit.select(band).groupBy("band").agg(
+        F.count("*").alias("n_hit")
+    )
+    recall = (
+        gt_by.join(hit_by, "band", "left")
+        .select("band", "n_gt", F.coalesce("n_hit", F.lit(0)).alias("n_hit"))
+        .orderBy("band")
+        .collect()
+    )
+    tot_gt = tot_hit = 0
+    for r in recall:
+        s_curve = 1 - (1 - (r.band / 10000 + 0.025) ** 5) ** 6
+        print(
+            f"  J[{r.band/10000:.2f},{r.band/10000+0.05:.2f}): "
+            f"GT {r.n_gt:>7} hit {r.n_hit:>7} "
+            f"recall {r.n_hit/r.n_gt:6.3f}  (analytic {s_curve:.3f})"
+        )
+        tot_gt += r.n_gt
+        tot_hit += r.n_hit
+    print(f"overall clique recall (J>=0.5): {tot_hit}/{tot_gt}"
+          f" = {tot_hit/max(tot_gt,1):.3f}")
+    cross = found.join(gt, ["doc_a", "doc_b"], "left_anti").count()
+    print(f"pairs outside cliques (organic near-dups): {cross}")
+    target.unpersist()
+
+    # --- 3. bucket shape under the realistic regime -------------------
+    audit = lsh_bucket_audit(docs).collect()
+    for r in audit:
+        print(f"  bucket audit: {r}")
+
+
+if __name__ == "__main__":
+    main()
