@@ -155,6 +155,11 @@ MEMO_BACKED = frozenset(
         "q172_source_minhash_jaccard",
         "q176_source_jaccard_sketch_error",
         "q178_split_neardup_leakage",
+        # r13: q183 rides the _PAIRS_MEMO via minhash_near_dupes_portable
+        # (on its sampled frame), q188 the _BRUTEFORCE_MEMO via the q27
+        # ground-truth frame
+        "q183_sampled_neardup_replay",
+        "q188_int8_quantization_audit",
     }
 )
 
