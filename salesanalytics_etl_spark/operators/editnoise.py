@@ -381,3 +381,95 @@ def editnoise_simhash_audit(
         )
         .orderBy("hamming")
     )
+
+
+def editnoise_winnow_audit(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing-fingerprint fidelity under small-edit noise: per
+    (original, variant) pair, the Jaccard of the q60 winnowed
+    fingerprint sets (8-gram hashes, window-4 min, distinct) next to
+    the exact 5-gram shingle Jaccard, rolled per exact-Jaccard decile:
+
+        j_decile | n_pairs | sum_exact_bp | sum_winnow_bp
+                 | sum_abs_gap_bp
+
+    Winnowing stores ~2/(w+1) of the k-gram hashes, so the question a
+    plagiarism/dedup deployment asks is whether that sample PRESERVES
+    similarity under realistic edits — the per-decile gap answers it
+    with an exact integer. Same linear doc-keyed shape as the LSH
+    audit (the window is per (doc, side) — data-grain partitions, no
+    funnel); output <= 10 rows.
+    """
+    from pyspark.sql import Window
+
+    pairs = editnoise_pairs(df, text_col)
+    sided = _sided(pairs)
+
+    def _gram_rows(k: int, with_pos: bool) -> DataFrame:
+        ex = sided.select(
+            "doc_id",
+            "side",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("txt") - (k - 1), F.lit(1)),
+                )
+            ).alias("i"),
+            "txt",
+        )
+        cols = ["doc_id", "side", "i"] if with_pos else ["doc_id", "side"]
+        return ex.select(
+            *cols,
+            md5_token_hash(F.expr(f"substr(txt, i, {k})")).alias("h"),
+        )
+
+    def _pair_jaccard(distinct_h: DataFrame, out: str) -> DataFrame:
+        per_h = distinct_h.groupBy("doc_id", "h").agg(
+            F.max((F.col("side") == "o").cast("int")).alias("in_o"),
+            F.max((F.col("side") == "v").cast("int")).alias("in_v"),
+        )
+        return (
+            per_h.groupBy("doc_id")
+            .agg(
+                F.sum("in_o").alias("sz_o"),
+                F.sum("in_v").alias("sz_v"),
+                F.sum(F.col("in_o") * F.col("in_v")).alias("ov"),
+            )
+            .withColumn("un", F.col("sz_o") + F.col("sz_v") - F.col("ov"))
+            .select(
+                "doc_id",
+                F.expr("(ov * 20000 + un) div (2 * un)").alias(out),
+            )
+        )
+
+    exact = _pair_jaccard(
+        _gram_rows(SHINGLE_K, with_pos=False).distinct(), "j_bp"
+    )
+    w = (
+        Window.partitionBy("doc_id", "side")
+        .orderBy("i")
+        .rowsBetween(-3, 0)
+    )
+    winnowed = (
+        _gram_rows(8, with_pos=True)
+        .select("doc_id", "side", F.min("h").over(w).alias("h"))
+        .distinct()
+    )
+    winnow = _pair_jaccard(winnowed, "w_bp")
+    per = exact.join(winnow, "doc_id").withColumn(
+        "j_decile",
+        F.least(F.expr("j_bp div 1000"), F.lit(9)).cast("int"),
+    )
+    return (
+        per.groupBy("j_decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("j_bp").cast("bigint").alias("sum_exact_bp"),
+            F.sum("w_bp").cast("bigint").alias("sum_winnow_bp"),
+            F.sum(F.abs(F.col("w_bp") - F.col("j_bp")))
+            .cast("bigint")
+            .alias("sum_abs_gap_bp"),
+        )
+        .orderBy("j_decile")
+    )

@@ -516,3 +516,96 @@ def quantization_error_audit(
         )
         .orderBy("query_id", F.desc("cosine_sim"), "neighbor_id")
     )
+
+
+def int8_topk_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """recall@k of int8-quantized retrieval vs the exact float top-k:
+    re-rank the WHOLE corpus per query by the quantized cosine
+    (exact-integer dot / sqrt of exact-integer norm product — both
+    engines compute identical doubles, ties broken by neighbor_id) and
+    count how many of the float top-k survive.
+
+        query_id | n_overlap | recall_bp
+
+    q188 measures the VALUE error of int8 scoring (2-15 bp here);
+    this measures the only error that matters to retrieval — rank
+    inversions at the top-k boundary. Zero-norm corpus rows are
+    excluded from the quantized ranking on both engines (their cosine
+    is undefined). Same broadcast-queries/one-corpus-scan shape as the
+    exact brute force; two-phase top-k; |queries| output rows.
+    """
+    gt = cosine_topk_bruteforce_cached(
+        corpus, queries, k, id_col=id_col, vec_col=vec_col
+    )
+    qq = queries.select(
+        F.col(id_col).alias("query_id"),
+        int8_quantize(F.col(vec_col)).alias("qa"),
+    )
+    qc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        int8_quantize(F.col(vec_col)).alias("qb"),
+    )
+    idot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        qc.crossJoin(F.broadcast(qq))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            idot.alias("qdot"),
+            sq("qa").alias("n2a"),
+            sq("qb").alias("n2b"),
+        )
+        .filter((F.col("n2a") > 0) & (F.col("n2b") > 0))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("qdot").cast("double")
+                / F.sqrt((F.col("n2a") * F.col("n2b")).cast("double"))
+            ).alias("qscore"),
+        )
+    )
+    from salesanalytics_etl_spark.operators.skew import topk_per_group
+
+    top = topk_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("qscore"), F.col("neighbor_id")],
+        k,
+    )
+    overlap = (
+        gt.join(top, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    base = gt.select("query_id").distinct()
+    return (
+        base.join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0).cast("bigint")).alias(
+                "n_overlap"
+            ),
+        )
+        .withColumn(
+            "recall_bp",
+            F.expr(f"(n_overlap * 20000 + {k}) div {2 * k}").cast("int"),
+        )
+        .orderBy("query_id")
+    )

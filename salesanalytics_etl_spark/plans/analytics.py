@@ -2668,3 +2668,181 @@ def q188_int8_quantization_audit(
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     queries = embeddings.filter(F.col("vec_id") < 10)
     return quantization_error_audit(embeddings, queries, k=5)
+
+
+def _editnoise_winnow_oracle() -> str:
+    return (
+        _editnoise_base_sql()
+        + r""",
+    ex AS (
+      SELECT doc_id, side,
+             CAST(('0x' || substr(md5(substr(txt, CAST(i AS INTEGER), 5)),
+                                  1, 15)) AS BIGINT) AS h
+      FROM sided, UNNEST(range(1, GREATEST(len(txt) - 4, 1) + 1)) AS u(i)
+    ),
+    shd AS (SELECT DISTINCT doc_id, side, h FROM ex),
+    perh AS (
+      SELECT doc_id, h,
+             MAX(CASE WHEN side = 'o' THEN 1 ELSE 0 END) AS in_o,
+             MAX(CASE WHEN side = 'v' THEN 1 ELSE 0 END) AS in_v
+      FROM shd GROUP BY doc_id, h
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(SUM(in_o) AS BIGINT) AS sz_o,
+             CAST(SUM(in_v) AS BIGINT) AS sz_v,
+             CAST(SUM(in_o * in_v) AS BIGINT) AS ov
+      FROM perh GROUP BY doc_id
+    ),
+    ej AS (
+      SELECT doc_id,
+             (ov * 20000 + (sz_o + sz_v - ov))
+               // (2 * (sz_o + sz_v - ov)) AS j_bp
+      FROM stats
+    ),
+    wh AS (
+      SELECT doc_id, side, CAST(i AS INTEGER) AS i,
+             CAST(('0x' || substr(md5(substr(txt, CAST(i AS INTEGER), 8)),
+                                  1, 15)) AS BIGINT) AS kh
+      FROM sided, UNNEST(range(1, GREATEST(len(txt) - 7, 1) + 1)) AS u(i)
+    ),
+    wmin AS (
+      SELECT doc_id, side,
+             MIN(kh) OVER (PARTITION BY doc_id, side ORDER BY i
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      FROM wh
+    ),
+    wfp AS (SELECT DISTINCT doc_id, side, fp FROM wmin),
+    wper AS (
+      SELECT doc_id, fp,
+             MAX(CASE WHEN side = 'o' THEN 1 ELSE 0 END) AS in_o,
+             MAX(CASE WHEN side = 'v' THEN 1 ELSE 0 END) AS in_v
+      FROM wfp GROUP BY doc_id, fp
+    ),
+    wstats AS (
+      SELECT doc_id,
+             CAST(SUM(in_o) AS BIGINT) AS sz_o,
+             CAST(SUM(in_v) AS BIGINT) AS sz_v,
+             CAST(SUM(in_o * in_v) AS BIGINT) AS ov
+      FROM wper GROUP BY doc_id
+    ),
+    wj AS (
+      SELECT doc_id,
+             (ov * 20000 + (sz_o + sz_v - ov))
+               // (2 * (sz_o + sz_v - ov)) AS w_bp
+      FROM wstats
+    ),
+    per AS (
+      SELECT e.doc_id, e.j_bp, w.w_bp,
+             CAST(LEAST(e.j_bp // 1000, 9) AS INTEGER) AS j_decile
+      FROM ej e JOIN wj w USING (doc_id)
+    )
+    SELECT j_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(j_bp) AS BIGINT) AS sum_exact_bp,
+           CAST(SUM(w_bp) AS BIGINT) AS sum_winnow_bp,
+           CAST(SUM(ABS(w_bp - j_bp)) AS BIGINT) AS sum_abs_gap_bp
+    FROM per
+    GROUP BY 1"""
+    )
+
+
+@register(
+    "q189_editnoise_winnow_fidelity",
+    oracle=_editnoise_winnow_oracle(),
+    doc="Winnowing-fingerprint fidelity under the q186 edit-noise "
+    "corpus: per (orig, variant) pair the Jaccard of the q60 winnowed "
+    "fingerprint sets (8-gram md5 hashes, window-4 min, distinct) "
+    "beside the exact 5-gram Jaccard, per-decile with the absolute "
+    "gap — does the ~2/(w+1) winnowing sample PRESERVE similarity "
+    "under realistic edits? Linear doc-keyed shape, windows at "
+    "(doc, side) grain, <=10 output rows.",
+)
+def q189_editnoise_winnow_fidelity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.editnoise import (
+        editnoise_winnow_audit,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return editnoise_winnow_audit(documents)
+
+
+@register(
+    "q190_int8_topk_recall",
+    # Ranking portability: the quantized score is qdot/sqrt(n2a*n2b)
+    # where qdot/n2a/n2b are EXACT integers (bit-identical codes, see
+    # q188) — both engines derive the same doubles through the same
+    # expression shape, and ties break on neighbor_id, so the top-k
+    # sets match exactly. Zero-norm corpus rows excluded on both sides.
+    oracle=r"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    mx AS (
+      SELECT vec_id, emb,
+             list_max(list_transform(emb, x -> abs(x))) AS m
+      FROM vecs
+    ),
+    qv AS (
+      SELECT vec_id,
+             CASE WHEN m = 0 THEN list_transform(emb, x -> 0::BIGINT)
+                  ELSE list_transform(emb, x ->
+                    CAST(GREATEST(LEAST(FLOOR(x * 127.0 / m + 0.5),
+                                        127.0), -127.0) AS BIGINT))
+             END AS q
+      FROM mx
+    ),
+    qd AS (SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd
+           FROM qv),
+    nq AS (
+      SELECT vec_id, list_dot_product(qd, qd) AS n2 FROM qd
+    ),
+    gt AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[])),
+                       6) DESC,
+                 c.vec_id) <= 5
+    ),
+    qtop AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM qd a JOIN nq na ON na.vec_id = a.vec_id,
+           qd b JOIN nq nb ON nb.vec_id = b.vec_id
+      WHERE a.vec_id < 10 AND b.vec_id != a.vec_id
+        AND na.n2 > 0 AND nb.n2 > 0
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY a.vec_id
+        ORDER BY list_dot_product(a.qd, b.qd) / sqrt(na.n2 * nb.n2) DESC,
+                 b.vec_id) <= 5
+    ),
+    ov AS (
+      SELECT g.query_id, CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap
+      FROM gt g LEFT JOIN qtop t
+        ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
+      GROUP BY g.query_id
+    )
+    SELECT query_id, n_overlap,
+           CAST((n_overlap * 20000 + 5) // 10 AS INTEGER) AS recall_bp
+    FROM ov
+    """,
+    doc="recall@5 of int8-quantized retrieval vs the exact float top-5 "
+    "(q27's ground truth): the corpus is re-ranked per query by the "
+    "quantized cosine (exact integer dot / sqrt of integer norm "
+    "product, ties by neighbor_id) and the surviving overlap counted — "
+    "the retrieval-level complement of q188's value-error audit. One "
+    "corpus scan, broadcast queries, two-phase top-k; 10 output rows.",
+)
+def q190_int8_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.similarity import (
+        int8_topk_recall,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    return int8_topk_recall(embeddings, queries, k=5)

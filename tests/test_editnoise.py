@@ -130,3 +130,30 @@ def test_int8_quantize_codes(spark):
                 for x in emb
             ]
         assert out[vid] == exp, (vid, out[vid], exp)
+
+
+def test_winnow_audit_consistency(spark):
+    from salesanalytics_etl_spark.operators.editnoise import (
+        editnoise_winnow_audit,
+    )
+
+    out = editnoise_winnow_audit(_docs(spark)).collect()
+    assert out
+    for r in out:
+        assert 0 <= r.j_decile <= 9
+        assert 0 <= r.sum_winnow_bp <= r.n_pairs * 10000
+        # |a-b| summed >= |sum(a)-sum(b)|
+        assert r.sum_abs_gap_bp >= abs(r.sum_winnow_bp - r.sum_exact_bp)
+
+
+def test_int8_topk_recall_bounds(spark):
+    from salesanalytics_etl_spark.operators.similarity import (
+        int8_topk_recall,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = int8_topk_recall(emb, emb.filter(F.col("vec_id") < 5), k=5).collect()
+    assert len(out) == 5
+    for r in out:
+        assert 0 <= r.n_overlap <= 5
+        assert r.recall_bp == (r.n_overlap * 20000 + 5) // 10
