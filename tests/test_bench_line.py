@@ -140,3 +140,30 @@ def test_floor_diff_detects_regressions(tmp_path, monkeypatch, capsys):
     (tmp_path / "BENCH_LOCAL_r12.json").write_text(J.dumps(
         {"floors": prev["floors"]}))
     assert FD.main() == 0
+
+
+def test_recheck_floors_runs_flagged_queries(monkeypatch):
+    """close_round's noise-vs-regression recheck: flagged names are
+    re-timed through the real queries() registry in one session (fakes
+    here), unknown names skipped, floors are min-of-runs."""
+    import tools.close_round as cr
+
+    calls = []
+
+    class _FakeDF:
+        def toPandas(self):
+            calls.append(1)
+
+    def fake_queries():
+        return {"q01_real": lambda spark, sf: _FakeDF()}
+
+    import __spark_entry__ as entry
+
+    monkeypatch.setattr(entry, "queries", fake_queries)
+    import salesanalytics_etl_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: object())
+    out = cr._recheck_floors(["q01_real", "q99_gone"], n_runs=2)
+    assert set(out) == {"q01_real"}
+    assert out["q01_real"] >= 0
+    assert len(calls) == 3  # 1 warm + 2 timed

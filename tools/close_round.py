@@ -101,6 +101,33 @@ def _run_capture(argv: list[str], label: str) -> str:
     return out.stdout
 
 
+def _recheck_floors(names: list[str], n_runs: int = 3) -> dict[str, float]:
+    """Warm interleaved re-measure of flagged queries at sf0.1 in one
+    fresh session; returns {query: floor_seconds}."""
+    import time
+
+    import __spark_entry__ as entry
+    from salesanalytics_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="close_recheck")
+    qs = entry.queries()
+    sf_dir = "/root/testdata/sf0.1"
+    out: dict[str, float] = {}
+    for name in names:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        fn(spark, sf_dir).toPandas()  # warm
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).toPandas()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(min(runs), 3)
+        print(f"recheck {name}: floor {out[name]}s (runs {[round(r,2) for r in runs]})")
+    return out
+
+
 def main() -> None:
     skip_bench = "--skip-bench" in sys.argv
     skip_tests = "--skip-tests" in sys.argv
@@ -180,6 +207,15 @@ def main() -> None:
         "rc": fd.returncode,
         "lines": fd.stdout.strip().splitlines()[-12:],
     }
+    flagged = re.findall(r"^REGRESSED (q\w+):", fd.stdout, re.M)
+    if flagged:
+        # Cross-process floor comparisons flap with bench order and
+        # machine load (r13: two flagged rows re-measured at/below their
+        # prior floors) — re-time every flagged query interleaved in ONE
+        # warm session, the only comparison the verify notes trust, and
+        # record both numbers so the artifact itself settles
+        # noise-vs-regression.
+        artifact["floor_diff"]["recheck"] = _recheck_floors(flagged)
 
     # The echo embeds whatever LEAKCHECK.json is on disk AT CLOSE TIME,
     # which is the PREVIOUS round's file (the driver writes this round's

@@ -155,6 +155,41 @@ def main() -> None:
     for r in audit:
         print(f"  bucket audit: {r}")
 
+    # --- 4. production SimHash path on the same cliques ----------------
+    # SimHash(<=3) targets the near-exact tail; this measures how much
+    # of the realistic-edit clique mass it sees, per true-J band.
+    from salesanalytics_etl_spark.operators.dedup import simhash_near_dupes
+
+    t0 = time.perf_counter()
+    sfound = simhash_near_dupes(docs, max_hamming=3)
+    n_sfound = sfound.count()
+    print(
+        f"simhash(<=3): {n_sfound} pairs in {time.perf_counter()-t0:.1f}s"
+    )
+    shit_by = (
+        gt.join(sfound, ["doc_a", "doc_b"], "left_semi")
+        .select(band)
+        .groupBy("band")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    srecall = (
+        gt.select(band)
+        .groupBy("band")
+        .agg(F.count("*").alias("n_gt"))
+        .join(shit_by, "band", "left")
+        .select(
+            "band", "n_gt", F.coalesce("n_hit", F.lit(0)).alias("n_hit")
+        )
+        .orderBy("band")
+        .collect()
+    )
+    for r in srecall:
+        print(
+            f"  simhash J[{r.band/10000:.2f},{r.band/10000+0.05:.2f}): "
+            f"GT {r.n_gt:>7} hit {r.n_hit:>7} "
+            f"recall {r.n_hit/r.n_gt:6.3f}"
+        )
+
 
 if __name__ == "__main__":
     main()
