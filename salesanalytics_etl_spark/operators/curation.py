@@ -605,3 +605,54 @@ def decontaminate_fuzzy(
             ),
         )
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-free train/val/test assignment: the q51 80/10/10
+    content-hash split applied to the doc's near-dup CLUSTER id instead
+    of its own id, so every cluster lands whole in one split —
+    cross-split near-dup leakage (the q178 metric) is zero by
+    construction.
+
+    ``clusters`` is a (cluster_id, doc_id) frame (connected components
+    of verified near-dup pairs — q49's output shape); docs outside any
+    cluster key on their own id, which reduces to exactly the naive
+    q51 assignment for them. Returns per-doc rows:
+
+        doc_id | gkey | split | split_naive | moved
+
+    ``moved`` marks docs whose split CHANGED vs the naive assignment —
+    the repair cost a curation run reports next to the leakage it
+    eliminated. One broadcast-or-shuffle join (|clusters| ≪ corpus) +
+    map-side hashing; no window, no collect.
+    """
+
+    def _bucket(c):
+        return (
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 6), 16, 10)
+            .cast("long")
+            % 100
+        )
+
+    def _label(b):
+        return (
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        )
+
+    joined = docs.select(F.col(id_col).alias("doc_id")).join(
+        clusters.select("cluster_id", "doc_id"), "doc_id", "left"
+    )
+    gkey = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    out = joined.select(
+        "doc_id",
+        gkey.alias("gkey"),
+        _label(_bucket(gkey)).alias("split"),
+        _label(_bucket(F.col("doc_id"))).alias("split_naive"),
+    )
+    return out.withColumn(
+        "moved", (F.col("split") != F.col("split_naive")).cast("int")
+    )

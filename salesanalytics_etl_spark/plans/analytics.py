@@ -2846,3 +2846,130 @@ def q190_int8_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     queries = embeddings.filter(F.col("vec_id") < 10)
     return int8_topk_recall(embeddings, queries, k=5)
+
+
+@register(
+    "q191_cluster_safe_split",
+    # q178 measures cross-split near-dup leakage; this is the REPAIR:
+    # split by the near-dup cluster id (q49's exact components on the
+    # same bounded subset its oracle replays), so leakage is zero by
+    # construction — and the query COMPUTES the leak count on both
+    # engines rather than asserting it, plus the repair cost (docs
+    # whose split moved vs naive q51).
+    oracle=r"""
+    WITH RECURSIVE n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents WHERE doc_id < 250
+    ), sh AS (
+      SELECT doc_id, list(DISTINCT substr(norm, CAST(i AS INT), 5)) AS shingles
+      FROM n, UNNEST(range(1, GREATEST(length(norm) - 3, 2))) AS t(i)
+      GROUP BY doc_id
+    ), edges AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE FLOOR(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.shingles, b.shingles)))
+                  * 10000.0 + 0.5) / 10000.0 >= 0.5
+    ), und AS (
+      SELECT doc_a AS s, doc_b AS d FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ), reach(s, d) AS (
+      SELECT s, d FROM und
+      UNION
+      SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+    ), cl AS (
+      SELECT LEAST(s, MIN(d)) AS cluster_id, s AS doc_id
+      FROM reach GROUP BY s
+    ), base AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS gkey
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 250) d
+      LEFT JOIN cl c USING (doc_id)
+    ), lab AS (
+      SELECT doc_id, gkey,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(gkey AS VARCHAR)),
+                                            1, 6)) AS INT) % 100 < 80
+                    THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(gkey AS VARCHAR)),
+                                            1, 6)) AS INT) % 100 < 90
+                    THEN 'val' ELSE 'test' END AS s_safe,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 6)) AS INT) % 100 < 80
+                    THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 6)) AS INT) % 100 < 90
+                    THEN 'val' ELSE 'test' END AS s_naive
+      FROM base
+    ), leak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS leak_pairs
+      FROM cl a JOIN cl b
+        ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id
+      JOIN lab la ON la.doc_id = a.doc_id
+      JOIN lab lb ON lb.doc_id = b.doc_id
+      WHERE la.s_safe != lb.s_safe
+    )
+    SELECT s_safe AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s_safe != s_naive THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           (SELECT leak_pairs FROM leak) AS leak_pairs
+    FROM lab
+    GROUP BY 1
+    """,
+    doc="leakage-free train/val/test split: q51's 80/10/10 content-hash "
+    "assignment applied to the near-dup CLUSTER id (q49's exact "
+    "components, same bounded subset as its oracle), so every cluster "
+    "lands whole in one split. Emits per-split doc counts, the repair "
+    "cost (docs moved vs naive q51), and the COMPUTED cross-split "
+    "cluster-pair leak count (zero by construction, verified not "
+    "asserted). The repair twin of q178's leakage metric.",
+)
+def q191_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.curation import (
+        cluster_safe_split,
+    )
+    from salesanalytics_etl_spark.plans.extensions import _exact_clusters
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    docs = documents.filter(F.col("doc_id") < 250)
+    clusters = _exact_clusters(spark, sf_dir)
+    per_doc = cluster_safe_split(docs, clusters)
+    grouped = per_doc.groupBy(F.col("split")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("moved").cast("bigint").alias("n_moved"),
+    )
+    # leakage counted over CLUSTER co-membership pairs (the transitive
+    # closure, incl. each cluster's min-id representative), exactly as
+    # the oracle's cl-table self-join does
+    lab = per_doc.select("doc_id", "split")
+    ca = clusters.select(
+        F.col("cluster_id").alias("c_a"), F.col("doc_id").alias("doc_a")
+    )
+    cb = clusters.select(
+        F.col("cluster_id").alias("c_b"), F.col("doc_id").alias("doc_b")
+    )
+    leak = (
+        ca.join(
+            cb,
+            (F.col("c_a") == F.col("c_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .join(
+            lab.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("split").alias("sp_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            lab.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("split").alias("sp_b"),
+            ),
+            "doc_b",
+        )
+        .filter(F.col("sp_a") != F.col("sp_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("leak_pairs"))
+    )
+    return grouped.join(F.broadcast(leak), F.lit(True), "inner").select(
+        "split", "n_docs", "n_moved", "leak_pairs"
+    )

@@ -157,3 +157,35 @@ def test_int8_topk_recall_bounds(spark):
     for r in out:
         assert 0 <= r.n_overlap <= 5
         assert r.recall_bp == (r.n_overlap * 20000 + 5) // 10
+
+
+def test_cluster_safe_split_semantics(spark):
+    """Synthetic clusters: every member inherits the representative's
+    split; moved flags exactly the docs whose naive split differed;
+    non-clustered docs keep the naive assignment."""
+    import hashlib
+
+    from salesanalytics_etl_spark.operators.curation import (
+        cluster_safe_split,
+    )
+
+    docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    clusters = spark.createDataFrame(
+        [(3, 3), (3, 50), (3, 101), (7, 7), (7, 160)],
+        "cluster_id long, doc_id long",
+    )
+    out = {r.doc_id: r for r in cluster_safe_split(docs, clusters).collect()}
+    assert len(out) == 200
+
+    def naive(x):
+        b = int(hashlib.md5(str(x).encode()).hexdigest()[:6], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    for d in (3, 50, 101):
+        assert out[d].split == naive(3)
+        assert out[d].moved == (naive(d) != naive(3))
+    for d in (7, 160):
+        assert out[d].split == naive(7)
+    clustered = {3, 50, 101, 7, 160}
+    for d in set(out) - clustered:
+        assert out[d].split == naive(d) and out[d].moved == 0
