@@ -339,3 +339,121 @@ def cms_lookup(
     return out.withColumn(out_col, F.least(*ests)).drop(
         *[f"_b{i}" for i in range(d)], *[f"_c{i}" for i in range(d)]
     )
+
+
+def bloom_decontaminate_audit(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 7,
+) -> DataFrame:
+    """Monitor-cadence decontamination via an engine-portable Bloom
+    filter over the benchmark's token n-grams, FP-audited in-band
+    against the exact semi-join (q70's path) — the sketch/exact/audit
+    triple applied to decontamination. One fixed row:
+
+        n_corpus_docs | n_flagged_exact | n_flagged_bloom
+        | n_false_pos_docs | fp_doc_bp
+
+    At 100 TB the exact path broadcasts the benchmark N-GRAM STRINGS
+    (eval suites are small, but n-grams are long); the Bloom variant
+    broadcasts an m-bit position set instead (2^20 bits = 128 KiB here,
+    size-independent of n-gram length) and never false-negatives, so
+    it is the cheap continuous monitor and this audit prices its
+    false-positive overhead: a Bloom-flagged doc that the exact join
+    clears costs one wasted quarantine/recheck. Each n-gram is hashed
+    ONCE to a 60-bit long (md5 prefix), the k bit positions derive
+    from md5('bloomd-'||i||'-'||h) — both engines rebuild the filter
+    bit-for-bit, so even the measured FP count is hash-checked.
+    """
+    from salesanalytics_etl_spark.operators.curation import ngram_rows
+    from salesanalytics_etl_spark.operators.dedup import md5_token_hash
+
+    def grams(df: DataFrame) -> DataFrame:
+        return ngram_rows(df, n).select(
+            "doc_id", md5_token_hash(F.col("ngram")).alias("h")
+        )
+
+    def positions(df: DataFrame) -> DataFrame:
+        i = F.explode(
+            F.sequence(F.lit(0), F.lit(k_hashes - 1))
+        ).alias("i")
+        hashed = df.select("*", i)
+        return hashed.select(
+            *df.columns,
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "-",
+                                F.lit("bloomd"),
+                                F.col("i").cast("string"),
+                                F.col("h").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+            ).alias("pos"),
+        )
+
+    bench_h = grams(benchmark).select("h").distinct()
+    filter_bits = positions(bench_h).select("pos").distinct()
+    corpus_h = grams(corpus).select("doc_id", "h").distinct()
+
+    # Bloom hit: ALL k positions present — count matched positions per
+    # (doc, gram); the position set is broadcast-sized (<= m_bits rows)
+    probe = positions(corpus_h)
+    bloom_hits = (
+        probe.join(F.broadcast(filter_bits), "pos")
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+        .filter(F.col("k_hit") == k_hashes)
+        .select("doc_id")
+        .distinct()
+    )
+    exact_hits = (
+        corpus_h.join(F.broadcast(bench_h), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    flags = (
+        corpus.select("doc_id")
+        .join(bloom_hits.withColumn("bloom_f", F.lit(1)), "doc_id", "left")
+        .join(exact_hits.withColumn("exact_f", F.lit(1)), "doc_id", "left")
+        .select(
+            F.coalesce("bloom_f", F.lit(0)).alias("bloom_f"),
+            F.coalesce("exact_f", F.lit(0)).alias("exact_f"),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus_docs"),
+        F.sum("exact_f").cast("bigint").alias("n_flagged_exact"),
+        F.sum("bloom_f").cast("bigint").alias("n_flagged_bloom"),
+        F.sum(
+            ((F.col("bloom_f") == 1) & (F.col("exact_f") == 0)).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_false_pos_docs"),
+    )
+    # FP rate over docs the exact join clears, in bp (floor-round):
+    # denominator is clean docs (guard the all-contaminated corpus)
+    return agg.select(
+        "n_corpus_docs",
+        "n_flagged_exact",
+        "n_flagged_bloom",
+        "n_false_pos_docs",
+        F.expr(
+            "case when n_corpus_docs - n_flagged_exact = 0 then 0 "
+            "else (n_false_pos_docs * 20000 + (n_corpus_docs - n_flagged_exact)) "
+            "div (2 * (n_corpus_docs - n_flagged_exact)) end"
+        )
+        .cast("bigint")
+        .alias("fp_doc_bp"),
+    )

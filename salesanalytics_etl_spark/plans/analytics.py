@@ -2973,3 +2973,100 @@ def q191_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.join(F.broadcast(leak), F.lit(True), "inner").select(
         "split", "n_docs", "n_moved", "leak_pairs"
     )
+
+
+@register(
+    "q192_bloom_decontamination_audit",
+    # The sketch/exact/audit triple applied to decontamination: the
+    # Bloom monitor's doc flags AND its measured false-positive count
+    # are hash-checked (both engines rebuild the identical 2^20-bit
+    # filter from md5-derived positions). Gram strings are q70's exact
+    # 13-token grams; each gram hashes ONCE to a 60-bit long, the 7
+    # bit positions derive from that long (cheap re-hash of a short
+    # digit string, not of the 80-char gram, 7x).
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(array_to_string(t[i:i+12], ' ')),
+                                  1, 15)) AS BIGINT) AS h
+      FROM toks, UNNEST(range(1, len(t) - 11)) AS r(i)
+      WHERE len(t) >= 13
+    ),
+    bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 50 = 0),
+    corpus AS (
+      SELECT DISTINCT doc_id, h FROM grams WHERE doc_id % 50 <> 0
+    ),
+    ks AS (SELECT unnest(range(0, 7)) AS i),
+    fbits AS (
+      SELECT DISTINCT
+        CAST(('0x' || substr(md5(concat_ws('-', 'bloomd',
+               CAST(i AS VARCHAR), CAST(h AS VARCHAR))), 1, 15))
+             AS BIGINT) % 1048576 AS pos
+      FROM bench, ks
+    ),
+    ppos AS (
+      SELECT doc_id, h,
+        CAST(('0x' || substr(md5(concat_ws('-', 'bloomd',
+               CAST(i AS VARCHAR), CAST(h AS VARCHAR))), 1, 15))
+             AS BIGINT) % 1048576 AS pos
+      FROM corpus, ks
+    ),
+    bhit AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, h FROM ppos JOIN fbits USING (pos)
+        GROUP BY doc_id, h HAVING COUNT(*) = 7
+      )
+    ),
+    ehit AS (SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (h)),
+    docs AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+    fl AS (
+      SELECT d.doc_id,
+             CASE WHEN bh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS bloom_f,
+             CASE WHEN eh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_f
+      FROM docs d
+      LEFT JOIN bhit bh USING (doc_id)
+      LEFT JOIN ehit eh USING (doc_id)
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus_docs,
+             CAST(SUM(exact_f) AS BIGINT) AS n_flagged_exact,
+             CAST(SUM(bloom_f) AS BIGINT) AS n_flagged_bloom,
+             CAST(SUM(CASE WHEN bloom_f = 1 AND exact_f = 0
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_pos_docs
+      FROM fl
+    )
+    SELECT n_corpus_docs, n_flagged_exact, n_flagged_bloom,
+           n_false_pos_docs,
+           CAST(CASE WHEN n_corpus_docs - n_flagged_exact = 0 THEN 0
+                ELSE (n_false_pos_docs * 20000
+                      + (n_corpus_docs - n_flagged_exact))
+                     // (2 * (n_corpus_docs - n_flagged_exact)) END
+                AS BIGINT) AS fp_doc_bp
+    FROM agg
+    """,
+    doc="monitor-cadence decontamination: engine-portable Bloom filter "
+    "(2^20 bits, k=7, md5-derived positions) over the benchmark's "
+    "13-token-gram hashes, FP-audited in-band against q70's exact "
+    "semi-join — n_flagged_bloom >= n_flagged_exact structurally (no "
+    "false negatives), and the false-positive doc count + fp_doc_bp "
+    "are hash-checked. At 100 TB the monitor broadcasts a 128 KiB "
+    "position set instead of the benchmark's n-gram strings; the "
+    "exact join runs at audit cadence. 1 fixed output row.",
+)
+def q192_bloom_decontamination_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.sketches import (
+        bloom_decontaminate_audit,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    bench = documents.filter(F.col("doc_id") % 50 == 0)
+    corpus = documents.filter(F.col("doc_id") % 50 != 0)
+    return bloom_decontaminate_audit(corpus, bench)

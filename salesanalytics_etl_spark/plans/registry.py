@@ -44,16 +44,17 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # COUNTED from CORRECTNESS_r*.json latest-record rounds, not from memory
 # (the r10 roll note undercounted its own list; r11 made the arithmetic
 # self-counting — this comment is the stamp bookkeeping future rounds
-# rely on, so: 11+7+32 = 50). Priority order:
-# (0) the 11 queries NEW this round, ZERO driver records (never-
+# rely on, so: 12+7+31 = 50). Priority order:
+# (0) the 12 queries NEW this round, ZERO driver records (never-
 #     recorded outranks stale): q181 hash-sampled boilerplate monitor,
 #     q182 its decile-drift audit, q183 sampled MinHash+LSH replay,
 #     q184 per-source surprisal drift, q185 CMS frequency audit,
 #     q186 edit-noise LSH recall audit, q187 edit-noise SimHash audit,
 #     q188 int8 quantization audit, q189 winnowing edit-noise
-#     fidelity, q190 int8 top-k recall, q191 cluster-safe split (the
-#     last six displaced q131/q135-q139 — the six stalest-by-query-
-#     order r9 rows whose operators are unchanged since r9 — to r14);
+#     fidelity, q190 int8 top-k recall, q191 cluster-safe split,
+#     q192 Bloom decontamination audit (the last seven displaced
+#     q129/q131/q135-q139 — the seven stalest-by-query-order r9 rows
+#     whose operators are unchanged since r9 — to r14);
 # (1) 7 code-changed re-stamps, ONE per code path changed this round
 #     (values must be identical; the re-stamp proves it on current
 #     code): q52 (merge_upsert_table now auto-invalidates the
@@ -67,10 +68,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #     shares exactly those code paths, carries r11/r12 records, and
 #     rolls to the r14 window so the ENTIRE r9-era debt retires now
 #     (r12 verdict item 1 takes the remaining slots);
-# (2) 32 of the 38 r9-era rows in query order (q29, q30, q32, q33,
+# (2) 31 of the 38 r9-era rows in query order (q29, q30, q32, q33,
 #     q37-q43, q51, q53-q56, q58-q63, q68, q76, q78-q80, q83, q94,
-#     q101, q125, q129). q131/q135-q139 roll to r14 (they lost their
-#     slots to the never-recorded q186-q191); after the r14 window
+#     q101, q125). q129/q131/q135-q139 roll to r14 (they lost their
+#     slots to the never-recorded q186-q192); after the r14 window
 #     stamps them, NO record is older than r10.
 # Every name here is also swept by tests/test_queries.py +
 # tests/strict_gate.py against the same oracles, so reordering changes
@@ -88,6 +89,7 @@ _CHECK_FIRST = [
     "q189_editnoise_winnow_fidelity",
     "q190_int8_topk_recall",
     "q191_cluster_safe_split",
+    "q192_bloom_decontamination_audit",
     # --- (1) code-changed re-stamps, one per changed code path ---
     "q52_merge_upsert",
     "q109_minhash_lsh_replay",
@@ -128,7 +130,6 @@ _CHECK_FIRST = [
     "q94_scd2_customers",
     "q101_heavy_hitter_shingles",
     "q125_snapshot_diff",
-    "q129_segment_percentiles_distributed",
 ]
 
 
