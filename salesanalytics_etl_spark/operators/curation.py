@@ -43,6 +43,29 @@ from salesanalytics_etl_spark.operators.text import (
 NGRAM_N = 13  # the community-standard contamination n-gram length
 
 
+def split_bucket(key) -> "F.Column":
+    """THE deterministic split hash: first 24 bits of md5(key) mod 100.
+    Single source of truth for every 80/10/10 assignment (q51, the
+    composed curation pipeline, cluster_safe_split) — a change to the
+    hash (e.g. widening the hex prefix) happens here once or the
+    'cluster-safe reduces to naive q51 for unclustered docs' invariant
+    silently breaks. DuckDB twin:
+    ``CAST(('0x'||substr(md5(CAST(k AS VARCHAR)),1,6)) AS INT) % 100``.
+    """
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+def split_label(bucket) -> "F.Column":
+    """80/10/10 train/val/test label for a :func:`split_bucket` value."""
+    return (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+
+
 def ngram_rows(df: DataFrame, n: int = NGRAM_N, text_col: str = "text") -> DataFrame:
     """(doc_id, ngram) rows: token n-grams of the normalized text.
 
@@ -319,14 +342,7 @@ def curation_pipeline(
         .distinct()
     )
     clean = corpus.join(flagged, "doc_id", "left_anti")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
-        .cast("long")
-        % 100
-    )
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    )
+    split = split_label(split_bucket(F.col("doc_id")))
     return (
         clean.select("lang", "n_tokens", split.alias("split"))
         .groupBy("split", "lang")
@@ -631,18 +647,6 @@ def cluster_safe_split(
     map-side hashing; no window, no collect.
     """
 
-    def _bucket(c):
-        return (
-            F.conv(F.substring(F.md5(c.cast("string")), 1, 6), 16, 10)
-            .cast("long")
-            % 100
-        )
-
-    def _label(b):
-        return (
-            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
-        )
-
     joined = docs.select(F.col(id_col).alias("doc_id")).join(
         clusters.select("cluster_id", "doc_id"), "doc_id", "left"
     )
@@ -650,8 +654,8 @@ def cluster_safe_split(
     out = joined.select(
         "doc_id",
         gkey.alias("gkey"),
-        _label(_bucket(gkey)).alias("split"),
-        _label(_bucket(F.col("doc_id"))).alias("split_naive"),
+        split_label(split_bucket(gkey)).alias("split"),
+        split_label(split_bucket(F.col("doc_id"))).alias("split_naive"),
     )
     return out.withColumn(
         "moved", (F.col("split") != F.col("split_naive")).cast("int")

@@ -63,14 +63,31 @@ def record_sources(memo: dict, key, *dfs) -> None:
             del srcs[k]
 
 
-def _uri_path(uri: str) -> str:
-    """The filesystem path of a Hadoop file URI (``file:/x``,
-    ``file:///x`` or a bare path)."""
-    if "://" in uri:
-        return "/" + uri.split("://", 1)[1].lstrip("/")
-    if uri.startswith("file:"):
-        return "/" + uri[len("file:"):].lstrip("/")
-    return uri
+def _canon_uri(uri: str) -> tuple[str, str, str]:
+    """(scheme, authority, absolute path) comparison key for a Hadoop
+    file URI or a bare local path — ``file:/x``, ``file:///x``,
+    ``hdfs://nn:8020/t``, ``s3a://bucket/t`` and plain ``/x`` all
+    canonicalize so that a source-file URI from ``inputFiles()`` and a
+    mutator-supplied table path match exactly when they name the same
+    filesystem object. (The earlier string-prefix form glued the URI
+    authority onto the path on one side while abspath'ing the scheme
+    into the path on the other, so no non-local deployment ever
+    matched and stale memos survived the very overwrite this hook
+    exists to catch.) Bare paths canonicalize as scheme ``file`` with
+    empty authority, matching Hadoop's local-FS URIs."""
+    import os
+    import posixpath
+    from urllib.parse import urlparse
+
+    p = urlparse(uri)
+    # require len > 1 so a windows-style drive letter never parses as a
+    # scheme; 'file' URIs carry an empty/localhost authority in practice
+    if len(p.scheme) > 1:
+        scheme = "file" if p.scheme == "file" else p.scheme
+        netloc = "" if scheme == "file" and p.netloc == "localhost" else p.netloc
+        path = posixpath.normpath("/" + p.path.lstrip("/"))
+        return (scheme, netloc, "/" if path == "/" else path.rstrip("/"))
+    return ("file", "", os.path.abspath(uri).rstrip("/") or "/")
 
 
 def invalidate_memos_for_path(path: str) -> int:
@@ -82,20 +99,26 @@ def invalidate_memos_for_path(path: str) -> int:
     remembering :func:`clear_materialize_memos` (r12 ADVICE). Entries
     over OTHER tables survive — a MERGE into a staging table must not
     cold-restart every memoized corpus operator in the session.
+    Matching is on the canonical (scheme, authority, path) triple, so
+    it works for local paths AND URI-addressed tables (hdfs/s3a/...,
+    the delta/object-store route).
     """
-    import os
-
-    target = os.path.abspath(path).rstrip("/")
-    prefix = target + "/"
+    t_scheme, t_auth, t_path = _canon_uri(path)
+    prefix = t_path.rstrip("/") + "/"
     dropped = 0
     for m in _MEMOS:
         srcs = _SOURCES.get(id(m), {})
         for k in list(m):
             files = srcs.get(k, ())
-            hit = not files or any(
-                _uri_path(f) == target or _uri_path(f).startswith(prefix)
-                for f in files
-            )
+
+            def _under(f: str) -> bool:
+                s, a, pp = _canon_uri(f)
+                return (
+                    (s, a) == (t_scheme, t_auth)
+                    and (pp == t_path or pp.startswith(prefix))
+                )
+
+            hit = not files or any(_under(f) for f in files)
             if hit:
                 del m[k]
                 srcs.pop(k, None)

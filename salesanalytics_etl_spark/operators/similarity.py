@@ -543,40 +543,37 @@ def int8_topk_recall(
     gt = cosine_topk_bruteforce_cached(
         corpus, queries, k, id_col=id_col, vec_col=vec_col
     )
-    qq = queries.select(
-        F.col(id_col).alias("query_id"),
-        int8_quantize(F.col(vec_col)).alias("qa"),
-    )
-    qc = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        int8_quantize(F.col(vec_col)).alias("qb"),
-    )
-    idot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    sq = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x),
+    # norms computed ONCE per vector in the projections (not inside the
+    # |corpus|x|queries| join, where the query norm would be recomputed
+    # |corpus| times — ~2/3 of the per-row array arithmetic on the hot
+    # re-rank scan; mirrors the oracle's nq CTE)
+    qq = queries.select(
+        F.col(id_col).alias("query_id"),
+        int8_quantize(F.col(vec_col)).alias("qa"),
+    ).withColumn("n2a", sq("qa"))
+    qc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        int8_quantize(F.col(vec_col)).alias("qb"),
+    ).withColumn("n2b", sq("qb"))
+    idot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
     scored = (
         qc.crossJoin(F.broadcast(qq))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            idot.alias("qdot"),
-            sq("qa").alias("n2a"),
-            sq("qb").alias("n2b"),
-        )
         .filter((F.col("n2a") > 0) & (F.col("n2b") > 0))
         .select(
             "query_id",
             "neighbor_id",
             (
-                F.col("qdot").cast("double")
+                idot.cast("double")
                 / F.sqrt((F.col("n2a") * F.col("n2b")).cast("double"))
             ).alias("qscore"),
         )

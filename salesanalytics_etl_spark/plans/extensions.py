@@ -440,15 +440,13 @@ def q50_curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket — stable under reprocessing and engine changes (no rand())",
 )
 def q51_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.curation import (
+        split_bucket,
+        split_label,
+    )
+
     (documents,) = _t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
-        .cast("long")
-        % 100
-    )
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    )
+    split = split_label(split_bucket(F.col("doc_id")))
     return (
         documents.select("lang", split.alias("split"))
         .groupBy("lang", "split")

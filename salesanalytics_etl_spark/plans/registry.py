@@ -63,7 +63,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #     at its set site: q109 (banded+pairs memos), q176 (both source-
 #     matrix memos), q170 (exact-matrix memo consumer), q112
 #     (anchors+assignment memos), q122 (IVF recall + bruteforce memo),
-#     q28 (bruteforce memo via the ANN surface). The REST of the
+#     q28 (bruteforce memo via the ANN surface). Late r13 review
+#     refactors re-stamp through rows ALREADY in this window: the
+#     shared split helper via q51 (section 2) and q191, the q190 norm
+#     hoist via q190 itself; q75 (composed pipeline, r12 record) also
+#     rides the split helper and rolls to r14 — its values were
+#     re-gated green against the oracle after the refactor. The REST
+#     of the
 #     memo-backed family (q25, q27, q34, q113, q116, q121, q172, q178)
 #     shares exactly those code paths, carries r11/r12 records, and
 #     rolls to the r14 window so the ENTIRE r9-era debt retires now
@@ -98,7 +104,8 @@ _CHECK_FIRST = [
     "q112_ivf_replay",
     "q122_ivf_recall_audit",
     "q28_ann_cosine_lsh",
-    # --- (2) all 38 r9-era rows, query order ---
+    # --- (2) 31 of the 38 r9-era rows, query order (7 rolled to r14,
+    #     see the arithmetic above) ---
     "q29_events_hourly",
     "q30_events_sessionize",
     "q32_embedding_neardup",

@@ -288,3 +288,49 @@ def test_unknown_source_memo_entries_drop_fail_safe(spark):
     assert invalidate_memos_for_path("/nowhere/in/particular") >= 1
     assert D._portable_banded_cached(docs) is not h
     clear_materialize_memos()
+
+
+def test_canon_uri_matches_uri_and_bare_forms():
+    """URI-addressed sources (hdfs/s3a/file) and mutator-supplied bare
+    or URI paths canonicalize to the same key exactly when they name
+    the same object — the non-local route the r13 review found never
+    matched under the old string-prefix form."""
+    from salesanalytics_etl_spark.operators.memo import _canon_uri
+
+    assert _canon_uri("file:/a/b") == ("file", "", "/a/b")
+    assert _canon_uri("file:///a/b/") == ("file", "", "/a/b")
+    assert _canon_uri("/a/b") == ("file", "", "/a/b")
+    assert _canon_uri("hdfs://nn:8020/tbl/part-0.parquet") == (
+        "hdfs", "nn:8020", "/tbl/part-0.parquet")
+    assert _canon_uri("s3a://bucket/tbl") == ("s3a", "bucket", "/tbl")
+    # authority must participate: same path on another cluster differs
+    assert _canon_uri("hdfs://other:8020/tbl") != _canon_uri(
+        "hdfs://nn:8020/tbl")
+    # bare path never collides with a scheme'd one
+    assert _canon_uri("s3a://bucket/tbl") != _canon_uri("/bucket/tbl")
+
+
+def test_invalidate_memos_for_uri_path():
+    """A memo whose sources are object-store URIs is dropped when the
+    mutator passes the same URI table path, and survives other tables."""
+    from salesanalytics_etl_spark.operators import memo as memo_mod
+    from salesanalytics_etl_spark.operators.memo import (
+        invalidate_memos_for_path,
+        register_memo,
+    )
+
+    m = register_memo({})
+    try:
+        m["k1"] = "frame1"
+        m["k2"] = "frame2"
+        memo_mod._SOURCES[id(m)] = {
+            "k1": ("s3a://bucket/tbl/part-00000.parquet",),
+            "k2": ("s3a://bucket/other/part-00000.parquet",),
+        }
+        dropped = invalidate_memos_for_path("s3a://bucket/tbl")
+        assert "k1" not in m and "k2" in m
+        assert dropped >= 1
+    finally:
+        m.clear()
+        memo_mod._SOURCES.pop(id(m), None)
+        memo_mod._MEMOS.remove(m)

@@ -102,29 +102,52 @@ def _run_capture(argv: list[str], label: str) -> str:
 
 
 def _recheck_floors(names: list[str], n_runs: int = 3) -> dict[str, float]:
-    """Warm interleaved re-measure of flagged queries at sf0.1 in one
-    fresh session; returns {query: floor_seconds}."""
+    """Interleaved re-measure of flagged queries in one fresh session
+    (the same SF dir bench ran, so floors are comparable); returns
+    {query: floor_seconds}.
+
+    Memo-backed queries are rechecked COLD — the materialize-once memos
+    are cleared before every timed run — because their flag comes from
+    the SWEEP column (the warm floor is a ~0.05 s cache lookup that
+    would 'settle' any genuine cold-path regression as noise). Plain
+    queries are rechecked warm, matching the bench floor they were
+    flagged against.
+    """
+    import os
     import time
 
     import __spark_entry__ as entry
+    from salesanalytics_etl_spark.operators.memo import (
+        clear_materialize_memos,
+    )
+    from salesanalytics_etl_spark.plans.registry import MEMO_BACKED
     from salesanalytics_etl_spark.session import get_spark
 
     spark = get_spark(app_name="close_recheck")
     qs = entry.queries()
-    sf_dir = "/root/testdata/sf0.1"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out: dict[str, float] = {}
     for name in names:
         fn = qs.get(name)
         if fn is None:
             continue
-        fn(spark, sf_dir).toPandas()  # warm
+        cold = name in MEMO_BACKED
+        if cold:
+            clear_materialize_memos()
+        fn(spark, sf_dir).toPandas()  # warm JIT/footers (and memo, if any)
         runs = []
         for _ in range(n_runs):
+            if cold:
+                clear_materialize_memos()
             t0 = time.perf_counter()
             fn(spark, sf_dir).toPandas()
             runs.append(time.perf_counter() - t0)
         out[name] = round(min(runs), 3)
-        print(f"recheck {name}: floor {out[name]}s (runs {[round(r,2) for r in runs]})")
+        print(
+            f"recheck {name}: floor {out[name]}s"
+            f"{' (cold, memos cleared per run)' if cold else ''}"
+            f" (runs {[round(r, 2) for r in runs]})"
+        )
     return out
 
 
