@@ -146,7 +146,11 @@ def minhash_signatures(sh_rows: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidates(sigs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+def lsh_candidates(
+    sigs: DataFrame,
+    max_bucket: int = MAX_BUCKET,
+    recover_rounds: int = 0,
+) -> DataFrame:
     """LSH banding: docs agreeing on any band become candidate pairs
     (doc_a < doc_b).
 
@@ -155,6 +159,19 @@ def lsh_candidates(sigs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
     boilerplate cluster of 10⁵ docs would otherwise emit 5·10⁹ candidates.
     Exact duplicates of such clusters are still caught by exact_dedupe;
     LSH targets the *near*-dup tail, where buckets are small by nature.
+
+    ``recover_rounds`` (r13 SCALE.md band-2 finding: at 30× probe volume
+    241 capped buckets held ~300 members each — 10.7M dropped candidate
+    pairs that raising the cap alone cannot reclaim) re-admits capped
+    buckets with BOUNDED work instead of dropping them: each of the R
+    rounds hashes the members of every oversized bucket into
+    ceil(m/max_bucket) salted sub-buckets and pairs only within a
+    sub-bucket. Cost is linear in the dropped-member count — at most
+    R·(max_bucket−1)/2 pairs per member, never the bucket's m(m−1)/2 —
+    and a given dropped pair is recovered with probability
+    ≈ 1−(1−max_bucket/m)^R (0.85 for m=300, cap 64, R=8), highest
+    exactly where the drop hurt most (m just over the cap). R=0 (the
+    default) is byte-identical to the pre-r14 drop behavior.
     """
     band_hashes = [
         F.xxhash64(
@@ -181,12 +198,63 @@ def lsh_candidates(sigs: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
-    return (
+    pairs = (
         buckets.select(F.explode("ids").alias("doc_a"), "ids")
         .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
     )
+    if recover_rounds > 0:
+        # members of capped buckets, with the true bucket size m —
+        # separate (band, hash)-keyed pass so the R=0 plan is untouched
+        sized = banded.withColumn(
+            "m",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("band_id", "band_hash")
+            ),
+        ).filter(F.col("m") > max_bucket)
+        sub = (
+            sized.select(
+                "band_id",
+                "band_hash",
+                "doc_id",
+                F.expr(
+                    f"(m + {max_bucket} - 1) div {max_bucket}"
+                ).alias("g_n"),
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(recover_rounds - 1))
+                ).alias("r"),
+            )
+            # salted sub-bucket id: a fresh partition of the bucket
+            # per round (xxhash64 — production hash family, like the
+            # band keys themselves)
+            .withColumn(
+                "g",
+                F.pmod(
+                    F.xxhash64(F.lit("lshrec"), F.col("r"), F.col("doc_id")),
+                    F.col("g_n"),
+                ),
+            )
+        )
+        rw = Window.partitionBy("band_id", "band_hash", "r", "g").orderBy(
+            "doc_id"
+        )
+        rbuckets = (
+            sub.withColumn("_rn", F.row_number().over(rw))
+            # truncate (don't drop): a sub-bucket lands near max_bucket
+            # members by construction; hash variance can overshoot and
+            # the bound must hold regardless
+            .filter(F.col("_rn") <= max_bucket)
+            .groupBy("band_id", "band_hash", "r", "g")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        rpairs = (
+            rbuckets.select(F.explode("ids").alias("doc_a"), "ids")
+            .select("doc_a", F.explode("ids").alias("doc_b"))
+            .filter(F.col("doc_a") < F.col("doc_b"))
+        )
+        pairs = pairs.unionByName(rpairs)
+    return pairs.distinct()
 
 
 def jaccard_verify(
@@ -251,6 +319,7 @@ def minhash_near_dupes(
     threshold: float = 0.5,
     max_bucket: int = MAX_BUCKET,
     min_agree: int | None = None,
+    recover_rounds: int = 0,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-duplicate pairs with exact verification.
 
@@ -269,6 +338,11 @@ def minhash_near_dupes(
     agreement is 26/32). The residual miss probability at J=threshold is
     a few percent — well inside the banding scheme's own recall limit at
     the threshold (P(no band match | J=0.5) ≈ 60% for 8×4 banding).
+
+    ``recover_rounds > 0`` turns on the capped-bucket recovery pass (see
+    :func:`lsh_candidates`) — the recall-critical configuration for
+    corpora where the q116 audit shows material ``dropped_pairs`` volume
+    in buckets the cap can't simply be raised over.
     """
     if min_agree is None:
         min_agree = max(1, int(N_HASHES * (threshold - 0.125)))
@@ -292,7 +366,7 @@ def minhash_near_dupes(
     # its two signature joins cost more than the verify work they'd save
     # — so it only runs past a candidate budget. At 100 TB the budget is
     # always exceeded and the filter always runs; locally it saves a job.
-    raw = lsh_candidates(sigs, max_bucket).persist()
+    raw = lsh_candidates(sigs, max_bucket, recover_rounds).persist()
     if raw.count() > 200_000:
         cands = estimate_filter(raw, sigs, min_agree).persist()
         cands.count()

@@ -54,6 +54,11 @@ from salesanalytics_etl_spark.operators.text import normalize_text
 # drop every token whose md5 tag lands in 1/DROP_MOD of the space (~10%
 # deletion — small-edit regime, keeps most pairs above the J>=0.5 target)
 DROP_MOD = 10
+# mixed mode: action = md5 tag % (3*DROP_MOD) — 0 delete, 1 replace,
+# 2 insert-after, else keep. Each edit type hits ~1/30 of tokens, so the
+# OVERALL edit rate matches drop-only (~10%) while replace/insert ADD
+# shingles the original never had — the regime the r13 S-curve could
+# not measure (deletions only ever REMOVE shingles).
 # audit a deterministic 1/SAMPLE_MOD of docs (salt 'editsample-',
 # independent of the q51 split hash and q183's 'sample-' salt): the
 # audit is linear, but its oracle twin re-derives 64 min-aggregates
@@ -73,12 +78,26 @@ def perturbed_text(
     norm_text: Column,
     salt: str = "edit",
     drop_mod: int = DROP_MOD,
+    edits: str = "drop",
 ) -> Column:
-    """Deterministic token-drop variant of an ALREADY-NORMALIZED text
-    column: token at 1-based position i is dropped iff
-    ``md5(salt||'-'||doc_id||'-'||i) % drop_mod == 0``.
+    """Deterministic edit-noise variant of an ALREADY-NORMALIZED text
+    column.
 
-    The keep-filter is a higher-order ``F.filter`` lambda (interpreted
+    ``edits='drop'`` (default): token at 1-based position i is dropped
+    iff ``md5(salt||'-'||doc_id||'-'||i) % drop_mod == 0`` — deletions
+    only, so the variant's shingle set is a noisy SUBSET-leaning twin.
+
+    ``edits='mixed'``: the same md5 tag mod ``3*drop_mod`` picks an
+    action per token — 0 delete, 1 replace with a synthetic
+    vocabulary-hash token (``substr(md5('ins-'||salt||'-'||doc_id||
+    '-'||i), 1, 8)``), 2 insert that token AFTER the original, else
+    keep. Each edit type hits ~1/(3*drop_mod) of tokens, so the total
+    edit rate matches drop-only while replace/insert ADD shingles the
+    original never had (the r13 handoff gap: deletions can only remove
+    shingles, so the measured S-curve had never seen shingle-adding
+    edits).
+
+    Both modes are one higher-order-function projection (interpreted
     per element) rather than explode+string_agg: the lambda costs one
     md5 per token — the same work the explode path would do — but
     stays inside one projection, with no shuffle and no re-grouping.
@@ -86,19 +105,40 @@ def perturbed_text(
     variants per replica (each replica a different small edit of the
     same base doc — the realistic near-dup clique regime).
     """
-    keep = lambda tok, i: (  # noqa: E731 - inline HOF predicate
-        _md5_int(
-            F.concat(
-                F.lit(f"{salt}-"),
-                doc_id.cast("string"),
-                F.lit("-"),
-                (i + F.lit(1)).cast("string"),
-            )
+
+    def _tag(i: Column) -> Column:
+        return F.concat(
+            F.lit(f"{salt}-"),
+            doc_id.cast("string"),
+            F.lit("-"),
+            (i + F.lit(1)).cast("string"),
         )
-        % drop_mod
-        != 0
+
+    if edits == "drop":
+        keep = lambda tok, i: (  # noqa: E731 - inline HOF predicate
+            _md5_int(_tag(i)) % drop_mod != 0
+        )
+        return F.array_join(F.filter(F.split(norm_text, " "), keep), " ")
+    if edits != "mixed":
+        raise ValueError(f"unknown edits mode {edits!r}")
+
+    def frag(tok: Column, i: Column) -> Column:
+        a = _md5_int(_tag(i)) % (3 * drop_mod)
+        new = F.substring(
+            F.md5(F.concat(F.lit("ins-"), _tag(i))), 1, 8
+        )
+        return (
+            F.when(a == 0, F.lit(None).cast("string"))
+            .when(a == 1, new)
+            .when(a == 2, F.concat(tok, F.lit(" "), new))
+            .otherwise(tok)
+        )
+
+    # array_join drops NULL elements (the deletions) when no
+    # null-replacement is given — one projection, no explode
+    return F.array_join(
+        F.transform(F.split(norm_text, " "), frag), " "
     )
-    return F.array_join(F.filter(F.split(norm_text, " "), keep), " ")
 
 
 def editnoise_pairs(
@@ -106,15 +146,19 @@ def editnoise_pairs(
     text_col: str = "text",
     drop_mod: int = DROP_MOD,
     sample_mod: int | None = SAMPLE_MOD,
+    edits: str = "drop",
 ) -> DataFrame:
-    """(doc_id, t, v): normalized text and its deterministic token-drop
-    variant.
+    """(doc_id, t, v): normalized text and its deterministic edit-noise
+    variant (token-drop by default; ``edits='mixed'`` adds replace and
+    insert edits under salt ``'mix'`` — see :func:`perturbed_text`).
 
     ``t`` is the fingerprint-canonical form (:func:`normalize_text` —
     lowercase, whitespace collapsed), so ``split(t, ' ')`` yields the
     identical token list in both engines. A doc whose every token is
     dropped yields ``v = ''`` (the DuckDB twin reproduces this via
-    LEFT JOIN + COALESCE).
+    LEFT JOIN + COALESCE). The sample salt is shared by both modes, so
+    the mixed-mode audits run on the SAME sampled docs as the drop-mode
+    ones — per-decile numbers are directly comparable.
     """
     base = df.select("doc_id", normalize_text(F.col(text_col)).alias("t"))
     if sample_mod:
@@ -127,11 +171,12 @@ def editnoise_pairs(
             % sample_mod
             == 0
         )
+    salt = "edit" if edits == "drop" else "mix"
     return spread_partitions(base).select(
         "doc_id",
         "t",
         perturbed_text(
-            F.col("doc_id"), F.col("t"), "edit", drop_mod
+            F.col("doc_id"), F.col("t"), salt, drop_mod, edits
         ).alias("v"),
     )
 
@@ -155,7 +200,13 @@ def _sided(pairs: DataFrame) -> DataFrame:
     ).select("doc_id", "s.side", "s.txt")
 
 
-def editnoise_lsh_audit(df: DataFrame, text_col: str = "text") -> DataFrame:
+def editnoise_lsh_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    edits: str = "drop",
+    drop_mod: int = DROP_MOD,
+    sample_mod: int | None = SAMPLE_MOD,
+) -> DataFrame:
     """Per-Jaccard-decile LSH recall under small-edit noise.
 
     For each (original, variant) pair: exact shingle Jaccard (basis
@@ -179,18 +230,24 @@ def editnoise_lsh_audit(df: DataFrame, text_col: str = "text") -> DataFrame:
     No pair join; output <=10 rows at any volume.
     """
     perms = _portable_perm_constants()
-    pairs = editnoise_pairs(df, text_col)
+    pairs = editnoise_pairs(
+        df, text_col, drop_mod=drop_mod, sample_mod=sample_mod, edits=edits
+    )
+    # a side shorter than the gram size contributes an EMPTY shingle set
+    # (it has no signature in the production pipeline either) — the
+    # pre-r14 greatest(...,1) bound emitted one truncated phantom gram
+    # for such sides, skewing tiny-doc pairs (r13 ADVICE). A pair whose
+    # ORIGINAL has no k-gram drops out of the audit entirely; a pair
+    # whose VARIANT is sub-gram-length lands in decile 0 with est 0.
     ex = (
         _sided(pairs)
+        .filter(F.length("txt") >= SHINGLE_K)
         .select(
             "doc_id",
             "side",
             F.explode(
                 F.sequence(
-                    F.lit(1),
-                    F.greatest(
-                        F.length("txt") - (SHINGLE_K - 1), F.lit(1)
-                    ),
+                    F.lit(1), F.length("txt") - (SHINGLE_K - 1)
                 )
             ).alias("i"),
             "txt",
@@ -217,8 +274,11 @@ def editnoise_lsh_audit(df: DataFrame, text_col: str = "text") -> DataFrame:
         for i in range(N_HASHES)
     ]
     sigs = ex.groupBy("doc_id").agg(*sig_aggs)
+    # when-form (not a bare cast of the equality): a sub-gram-length
+    # side leaves its mins NULL, and NULL must count as "no match", not
+    # poison the whole sum
     match_cnt = sum(
-        (F.col(f"o{i}") == F.col(f"v{i}")).cast("int")
+        F.when(F.col(f"o{i}") == F.col(f"v{i}"), 1).otherwise(0)
         for i in range(N_HASHES)
     )
     band_hits = sum(
@@ -299,7 +359,11 @@ def editnoise_lsh_audit(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def editnoise_simhash_audit(
-    df: DataFrame, text_col: str = "text"
+    df: DataFrame,
+    text_col: str = "text",
+    edits: str = "drop",
+    drop_mod: int = DROP_MOD,
+    sample_mod: int | None = SAMPLE_MOD,
 ) -> DataFrame:
     """SimHash behavior under small-edit noise: Hamming-distance
     histogram of (original, variant) signature pairs + the 16-bit-chunk
@@ -316,7 +380,9 @@ def editnoise_simhash_audit(
     signatures. One token scan, one doc-keyed 126-column vote
     aggregation, no pair join; output <= 64 rows.
     """
-    pairs = editnoise_pairs(df, text_col)
+    pairs = editnoise_pairs(
+        df, text_col, drop_mod=drop_mod, sample_mod=sample_mod, edits=edits
+    )
     # q26's tokenizer applied to the canonical text: segment CJK,
     # re-collapse, split — identical nesting to the q184 oracle
     from salesanalytics_etl_spark.operators.text import cjk_segment
@@ -384,7 +450,11 @@ def editnoise_simhash_audit(
 
 
 def editnoise_winnow_audit(
-    df: DataFrame, text_col: str = "text"
+    df: DataFrame,
+    text_col: str = "text",
+    edits: str = "drop",
+    drop_mod: int = DROP_MOD,
+    sample_mod: int | None = SAMPLE_MOD,
 ) -> DataFrame:
     """Winnowing-fingerprint fidelity under small-edit noise: per
     (original, variant) pair, the Jaccard of the q60 winnowed
@@ -403,18 +473,19 @@ def editnoise_winnow_audit(
     """
     from pyspark.sql import Window
 
-    pairs = editnoise_pairs(df, text_col)
+    pairs = editnoise_pairs(
+        df, text_col, drop_mod=drop_mod, sample_mod=sample_mod, edits=edits
+    )
     sided = _sided(pairs)
 
     def _gram_rows(k: int, with_pos: bool) -> DataFrame:
-        ex = sided.select(
+        # sub-gram-length sides emit EMPTY sets (no phantom truncated
+        # gram — r13 ADVICE); see editnoise_lsh_audit for the semantics
+        ex = sided.filter(F.length("txt") >= k).select(
             "doc_id",
             "side",
             F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length("txt") - (k - 1), F.lit(1)),
-                )
+                F.sequence(F.lit(1), F.length("txt") - (k - 1))
             ).alias("i"),
             "txt",
         )
@@ -457,9 +528,16 @@ def editnoise_winnow_audit(
         .distinct()
     )
     winnow = _pair_jaccard(winnowed, "w_bp")
-    per = exact.join(winnow, "doc_id").withColumn(
-        "j_decile",
-        F.least(F.expr("j_bp div 1000"), F.lit(9)).cast("int"),
+    # LEFT join: a doc with >=1 5-gram but no 8-gram has an exact row
+    # and an empty winnow universe — count it with w_bp = 0 rather than
+    # dropping the pair from the audit
+    per = (
+        exact.join(winnow, "doc_id", "left")
+        .withColumn("w_bp", F.coalesce("w_bp", F.lit(0).cast("bigint")))
+        .withColumn(
+            "j_decile",
+            F.least(F.expr("j_bp div 1000"), F.lit(9)).cast("int"),
+        )
     )
     return (
         per.groupBy("j_decile")

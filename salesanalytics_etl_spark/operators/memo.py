@@ -77,7 +77,7 @@ def _canon_uri(uri: str) -> tuple[str, str, str]:
     empty authority, matching Hadoop's local-FS URIs."""
     import os
     import posixpath
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     p = urlparse(uri)
     # require len > 1 so a windows-style drive letter never parses as a
@@ -85,7 +85,15 @@ def _canon_uri(uri: str) -> tuple[str, str, str]:
     if len(p.scheme) > 1:
         scheme = "file" if p.scheme == "file" else p.scheme
         netloc = "" if scheme == "file" and p.netloc == "localhost" else p.netloc
-        path = posixpath.normpath("/" + p.path.lstrip("/"))
+        # URI hosts are case-insensitive: lowercase the host but keep the
+        # port (and any userinfo) verbatim, so hdfs://NN:8020 == hdfs://nn:8020
+        if netloc:
+            userinfo, _, hostport = netloc.rpartition("@")
+            host, colon, port = hostport.partition(":")
+            netloc = (userinfo + "@" if userinfo else "") + host.lower() + colon + port
+        # Hadoop's inputFiles() percent-encodes paths (space -> %20) while
+        # mutator-supplied paths are raw; decode so both forms match
+        path = posixpath.normpath("/" + unquote(p.path).lstrip("/"))
         return (scheme, netloc, "/" if path == "/" else path.rstrip("/"))
     return ("file", "", os.path.abspath(uri).rstrip("/") or "/")
 

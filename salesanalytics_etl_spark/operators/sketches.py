@@ -358,14 +358,20 @@ def bloom_decontaminate_audit(
 
     At 100 TB the exact path broadcasts the benchmark N-GRAM STRINGS
     (eval suites are small, but n-grams are long); the Bloom variant
-    broadcasts an m-bit position set instead (2^20 bits = 128 KiB here,
-    size-independent of n-gram length) and never false-negatives, so
-    it is the cheap continuous monitor and this audit prices its
-    false-positive overhead: a Bloom-flagged doc that the exact join
-    clears costs one wasted quarantine/recheck. Each n-gram is hashed
-    ONCE to a 60-bit long (md5 prefix), the k bit positions derive
-    from md5('bloomd-'||i||'-'||h) — both engines rebuild the filter
-    bit-for-bit, so even the measured FP count is hash-checked.
+    broadcasts an actual packed bitset instead — the set positions are
+    OR-ed into 64-bit words, so the broadcast relation is m_bits/64
+    rows of bigint (2^20 bits = 16384 rows ≈ 128 KiB here), size-
+    independent of n-gram length AND of benchmark size, and stays
+    broadcast-safe when a caller raises m_bits (2^26 → ~8 MiB of
+    words; the pre-r14 form broadcast one ROW PER SET POSITION, which
+    the F.broadcast hint would have forced at any m_bits). Bloom never
+    false-negatives, so it is the cheap continuous monitor and this
+    audit prices its false-positive overhead: a Bloom-flagged doc that
+    the exact join clears costs one wasted quarantine/recheck. Each
+    n-gram is hashed ONCE to a 60-bit long (md5 prefix), the k bit
+    positions derive from md5('bloomd-'||i||'-'||h) — both engines
+    rebuild the filter bit-for-bit, so even the measured FP count is
+    hash-checked.
     """
     from salesanalytics_etl_spark.operators.curation import ngram_rows
     from salesanalytics_etl_spark.operators.dedup import md5_token_hash
@@ -404,14 +410,29 @@ def bloom_decontaminate_audit(
         )
 
     bench_h = grams(benchmark).select("h").distinct()
-    filter_bits = positions(bench_h).select("pos").distinct()
+    # pack the filter into 64-bit words: <= m_bits/64 rows of bigint —
+    # a genuine bitset relation, broadcast-safe at any practical m_bits
+    filter_words = (
+        positions(bench_h)
+        .groupBy(F.expr("pos div 64").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))"
+            ).alias("bits")
+        )
+    )
     corpus_h = grams(corpus).select("doc_id", "h").distinct()
 
-    # Bloom hit: ALL k positions present — count matched positions per
-    # (doc, gram); the position set is broadcast-sized (<= m_bits rows)
-    probe = positions(corpus_h)
+    # Bloom hit: ALL k positions present — a probe position whose word
+    # is absent (inner join) or whose bit is clear is a miss
+    probe = positions(corpus_h).withColumn("w", F.expr("pos div 64"))
     bloom_hits = (
-        probe.join(F.broadcast(filter_bits), "pos")
+        probe.join(F.broadcast(filter_words), "w")
+        .filter(
+            F.expr(
+                "(bits & shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))) != 0"
+            )
+        )
         .groupBy("doc_id", "h")
         .agg(F.count(F.lit(1)).alias("k_hit"))
         .filter(F.col("k_hit") == k_hashes)

@@ -2358,19 +2358,24 @@ def q185_cms_user_frequency_audit(
 # ---------------------------------------------------------------------------
 
 
-def _editnoise_base_sql() -> str:
-    """Shared oracle CTEs: sampled docs -> deterministic token-drop
+def _editnoise_base_sql(edits: str = "drop") -> str:
+    """Shared oracle CTEs: sampled docs -> deterministic edit-noise
     variant -> (doc_id, side, txt) rows. Mirrors editnoise_pairs/_sided
     exactly (same salts, same 1-based positions, same '' for the
-    all-tokens-dropped edge via LEFT JOIN + COALESCE)."""
-    return r"""
+    all-tokens-dropped edge via LEFT JOIN + COALESCE). ``edits='mixed'``
+    mirrors perturbed_text's mixed mode: md5 tag (salt 'mix') % 30 picks
+    0 delete / 1 replace / 2 insert-after / else keep, with the synthetic
+    token = substr(md5('ins-mix-'||doc_id||'-'||i), 1, 8)."""
+    head = r"""
     WITH base AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
       FROM documents
       WHERE CAST(('0x' || substr(md5('editsample-' || CAST(doc_id AS VARCHAR)),
                                  1, 6)) AS INT) % 4 = 0
     ),
-    w AS (SELECT doc_id, t, string_split(t, ' ') AS wl FROM base),
+    w AS (SELECT doc_id, t, string_split(t, ' ') AS wl FROM base),"""
+    if edits == "drop":
+        mid = r"""
     kept AS (
       SELECT doc_id, i, wl[CAST(i AS INTEGER)] AS tok
       FROM w, UNNEST(range(1, len(wl) + 1)) AS u(i)
@@ -2381,7 +2386,29 @@ def _editnoise_base_sql() -> str:
     vtab AS (
       SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS v
       FROM kept GROUP BY doc_id
+    ),"""
+    else:
+        assert edits == "mixed", edits
+        mid = r"""
+    kept AS (
+      SELECT doc_id, i,
+             CASE CAST(('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)
+                                       || '-' || CAST(i AS VARCHAR)),
+                                       1, 6)) AS INT) % 30
+               WHEN 0 THEN NULL
+               WHEN 1 THEN substr(md5('ins-mix-' || CAST(doc_id AS VARCHAR)
+                                      || '-' || CAST(i AS VARCHAR)), 1, 8)
+               WHEN 2 THEN wl[CAST(i AS INTEGER)] || ' '
+                           || substr(md5('ins-mix-' || CAST(doc_id AS VARCHAR)
+                                         || '-' || CAST(i AS VARCHAR)), 1, 8)
+               ELSE wl[CAST(i AS INTEGER)] END AS frag
+      FROM w, UNNEST(range(1, len(wl) + 1)) AS u(i)
     ),
+    vtab AS (
+      SELECT doc_id, string_agg(frag, ' ' ORDER BY i) AS v
+      FROM kept WHERE frag IS NOT NULL GROUP BY doc_id
+    ),"""
+    return head + mid + r"""
     pairs AS (
       SELECT b.doc_id, b.t, COALESCE(vt.v, '') AS v
       FROM base b LEFT JOIN vtab vt USING (doc_id)
@@ -2393,7 +2420,7 @@ def _editnoise_base_sql() -> str:
     )"""
 
 
-def _editnoise_lsh_oracle() -> str:
+def _editnoise_lsh_oracle(edits: str = "drop") -> str:
     from salesanalytics_etl_spark.operators.dedup import (
         N_BANDS,
         N_HASHES,
@@ -2421,13 +2448,15 @@ def _editnoise_lsh_oracle() -> str:
         for b in range(N_BANDS)
     )
     return (
-        _editnoise_base_sql()
+        _editnoise_base_sql(edits)
         + f""",
     ex AS (
+      -- sub-gram-length sides emit EMPTY sets (range(1, <=1) is empty;
+      -- no phantom truncated gram — r13 ADVICE)
       SELECT doc_id, side,
              CAST(('0x' || substr(md5(substr(txt, CAST(i AS INTEGER), 5)),
                                   1, 15)) AS BIGINT) AS h
-      FROM sided, UNNEST(range(1, GREATEST(len(txt) - 4, 1) + 1)) AS u(i)
+      FROM sided, UNNEST(range(1, GREATEST(len(txt) - 4, 0) + 1)) AS u(i)
     ),
     sigs AS (
       SELECT doc_id,
@@ -2475,14 +2504,14 @@ def _editnoise_lsh_oracle() -> str:
     )
 
 
-def _editnoise_simhash_oracle() -> str:
+def _editnoise_simhash_oracle(edits: str = "drop") -> str:
     chunk_terms = ",\n               ".join(
         f"CASE WHEN ((so >> {16 * c}) & 65535)"
         f" = ((sv >> {16 * c}) & 65535) THEN 1 ELSE 0 END"
         for c in range(4)
     )
     return (
-        _editnoise_base_sql()
+        _editnoise_base_sql(edits)
         + rf""",
     toks AS (
       SELECT DISTINCT doc_id, side,
@@ -2670,15 +2699,16 @@ def q188_int8_quantization_audit(
     return quantization_error_audit(embeddings, queries, k=5)
 
 
-def _editnoise_winnow_oracle() -> str:
+def _editnoise_winnow_oracle(edits: str = "drop") -> str:
     return (
-        _editnoise_base_sql()
+        _editnoise_base_sql(edits)
         + r""",
     ex AS (
+      -- sub-gram-length sides emit EMPTY sets (r13 ADVICE; see q186)
       SELECT doc_id, side,
              CAST(('0x' || substr(md5(substr(txt, CAST(i AS INTEGER), 5)),
                                   1, 15)) AS BIGINT) AS h
-      FROM sided, UNNEST(range(1, GREATEST(len(txt) - 4, 1) + 1)) AS u(i)
+      FROM sided, UNNEST(range(1, GREATEST(len(txt) - 4, 0) + 1)) AS u(i)
     ),
     shd AS (SELECT DISTINCT doc_id, side, h FROM ex),
     perh AS (
@@ -2704,7 +2734,7 @@ def _editnoise_winnow_oracle() -> str:
       SELECT doc_id, side, CAST(i AS INTEGER) AS i,
              CAST(('0x' || substr(md5(substr(txt, CAST(i AS INTEGER), 8)),
                                   1, 15)) AS BIGINT) AS kh
-      FROM sided, UNNEST(range(1, GREATEST(len(txt) - 7, 1) + 1)) AS u(i)
+      FROM sided, UNNEST(range(1, GREATEST(len(txt) - 7, 0) + 1)) AS u(i)
     ),
     wmin AS (
       SELECT doc_id, side,
@@ -2733,9 +2763,10 @@ def _editnoise_winnow_oracle() -> str:
       FROM wstats
     ),
     per AS (
-      SELECT e.doc_id, e.j_bp, w.w_bp,
+      -- LEFT: a doc with >=1 5-gram but no 8-gram keeps w_bp = 0
+      SELECT e.doc_id, e.j_bp, COALESCE(w.w_bp, 0) AS w_bp,
              CAST(LEAST(e.j_bp // 1000, 9) AS INTEGER) AS j_decile
-      FROM ej e JOIN wj w USING (doc_id)
+      FROM ej e LEFT JOIN wj w USING (doc_id)
     )
     SELECT j_decile,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -3070,3 +3101,69 @@ def q192_bloom_decontamination_audit(
     bench = documents.filter(F.col("doc_id") % 50 == 0)
     corpus = documents.filter(F.col("doc_id") % 50 != 0)
     return bloom_decontaminate_audit(corpus, bench)
+
+
+# ---------------------------------------------------------------------------
+# Mixed-edit twins of the edit-noise audits (q193-q195) — r13 handoff:
+# the drop-only variant generator can only REMOVE shingles, so the
+# measured S-curve had never seen shingle-ADDING edits (replace/insert).
+# Same sampled docs (shared 'editsample-' salt), same rollups — the
+# per-decile numbers are directly comparable against q186/q187/q189.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q193_editnoise_mixed_lsh",
+    oracle=_editnoise_lsh_oracle(edits="mixed"),
+    doc="q186's LSH recall audit under MIXED edit noise (delete + "
+    "replace + insert at ~1/30 of tokens each — salt 'mix', synthetic "
+    "tokens from md5): per exact-Jaccard decile, band-collision recall "
+    "and MinHash estimate vs exact 5-gram Jaccard, where edits now ADD "
+    "shingles the original never had. Linear doc-keyed shape, <=10 "
+    "output rows.",
+)
+def q193_editnoise_mixed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.editnoise import (
+        editnoise_lsh_audit,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return editnoise_lsh_audit(documents, edits="mixed")
+
+
+@register(
+    "q194_editnoise_mixed_simhash",
+    oracle=_editnoise_simhash_oracle(edits="mixed"),
+    doc="q187's SimHash audit under MIXED edit noise: Hamming-distance "
+    "histogram + 16-bit-chunk pigeonhole hits when replace/insert edits "
+    "introduce NEW tokens (each flips independent vote sums) rather "
+    "than only removing them. <=64 output rows.",
+)
+def q194_editnoise_mixed_simhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.editnoise import (
+        editnoise_simhash_audit,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return editnoise_simhash_audit(documents, edits="mixed")
+
+
+@register(
+    "q195_editnoise_mixed_winnow",
+    oracle=_editnoise_winnow_oracle(edits="mixed"),
+    doc="q189's winnowing-fidelity audit under MIXED edit noise: does "
+    "the ~2/(w+1) winnowed fingerprint sample still track exact "
+    "Jaccard when edits insert novel 8-grams (which can displace "
+    "window minima) instead of only deleting grams? <=10 output rows.",
+)
+def q195_editnoise_mixed_winnow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.editnoise import (
+        editnoise_winnow_audit,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return editnoise_winnow_audit(documents, edits="mixed")

@@ -74,9 +74,38 @@ class RollupMaintenanceSink:
         )
 
 
+def _repair_swap(log_dir: str) -> None:
+    """Repair a compaction swap interrupted by a crash (r13 verdict item
+    6 — the kill-between-renames window, same discipline as the upsert
+    vacuum's unconditional swap-old repair):
+
+    - log missing + ``.old`` present → the crash hit BETWEEN the two
+      renames; restore ``.old`` to live (it IS the pre-compaction log).
+    - log present + ``.old`` present → the crash hit before the final
+      delete; the swap completed, drop the leftover.
+    - stale ``.compact`` staging is removed either way (the next
+      compaction rewrites it with mode=overwrite, but a reader listing
+      the parent must never mistake it for live state).
+
+    Called by BOTH compact_log and current_rollup, so a dashboard read
+    directly after a crash sees the data, not an empty log.
+    """
+    import shutil
+
+    old = log_dir.rstrip("/") + ".old"
+    tmp = log_dir.rstrip("/") + ".compact"
+    if not os.path.isdir(log_dir) and os.path.isdir(old):
+        os.rename(old, log_dir)
+    elif os.path.isdir(log_dir) and os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+
+
 def current_rollup(spark: SparkSession, log_dir: str) -> DataFrame:
     """The maintained rollup: final fold over the partial log. Matches
     events.py:hourly_event_rollup on the same data, bit-for-bit."""
+    _repair_swap(log_dir)
     has_data = os.path.isdir(log_dir) and any(
         f.endswith(".parquet")
         for _, _, files in os.walk(log_dir)
@@ -124,6 +153,7 @@ def compact_log(spark: SparkSession, log_dir: str) -> None:
     FileSystem API (``spark._jvm.org.apache.hadoop.fs``) instead —
     os.rename cannot cross filesystems or talk to object stores.
     """
+    _repair_swap(log_dir)
     # A log holding no data files (only _SUCCESS after a zero-row first
     # batch) makes spark.read.parquet throw UNABLE_TO_INFER_SCHEMA before
     # any row-level guard can run — check the listing first.

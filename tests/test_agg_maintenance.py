@@ -173,3 +173,97 @@ def test_maintained_cusum_matches_batch_identity(spark, sf_dir, tmp_path):
     assert len(got) > 0
     # CUSUM is non-negative by construction
     assert all(c >= 0 for (_, c, _) in got.values())
+
+
+def test_compaction_crash_between_renames_recovers(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Fault-injection for the compaction swap (r13 verdict item 6,
+    mirroring test_table_format's mid-swap crash): os.rename raises
+    IMMEDIATELY AFTER moving live -> .old (the exact window where the
+    log directory does not exist), and both the read path
+    (current_rollup) and the next compact_log must repair — restoring
+    the log, folding correctly, stranding nothing."""
+    import os
+
+    import pytest
+
+    import salesanalytics_etl_spark.streaming.agg_maintenance as M
+
+    log_dir = str(tmp_path / "crash_log")
+    sink = M.RollupMaintenanceSink(spark, log_dir)
+    events = load_driver_tables(spark, sf_dir, ["events"])["events"]
+    for bid in range(3):
+        sink.process_batch(events.limit(400 + 100 * bid), batch_id=bid)
+    want = _rollup_map(current_rollup(spark, log_dir))
+
+    real_rename = os.rename
+
+    def crash_after_first_rename(src, dst):
+        real_rename(src, dst)
+        if src.rstrip("/") == log_dir.rstrip("/"):
+            raise OSError("injected crash between the swap's renames")
+
+    monkeypatch.setattr(M.os, "rename", crash_after_first_rename)
+    with pytest.raises(OSError, match="injected crash"):
+        M.compact_log(spark, log_dir)
+    monkeypatch.setattr(M.os, "rename", real_rename)
+    # crash state: live log GONE, .old + .compact stranded
+    assert not os.path.exists(log_dir)
+    assert os.path.exists(log_dir + ".old")
+    # the READ path repairs and still serves the exact rollup
+    assert _rollup_map(current_rollup(spark, log_dir)) == want
+    assert os.path.exists(log_dir) and not os.path.exists(log_dir + ".old")
+    assert not os.path.exists(log_dir + ".compact")
+    # the next compaction completes the fold: batch -1 + newest only
+    M.compact_log(spark, log_dir)
+    assert _rollup_map(current_rollup(spark, log_dir)) == want
+    got_ids = sorted(
+        r[0]
+        for r in spark.read.parquet(log_dir)
+        .select("batch_id")
+        .distinct()
+        .collect()
+    )
+    assert got_ids == [-1, 2]
+    assert not os.path.exists(log_dir + ".old")
+    assert not os.path.exists(log_dir + ".compact")
+
+
+def test_compaction_crash_before_old_delete_recovers(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The OTHER crash window: both renames completed but the .old
+    delete did not run — the swap is live, the leftover must be dropped
+    by the next touch, and the rollup is already correct."""
+    import os
+    import shutil
+
+    import pytest
+
+    import salesanalytics_etl_spark.streaming.agg_maintenance as M
+
+    log_dir = str(tmp_path / "crash_log2")
+    sink = M.RollupMaintenanceSink(spark, log_dir)
+    events = load_driver_tables(spark, sf_dir, ["events"])["events"]
+    for bid in range(3):
+        sink.process_batch(events.limit(300 + 100 * bid), batch_id=bid)
+    want = _rollup_map(current_rollup(spark, log_dir))
+
+    real_rmtree = shutil.rmtree
+
+    def crash_on_old_delete(path, *a, **k):
+        if str(path).rstrip("/") == log_dir + ".old":
+            raise OSError("injected crash before the .old delete")
+        return real_rmtree(path, *a, **k)
+
+    monkeypatch.setattr("shutil.rmtree", crash_on_old_delete)
+    try:
+        with pytest.raises(OSError, match="injected crash"):
+            M.compact_log(spark, log_dir)
+    finally:
+        monkeypatch.undo()
+    # swap completed; .old stranded
+    assert os.path.exists(log_dir) and os.path.exists(log_dir + ".old")
+    assert _rollup_map(current_rollup(spark, log_dir)) == want
+    assert not os.path.exists(log_dir + ".old")

@@ -189,3 +189,99 @@ def test_cluster_safe_split_semantics(spark):
     clustered = {3, 50, 101, 7, 160}
     for d in set(out) - clustered:
         assert out[d].split == naive(d) and out[d].moved == 0
+
+
+def test_mixed_variant_matches_python(spark):
+    """Mixed-mode (delete/replace/insert) variant equals a pure-Python
+    rederivation under salt 'mix' — the property the q193-q195 oracle
+    twins rely on."""
+    rows = (
+        editnoise_pairs(_docs(spark), sample_mod=None, edits="mixed")
+        .orderBy("doc_id")
+        .limit(20)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        out: list[str] = []
+        for i, tok in enumerate(r.t.split(" "), start=1):
+            a = (
+                int(
+                    hashlib.md5(f"mix-{r.doc_id}-{i}".encode()).hexdigest()[
+                        :6
+                    ],
+                    16,
+                )
+                % 30
+            )
+            new = hashlib.md5(
+                f"ins-mix-{r.doc_id}-{i}".encode()
+            ).hexdigest()[:8]
+            if a == 0:
+                continue
+            if a == 1:
+                out.append(new)
+            elif a == 2:
+                out.extend([tok, new])
+            else:
+                out.append(tok)
+        assert r.v == " ".join(out), r.doc_id
+
+
+def test_mixed_edit_rate_and_additions(spark):
+    """Mixed mode edits ~10% of tokens overall AND introduces tokens the
+    original never had (the shingle-ADDING regime drop-only cannot
+    reach): net length stays near the original (inserts offset deletes)
+    while the variant token set is NOT a subset of the original's."""
+    pairs = editnoise_pairs(_docs(spark), sample_mod=None, edits="mixed")
+    agg = pairs.select(
+        F.size(F.split("t", " ")).alias("n_t"),
+        F.size(F.split("v", " ")).alias("n_v"),
+        F.size(
+            F.array_except(
+                F.array_distinct(F.split("v", " ")),
+                F.array_distinct(F.split("t", " ")),
+            )
+        ).alias("novel"),
+    ).agg(
+        F.sum("n_t").alias("t"),
+        F.sum("n_v").alias("v"),
+        F.sum("novel").alias("novel"),
+    ).collect()[0]
+    # deletes ~1/30 and inserts ~1/30 cancel in expectation
+    assert abs(agg.v - agg.t) / agg.t < 0.05, (agg.t, agg.v)
+    # replace+insert each mint a novel md5 token ~1/30 of positions
+    assert agg.novel / agg.t > 0.03, (agg.novel, agg.t)
+
+
+def test_subgram_sides_empty_sets(spark):
+    """r13 ADVICE: sides shorter than the gram size contribute EMPTY
+    shingle sets — no phantom truncated gram. A pair whose variant is
+    sub-gram-length lands in decile 0 with zero band hits and est 0; a
+    pair whose ORIGINAL has no 5-gram drops out of the audit."""
+    from salesanalytics_etl_spark.operators import editnoise as en
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abc"),  # original itself sub-gram -> excluded
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    # drop_mod=1 drops EVERY token: v = '' for both docs
+    pairs = en.editnoise_pairs(docs, drop_mod=1, sample_mod=None)
+    assert {r.doc_id: r.v for r in pairs.collect()} == {1: "", 2: ""}
+    res = en.editnoise_lsh_audit(
+        docs, drop_mod=1, sample_mod=None
+    ).collect()
+    assert len(res) == 1 and res[0].j_decile == 0, res
+    assert res[0].n_pairs == 1 and res[0].n_band_hit == 0
+    assert res[0].sum_band_hits == 0
+    assert res[0].sum_exact_bp == 0 and res[0].sum_est_bp == 0
+    # winnow audit: doc 2 has 5-grams but its variant has none ->
+    # counted with w_bp = 0, not dropped
+    wres = en.editnoise_winnow_audit(
+        docs, drop_mod=1, sample_mod=None
+    ).collect()
+    assert len(wres) == 1 and wres[0].j_decile == 0
+    assert wres[0].n_pairs == 1 and wres[0].sum_winnow_bp == 0
