@@ -40,103 +40,90 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-# Round-13 rotation (driver records the FIRST 50 entries). The list is
-# COUNTED from CORRECTNESS_r*.json latest-record rounds, not from memory
-# (the r10 roll note undercounted its own list; r11 made the arithmetic
-# self-counting — this comment is the stamp bookkeeping future rounds
-# rely on, so: 12+7+31 = 50). Priority order:
-# (0) the 12 queries NEW this round, ZERO driver records (never-
-#     recorded outranks stale): q181 hash-sampled boilerplate monitor,
-#     q182 its decile-drift audit, q183 sampled MinHash+LSH replay,
-#     q184 per-source surprisal drift, q185 CMS frequency audit,
-#     q186 edit-noise LSH recall audit, q187 edit-noise SimHash audit,
-#     q188 int8 quantization audit, q189 winnowing edit-noise
-#     fidelity, q190 int8 top-k recall, q191 cluster-safe split,
-#     q192 Bloom decontamination audit (the last seven displaced
-#     q129/q131/q135-q139 — the seven stalest-by-query-order r9 rows
-#     whose operators are unchanged since r9 — to r14);
-# (1) 7 code-changed re-stamps, ONE per code path changed this round
-#     (values must be identical; the re-stamp proves it on current
-#     code): q52 (merge_upsert_table now auto-invalidates the
-#     materialize-once memos after its swap — r12 ADVICE), plus one
-#     query per memoized operator that gained record_sources bookkeeping
-#     at its set site: q109 (banded+pairs memos), q176 (both source-
-#     matrix memos), q170 (exact-matrix memo consumer), q112
-#     (anchors+assignment memos), q122 (IVF recall + bruteforce memo),
-#     q28 (bruteforce memo via the ANN surface). Late r13 review
-#     refactors re-stamp through rows ALREADY in this window: the
-#     shared split helper via q51 (section 2) and q191, the q190 norm
-#     hoist via q190 itself; q75 (composed pipeline, r12 record) also
-#     rides the split helper and rolls to r14 — its values were
-#     re-gated green against the oracle after the refactor. The REST
-#     of the
-#     memo-backed family (q25, q27, q34, q113, q116, q121, q172, q178)
-#     shares exactly those code paths, carries r11/r12 records, and
-#     rolls to the r14 window so the ENTIRE r9-era debt retires now
-#     (r12 verdict item 1 takes the remaining slots);
-# (2) 31 of the 38 r9-era rows in query order (q29, q30, q32, q33,
-#     q37-q43, q51, q53-q56, q58-q63, q68, q76, q78-q80, q83, q94,
-#     q101, q125). q129/q131/q135-q139 roll to r14 (they lost their
-#     slots to the never-recorded q186-q192); after the r14 window
-#     stamps them, NO record is older than r10.
+# Round-14 rotation (driver records the FIRST 50 entries). Self-counting
+# arithmetic (the r10/r13 failure mode was headers contradicting it):
+# 3 new + 5 re-stamps + 42 roll-debt = 50. Priority order:
+# (0) the 3 queries NEW this round, ZERO driver records: q193/q194/q195
+#     — the mixed-edit (delete+replace+insert) twins of the edit-noise
+#     LSH / SimHash / winnowing audits.
+# (1) 5 code-changed re-stamps, ONE per code path changed this round
+#     (values re-gated green on current code; the stamp proves it):
+#     q186 + q189 (sub-gram-length sides now contribute EMPTY shingle
+#     sets instead of a phantom truncated gram — r13 ADVICE; engine-
+#     consistent fix applied to operator AND oracle), q187 (rides the
+#     same editnoise_pairs path), q192 (the Bloom filter now broadcasts
+#     a packed 64-bit-word bitset instead of per-position rows — values
+#     identical, plan changed), q52 (memo._canon_uri percent-decode +
+#     case-insensitive host — the invalidation hook under the merge
+#     path).
+# (2) 42 roll-debt rows, oldest records first:
+#     - the 7 r9-era rows the r13 window displaced (q129, q131,
+#       q135-q139) — after this window stamps them, NO driver record is
+#       older than r10;
+#     - q75 (r12; the split-helper refactor re-stamp promised by r13);
+#     - the 8 memo-family rows r13 promised to this window (q25, q27,
+#       q34, q113, q116, q121, q172, q178);
+#     - 26 of the 45 remaining r10-era rows in query order (q15, q16,
+#       q19, q23, q31, q35, q36, q44, q45, q46, q48, q49, q57, q69,
+#       q72, q77, q84, q93, q98, q99, q102, q103, q104, q105, q110,
+#       q111). The 19 r10 rows after q111 (q114...q153) roll to r15.
 # Every name here is also swept by tests/test_queries.py +
 # tests/strict_gate.py against the same oracles, so reordering changes
 # what the driver RECORDS, never what is verified.
 _CHECK_FIRST = [
     # --- (0) new this round, never recorded ---
-    "q181_boilerplate_sampled",
-    "q182_boilerplate_sample_error",
-    "q183_sampled_neardup_replay",
-    "q184_source_surprisal_drift",
-    "q185_cms_user_frequency_audit",
+    "q193_editnoise_mixed_lsh",
+    "q194_editnoise_mixed_simhash",
+    "q195_editnoise_mixed_winnow",
+    # --- (1) code-changed re-stamps, one per changed code path ---
     "q186_editnoise_lsh_recall",
     "q187_editnoise_simhash",
-    "q188_int8_quantization_audit",
     "q189_editnoise_winnow_fidelity",
-    "q190_int8_topk_recall",
-    "q191_cluster_safe_split",
     "q192_bloom_decontamination_audit",
-    # --- (1) code-changed re-stamps, one per changed code path ---
     "q52_merge_upsert",
-    "q109_minhash_lsh_replay",
-    "q176_source_jaccard_sketch_error",
-    "q170_source_shingle_jaccard",
-    "q112_ivf_replay",
-    "q122_ivf_recall_audit",
-    "q28_ann_cosine_lsh",
-    # --- (2) 31 of the 38 r9-era rows, query order (7 rolled to r14,
-    #     see the arithmetic above) ---
-    "q29_events_hourly",
-    "q30_events_sessionize",
-    "q32_embedding_neardup",
-    "q33_token_frequencies",
-    "q37_order_value_percentiles",
-    "q38_repeat_customers_intersect",
-    "q39_events_json_props",
-    "q40_churned_customers_except",
-    "q41_part_name_search",
-    "q42_purchases_with_prior_views",
-    "q43_purchase_asof_signup",
-    "q51_train_val_test_split",
-    "q53_customer_sample_topk",
-    "q54_part_sample_topk",
-    "q55_lineitem_sample_topk",
-    "q56_conformance_coercion",
-    "q58_mom_sales_growth",
-    "q59_salted_event_rollup",
-    "q60_winnowing_fingerprints",
-    "q61_small_quantity_revenue",
-    "q62_check_violations",
-    "q63_sales_cube",
-    "q68_segment_percentiles",
-    "q76_incremental_dedupe",
-    "q78_regional_supplier_revenue",
-    "q79_rolling_7day_sales",
-    "q80_event_funnel",
-    "q83_sentence_dedup_stats",
-    "q94_scd2_customers",
-    "q101_heavy_hitter_shingles",
-    "q125_snapshot_diff",
+    # --- (2) 42 roll-debt rows, oldest first (arithmetic above) ---
+    "q129_segment_percentiles_distributed",
+    "q131_orders_profile",
+    "q135_event_transitions",
+    "q136_retention_cohorts",
+    "q137_order_value_histogram",
+    "q138_benford_digit_audit",
+    "q139_winsorized_order_stats",
+    "q75_curation_pipeline",
+    "q25_minhash_neardup",
+    "q27_ann_cosine_topk",
+    "q34_ann_cosine_ivf",
+    "q113_cell_stats_replay",
+    "q116_lsh_bucket_audit",
+    "q121_ann_recall_audit",
+    "q172_source_minhash_jaccard",
+    "q178_split_neardup_leakage",
+    "q15_dedupe_keep_last",
+    "q16_fk_violations",
+    "q19_top_parts_per_type",
+    "q23_docs_quality",
+    "q31_media_features",
+    "q35_sales_rollup",
+    "q36_status_pivot",
+    "q44_docs_rolling_fingerprint",
+    "q45_media_resize",
+    "q46_media_frame_sample",
+    "q48_pricing_summary",
+    "q49_dedup_clusters",
+    "q57_ngram_jaccard_pairs",
+    "q69_repetition_filter",
+    "q72_language_rebalance",
+    "q77_label_centroids",
+    "q84_split_leakage_check",
+    "q93_customer_rfm",
+    "q98_supplier_type_share",
+    "q99_priority_sla",
+    "q102_exact_jaccard_join",
+    "q103_duplicate_spans",
+    "q104_unigram_surprisal",
+    "q105_cluster_representatives",
+    "q110_hll_distinct_replay",
+    "q111_hdr_percentile_replay",
 ]
 
 

@@ -23,9 +23,14 @@ near-duplicates with pairwise shingle Jaccard ~0.6-0.9 — and measures:
 
 Usage:
     SPARK_GRAFT_PROBE_EDITNOISE=1 SPARK_GRAFT_PROBE_FACTOR=30 \
-        python tools/editnoise_probe.py [--no-build]
+        python tools/editnoise_probe.py [--no-build] [--recover R]
 
-Results are recorded in SCALE.md (Round-13).
+``--recover R`` measures the r14 capped-bucket recovery knob
+(minhash_near_dupes recover_rounds=R) on the same GT;
+``SPARK_GRAFT_PROBE_EDITMODE=mixed`` builds the replica cliques with
+delete+replace+insert edits (the shingle-adding regime). Results are
+recorded in SCALE.md (Round-13 for the drop-only baseline, Round-14
+for mixed edits and recovery).
 """
 
 from __future__ import annotations
@@ -113,11 +118,21 @@ def main() -> None:
     n_gt = gt.count()
 
     # --- 2. production pipeline ---------------------------------------
+    recover = (
+        int(sys.argv[sys.argv.index("--recover") + 1])
+        if "--recover" in sys.argv
+        else 0
+    )
     t0 = time.perf_counter()
-    found = minhash_near_dupes(docs)  # already a localCheckpoint
+    found = minhash_near_dupes(  # already a localCheckpoint
+        docs, recover_rounds=recover
+    )
     n_found = found.count()
     dt = time.perf_counter() - t0
-    print(f"pipeline: {n_found} pairs in {dt:.1f}s; GT clique pairs: {n_gt}")
+    print(
+        f"pipeline (recover_rounds={recover}): {n_found} pairs "
+        f"in {dt:.1f}s; GT clique pairs: {n_gt}"
+    )
 
     target = gt.filter(F.col("j_bp") >= 5000).persist()
     hit = target.join(found, ["doc_a", "doc_b"], "left_semi")

@@ -36,9 +36,14 @@ FACTOR = int(os.environ.get("SPARK_GRAFT_PROBE_FACTOR", "10"))
 # REALISTIC near-duplicates (pairwise shingle Jaccard ~0.6-0.85) — the
 # regime LSH/SimHash bucketing actually faces at 100 TB.
 EDITNOISE = os.environ.get("SPARK_GRAFT_PROBE_EDITNOISE", "") == "1"
+# EDITMODE=mixed makes each replica a delete+replace+insert variant
+# (operators/editnoise.py mixed mode) instead of drop-only — the
+# shingle-ADDING clique regime for the r14 recall probes
+EDITMODE = os.environ.get("SPARK_GRAFT_PROBE_EDITMODE", "drop")
 PROBE = os.environ.get(
     "SPARK_GRAFT_PROBE_DIR",
-    f"/tmp/probe{FACTOR}x" + ("en" if EDITNOISE else ""),
+    f"/tmp/probe{FACTOR}x"
+    + (("enm" if EDITMODE == "mixed" else "en") if EDITNOISE else ""),
 )
 
 # per-table key columns to shift; (col, parent_table, parent_key) for FKs
@@ -105,6 +110,7 @@ def build(spark, tables: list[str]) -> None:
                         F.col("doc_id") - F.lit(i * dom_base["docid"]),
                         normalize_text(F.col("text")),
                         salt=f"rep{i}",
+                        edits=EDITMODE,
                     ),
                 )
             reps.append(rep)
