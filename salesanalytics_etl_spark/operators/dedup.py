@@ -555,6 +555,7 @@ def minhash_near_dupes_portable(
     text_col: str = "text",
     threshold: float = 0.5,
     max_bucket: int = MAX_BUCKET,
+    recover_rounds: int = 0,
 ) -> DataFrame:
     """The full MinHash+LSH pipeline in ENGINE-PORTABLE form — every stage
     (shingle hash, xor-mask min-wise signatures, banding, the bucket-size
@@ -590,6 +591,7 @@ def minhash_near_dupes_portable(
         text_col,
         threshold,
         max_bucket,
+        recover_rounds,
     )
     hit = _PAIRS_MEMO.get(key)
     if hit is not None:
@@ -600,14 +602,14 @@ def minhash_near_dupes_portable(
     # pass in the same session reuse the SAME materialization instead of
     # re-running the signature scan (the most expensive stage)
     banded = _portable_banded_cached(df, text_col)
-    ok = (
-        banded.groupBy("band_id", "band_key")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .filter((F.col("m") >= 2) & (F.col("m") <= max_bucket))
-        .select("band_id", "band_key")
+    bsize = banded.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("m")
     )
+    ok = bsize.filter(
+        (F.col("m") >= 2) & (F.col("m") <= max_bucket)
+    ).select("band_id", "band_key")
     member = banded.join(ok, ["band_id", "band_key"], "left_semi")
-    cands = (
+    raw = (
         member.select("band_id", "band_key", F.col("doc_id").alias("doc_a"))
         .join(
             member.select(
@@ -617,9 +619,69 @@ def minhash_near_dupes_portable(
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
-        .persist()  # consumed by docs_in_pairs and the verify joins
     )
+    if recover_rounds > 0:
+        # portable twin of lsh_candidates' capped-bucket recovery: the
+        # salted sub-bucket id is the md5 24-bit hash of
+        # 'lshrec-{round}-{doc_id}' mod ceil(m/max_bucket), truncation
+        # via row_number — every piece ANSI-replayable, so the oracle
+        # rebuilds the recovered pair set bit-for-bit
+        over = bsize.filter(F.col("m") > max_bucket)
+        omember = banded.join(over, ["band_id", "band_key"])
+        sub = omember.select(
+            "band_id",
+            "band_key",
+            "doc_id",
+            "m",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(recover_rounds - 1))
+            ).alias("r"),
+        ).withColumn(
+            "g",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            F.lit("lshrec"),
+                            F.col("r").cast("string"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % F.expr(f"(m + {max_bucket} - 1) div {max_bucket}"),
+        )
+        rw = Window.partitionBy("band_id", "band_key", "r", "g").orderBy(
+            "doc_id"
+        )
+        submem = (
+            sub.withColumn("_rn", F.row_number().over(rw))
+            .filter(F.col("_rn") <= max_bucket)
+            .select("band_id", "band_key", "r", "g", "doc_id")
+        )
+        rraw = (
+            submem.select(
+                "band_id", "band_key", "r", "g",
+                F.col("doc_id").alias("doc_a"),
+            )
+            .join(
+                submem.select(
+                    "band_id", "band_key", "r", "g",
+                    F.col("doc_id").alias("doc_b"),
+                ),
+                ["band_id", "band_key", "r", "g"],
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        raw = raw.unionByName(rraw)
+    cands = raw.distinct().persist()
+    # consumed by docs_in_pairs and the verify joins
     cands.count()
     docs_in_pairs = (
         cands.select(F.col("doc_a").alias("doc_id"))

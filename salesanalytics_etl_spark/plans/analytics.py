@@ -3167,3 +3167,153 @@ def q195_editnoise_mixed_winnow(
 
     (documents,) = _t(spark, sf_dir, "documents")
     return editnoise_winnow_audit(documents, edits="mixed")
+
+
+@register(
+    "q196_sampled_neardup_recovery",
+    # q183's sampled portable MinHash+LSH replay with a DELIBERATELY
+    # small bucket cap (4) and the r14 capped-bucket recovery pass
+    # (recover_rounds=3) — at gate SF the 64-cap pipeline has almost no
+    # capped buckets, so this is the surface that VALUE-gates the
+    # recovery semantics themselves: salted md5 sub-bucket ids,
+    # row_number truncation, pair union — every stage replayed by the
+    # oracle bit-for-bit. Compare n_pairs against q183's row to see the
+    # cap bite and the recovery reclaim on the same sample.
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+      WHERE CAST(('0x' || substr(md5('sample-' || CAST(doc_id AS VARCHAR)),
+                                 1, 6)) AS INT) % 100 < 5
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 5)),
+                                  1, 15)) AS BIGINT) AS h
+      FROM docs, UNNEST(range(1, GREATEST(len(t) - 4, 1) + 1)) AS u(i)
+    ),
+    perms AS (
+      SELECT i, CAST(('0x' || substr(md5('perm-' || i), 1, 15)) AS BIGINT) AS a
+      FROM (SELECT unnest(range(0, 32)) AS i)
+    ),
+    sigvals AS (
+      SELECT s.doc_id, p.i, MIN(xor(s.h, p.a)) AS mh
+      FROM sh s CROSS JOIN perms p
+      GROUP BY s.doc_id, p.i
+    ),
+    banded AS (
+      SELECT doc_id, i // 5 AS band_id,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_key
+      FROM sigvals WHERE i < 30
+      GROUP BY doc_id, i // 5
+    ),
+    bsize AS (SELECT band_id, band_key, COUNT(*) AS m FROM banded GROUP BY 1, 2),
+    member AS (
+      SELECT b.doc_id, b.band_id, b.band_key
+      FROM banded b JOIN bsize s USING (band_id, band_key)
+      WHERE s.m BETWEEN 2 AND 4
+    ),
+    cand0 AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM member x JOIN member y USING (band_id, band_key)
+      WHERE x.doc_id < y.doc_id
+    ),
+    over_m AS (
+      SELECT b.doc_id, b.band_id, b.band_key, s.m
+      FROM banded b JOIN bsize s USING (band_id, band_key)
+      WHERE s.m > 4
+    ),
+    sub AS (
+      SELECT doc_id, band_id, band_key, r.r AS r,
+             CAST(('0x' || substr(md5('lshrec-' || CAST(r.r AS VARCHAR)
+                                      || '-' || CAST(doc_id AS VARCHAR)),
+                                  1, 6)) AS INT) % ((m + 3) // 4) AS g
+      FROM over_m, (SELECT unnest(range(0, 3)) AS r) r
+    ),
+    subrn AS (
+      SELECT *, row_number() OVER (PARTITION BY band_id, band_key, r, g
+                                   ORDER BY doc_id) AS rn
+      FROM sub
+    ),
+    submem AS (
+      SELECT band_id, band_key, r, g, doc_id FROM subrn WHERE rn <= 4
+    ),
+    rcand AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM submem x JOIN submem y USING (band_id, band_key, r, g)
+      WHERE x.doc_id < y.doc_id
+    ),
+    cand AS (SELECT * FROM cand0 UNION SELECT * FROM rcand),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    ovl AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS ov
+      FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT FLOOR(CAST(COALESCE(o.ov, 0) AS DOUBLE)
+                   / (sa.sz + sb.sz - COALESCE(o.ov, 0))
+                   * 10000.0 + 0.5) / 10000.0 AS jaccard
+      FROM cand c
+      LEFT JOIN ovl o USING (doc_a, doc_b)
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE COALESCE(o.ov, 0) * 10000
+            >= 5000 * (sa.sz + sb.sz - COALESCE(o.ov, 0))
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM docs) AS n_docs_sampled,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(CAST(ROUND(jaccard * 10000, 0) AS INT)), 0)
+                AS BIGINT) AS sum_jaccard_bp
+    FROM pairs
+    """,
+    doc="q183's sampled portable MinHash+LSH replay run with bucket cap "
+    "4 + recover_rounds=3 — the oracle-backed VALUE gate for the "
+    "capped-bucket recovery pass (salted md5 sub-buckets, row_number "
+    "truncation, recovered-pair union, exact verification). One fixed "
+    "summary row; diff n_pairs vs q183 to see cap bite and reclaim.",
+)
+def q196_sampled_neardup_recovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import (
+        minhash_near_dupes_portable,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sampled = documents.filter(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("sample-"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+        < 5
+    )
+    pairs = minhash_near_dupes_portable(
+        sampled, max_bucket=4, recover_rounds=3
+    )
+    summary = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.round(F.col("jaccard") * 10000, 0).cast("int")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("sum_jaccard_bp"),
+    )
+    n_docs = sampled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_sampled")
+    )
+    return n_docs.join(F.broadcast(summary), F.lit(True), "inner").select(
+        "n_docs_sampled", "n_pairs", "sum_jaccard_bp"
+    )

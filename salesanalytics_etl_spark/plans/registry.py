@@ -42,10 +42,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 # Round-14 rotation (driver records the FIRST 50 entries). Self-counting
 # arithmetic (the r10/r13 failure mode was headers contradicting it):
-# 3 new + 5 re-stamps + 42 roll-debt = 50. Priority order:
-# (0) the 3 queries NEW this round, ZERO driver records: q193/q194/q195
+# 4 new + 5 re-stamps + 41 roll-debt = 50. Priority order:
+# (0) the 4 queries NEW this round, ZERO driver records: q193/q194/q195
 #     — the mixed-edit (delete+replace+insert) twins of the edit-noise
-#     LSH / SimHash / winnowing audits.
+#     LSH / SimHash / winnowing audits — and q196, the sampled replay
+#     that VALUE-gates the capped-bucket recovery pass (cap 4, R=3).
 # (1) 5 code-changed re-stamps, ONE per code path changed this round
 #     (values re-gated green on current code; the stamp proves it):
 #     q186 + q189 (sub-gram-length sides now contribute EMPTY shingle
@@ -56,17 +57,17 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #     identical, plan changed), q52 (memo._canon_uri percent-decode +
 #     case-insensitive host — the invalidation hook under the merge
 #     path).
-# (2) 42 roll-debt rows, oldest records first:
+# (2) 41 roll-debt rows, oldest records first:
 #     - the 7 r9-era rows the r13 window displaced (q129, q131,
 #       q135-q139) — after this window stamps them, NO driver record is
 #       older than r10;
 #     - q75 (r12; the split-helper refactor re-stamp promised by r13);
 #     - the 8 memo-family rows r13 promised to this window (q25, q27,
 #       q34, q113, q116, q121, q172, q178);
-#     - 26 of the 45 remaining r10-era rows in query order (q15, q16,
+#     - 25 of the 45 remaining r10-era rows in query order (q15, q16,
 #       q19, q23, q31, q35, q36, q44, q45, q46, q48, q49, q57, q69,
-#       q72, q77, q84, q93, q98, q99, q102, q103, q104, q105, q110,
-#       q111). The 19 r10 rows after q111 (q114...q153) roll to r15.
+#       q72, q77, q84, q93, q98, q99, q102, q103, q104, q105, q110).
+#       The 20 r10 rows after q110 (q111...q153) roll to r15.
 # Every name here is also swept by tests/test_queries.py +
 # tests/strict_gate.py against the same oracles, so reordering changes
 # what the driver RECORDS, never what is verified.
@@ -75,13 +76,14 @@ _CHECK_FIRST = [
     "q193_editnoise_mixed_lsh",
     "q194_editnoise_mixed_simhash",
     "q195_editnoise_mixed_winnow",
+    "q196_sampled_neardup_recovery",
     # --- (1) code-changed re-stamps, one per changed code path ---
     "q186_editnoise_lsh_recall",
     "q187_editnoise_simhash",
     "q189_editnoise_winnow_fidelity",
     "q192_bloom_decontamination_audit",
     "q52_merge_upsert",
-    # --- (2) 42 roll-debt rows, oldest first (arithmetic above) ---
+    # --- (2) 41 roll-debt rows, oldest first (arithmetic above) ---
     "q129_segment_percentiles_distributed",
     "q131_orders_profile",
     "q135_event_transitions",
@@ -123,7 +125,6 @@ _CHECK_FIRST = [
     "q104_unigram_surprisal",
     "q105_cluster_representatives",
     "q110_hll_distinct_replay",
-    "q111_hdr_percentile_replay",
 ]
 
 
