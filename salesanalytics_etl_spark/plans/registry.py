@@ -156,6 +156,7 @@ MEMO_BACKED = frozenset(
         # (on its sampled frame), q188/q190 the _BRUTEFORCE_MEMO via the
         # q27 ground-truth frame
         "q183_sampled_neardup_replay",
+        "q196_sampled_neardup_recovery",
         "q188_int8_quantization_audit",
         "q190_int8_topk_recall",
     }
