@@ -169,7 +169,9 @@ def lsh_candidates(
     sub-bucket. Cost is linear in the dropped-member count — at most
     R·(max_bucket−1)/2 pairs per member, never the bucket's m(m−1)/2 —
     and a given dropped pair is recovered with probability
-    ≈ 1−(1−max_bucket/m)^R (0.85 for m=300, cap 64, R=8), highest
+    ≈ 1−(1−max_bucket/m)^(kR) where k is the number of bands whose
+    capped bucket holds the pair (the salt includes the band, so bands
+    are independent trials: 0.85 for m=300, cap 64, R=8, k=1), highest
     exactly where the drop hurt most (m just over the cap). R=0 (the
     default) is byte-identical to the pre-r14 drop behavior.
     """
@@ -224,13 +226,23 @@ def lsh_candidates(
                     F.sequence(F.lit(0), F.lit(recover_rounds - 1))
                 ).alias("r"),
             )
-            # salted sub-bucket id: a fresh partition of the bucket
-            # per round (xxhash64 — production hash family, like the
-            # band keys themselves)
+            # salted sub-bucket id: a fresh partition of the bucket per
+            # (band, round) — the BAND is in the salt so an entity
+            # oversized in several bands gets independent partitions in
+            # each (post-close review: a doc-only salt made all bands
+            # repeat the same partition — 6x duplicated pair work that
+            # distinct() discarded, zero extra recall). xxhash64 — the
+            # production hash family, like the band keys themselves.
             .withColumn(
                 "g",
                 F.pmod(
-                    F.xxhash64(F.lit("lshrec"), F.col("r"), F.col("doc_id")),
+                    F.xxhash64(
+                        F.lit("lshrec"),
+                        F.col("band_id"),
+                        F.col("band_hash"),
+                        F.col("r"),
+                        F.col("doc_id"),
+                    ),
                     F.col("g_n"),
                 ),
             )
@@ -623,9 +635,11 @@ def minhash_near_dupes_portable(
     if recover_rounds > 0:
         # portable twin of lsh_candidates' capped-bucket recovery: the
         # salted sub-bucket id is the md5 24-bit hash of
-        # 'lshrec-{round}-{doc_id}' mod ceil(m/max_bucket), truncation
-        # via row_number — every piece ANSI-replayable, so the oracle
-        # rebuilds the recovered pair set bit-for-bit
+        # 'lshrec-{band_id}-{band_key}-{round}-{doc_id}' mod
+        # ceil(m/max_bucket) (band in the salt — bands are independent
+        # recovery trials), truncation via row_number — every piece
+        # ANSI-replayable, so the oracle rebuilds the recovered pair
+        # set bit-for-bit
         over = bsize.filter(F.col("m") > max_bucket)
         omember = banded.join(over, ["band_id", "band_key"])
         sub = omember.select(
@@ -644,6 +658,8 @@ def minhash_near_dupes_portable(
                         F.concat_ws(
                             "-",
                             F.lit("lshrec"),
+                            F.col("band_id").cast("string"),
+                            F.col("band_key"),
                             F.col("r").cast("string"),
                             F.col("doc_id").cast("string"),
                         )

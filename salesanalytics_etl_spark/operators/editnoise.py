@@ -97,10 +97,12 @@ def perturbed_text(
     shingles, so the measured S-curve had never seen shingle-adding
     edits).
 
-    Both modes are one higher-order-function projection (interpreted
-    per element) rather than explode+string_agg: the lambda costs one
-    md5 per token — the same work the explode path would do — but
-    stays inside one projection, with no shuffle and no re-grouping.
+    Both modes are higher-order-function projections (interpreted per
+    element) rather than explode+string_agg: ~one md5 per token (mixed
+    mode stages the action tag into a struct so CaseWhen branches don't
+    re-evaluate it; the synthetic-token md5 is lazy, ~2/(3*drop_mod) of
+    tokens) — the same work the explode path would do — with no shuffle
+    and no re-grouping.
     Parameterized by ``salt`` so the scale probe can mint DISTINCT
     variants per replica (each replica a different small edit of the
     same base doc — the realistic near-dup clique regime).
@@ -122,23 +124,45 @@ def perturbed_text(
     if edits != "mixed":
         raise ValueError(f"unknown edits mode {edits!r}")
 
-    def frag(tok: Column, i: Column) -> Column:
-        a = _md5_int(_tag(i)) % (3 * drop_mod)
+    # stage 1 computes the action tag ONCE per token into a struct
+    # field: HOF lambdas are interpreted with no common-subexpression
+    # elimination, so CaseWhen predicates over a bare `a` expression
+    # would re-evaluate the md5 subtree per branch (~3x on the keep
+    # path — post-close review). The synthetic-token md5 stays inside
+    # the case branches, where laziness means only ~2/(3*drop_mod) of
+    # tokens pay it — net ~1.07 md5 per token at the default rate.
+    staged = F.transform(
+        F.split(norm_text, " "),
+        lambda tok, i: F.struct(
+            (_md5_int(_tag(i)) % (3 * drop_mod)).alias("a"),
+            tok.alias("tok"),
+            (i + F.lit(1)).cast("string").alias("pos"),
+        ),
+    )
+
+    def frag(s: Column) -> Column:
         new = F.substring(
-            F.md5(F.concat(F.lit("ins-"), _tag(i))), 1, 8
+            F.md5(
+                F.concat(
+                    F.lit(f"ins-{salt}-"),
+                    doc_id.cast("string"),
+                    F.lit("-"),
+                    s["pos"],
+                )
+            ),
+            1,
+            8,
         )
         return (
-            F.when(a == 0, F.lit(None).cast("string"))
-            .when(a == 1, new)
-            .when(a == 2, F.concat(tok, F.lit(" "), new))
-            .otherwise(tok)
+            F.when(s["a"] == 0, F.lit(None).cast("string"))
+            .when(s["a"] == 1, new)
+            .when(s["a"] == 2, F.concat(s["tok"], F.lit(" "), new))
+            .otherwise(s["tok"])
         )
 
     # array_join drops NULL elements (the deletions) when no
     # null-replacement is given — one projection, no explode
-    return F.array_join(
-        F.transform(F.split(norm_text, " "), frag), " "
-    )
+    return F.array_join(F.transform(staged, frag), " ")
 
 
 def editnoise_pairs(
@@ -236,9 +260,11 @@ def editnoise_lsh_audit(
     # a side shorter than the gram size contributes an EMPTY shingle set
     # (it has no signature in the production pipeline either) — the
     # pre-r14 greatest(...,1) bound emitted one truncated phantom gram
-    # for such sides, skewing tiny-doc pairs (r13 ADVICE). A pair whose
-    # ORIGINAL has no k-gram drops out of the audit entirely; a pair
-    # whose VARIANT is sub-gram-length lands in decile 0 with est 0.
+    # for such sides, skewing tiny-doc pairs (r13 ADVICE). A pair where
+    # NEITHER side has a k-gram drops out of the audit; a pair with one
+    # sub-gram side lands in decile 0 with est 0 (in mixed mode an
+    # insert/replace can give the VARIANT grams a tiny original lacks,
+    # so either side can be the empty one).
     ex = (
         _sided(pairs)
         .filter(F.length("txt") >= SHINGLE_K)

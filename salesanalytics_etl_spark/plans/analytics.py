@@ -3225,7 +3225,9 @@ def q195_editnoise_mixed_winnow(
     ),
     sub AS (
       SELECT doc_id, band_id, band_key, r.r AS r,
-             CAST(('0x' || substr(md5('lshrec-' || CAST(r.r AS VARCHAR)
+             CAST(('0x' || substr(md5('lshrec-' || CAST(band_id AS VARCHAR)
+                                      || '-' || band_key
+                                      || '-' || CAST(r.r AS VARCHAR)
                                       || '-' || CAST(doc_id AS VARCHAR)),
                                   1, 6)) AS INT) % ((m + 3) // 4) AS g
       FROM over_m, (SELECT unnest(range(0, 3)) AS r) r

@@ -55,6 +55,10 @@ class RollupMaintenanceSink:
         self.log_dir = log_dir
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # a restarted stream must restore a crash-stranded .old BEFORE
+        # its first write can recreate a bare log_dir (else the next
+        # full repair would see live+old and delete the history)
+        _restore_live(self.log_dir)
         (
             batch_partials(batch)
             .withColumn("batch_id", F.lit(int(batch_id)))
@@ -74,29 +78,46 @@ class RollupMaintenanceSink:
         )
 
 
-def _repair_swap(log_dir: str) -> None:
-    """Repair a compaction swap interrupted by a crash (r13 verdict item
-    6 — the kill-between-renames window, same discipline as the upsert
-    vacuum's unconditional swap-old repair):
+def _restore_live(log_dir: str) -> None:
+    """The correctness-bearing half of crash repair: if the live log is
+    MISSING and ``.old`` exists, the compaction swap crashed between its
+    two renames and ``.old`` IS the pre-compaction log — restore it.
 
-    - log missing + ``.old`` present → the crash hit BETWEEN the two
-      renames; restore ``.old`` to live (it IS the pre-compaction log).
+    This (and only this) runs on every read and on every micro-batch
+    write: it mutates nothing during normal operation (live present →
+    no-op), so a dashboard read can never corrupt an in-flight
+    compaction, and a restarted stream restores history BEFORE its
+    first batch write can recreate a bare ``log_dir`` (which would
+    otherwise strand batches 0..N in ``.old`` for the next full repair
+    to delete).
+    """
+    old = log_dir.rstrip("/") + ".old"
+    if not os.path.isdir(log_dir) and os.path.isdir(old):
+        os.rename(old, log_dir)
+
+
+def _repair_swap(log_dir: str) -> None:
+    """Full repair for a compaction swap interrupted by a crash (r13
+    verdict item 6 — the kill-between-renames window, same discipline
+    as the upsert vacuum's unconditional swap-old repair):
+
+    - log missing + ``.old`` present → restore (see _restore_live).
     - log present + ``.old`` present → the crash hit before the final
       delete; the swap completed, drop the leftover.
-    - stale ``.compact`` staging is removed either way (the next
-      compaction rewrites it with mode=overwrite, but a reader listing
-      the parent must never mistake it for live state).
+    - stale ``.compact`` staging is removed either way.
 
-    Called by BOTH compact_log and current_rollup, so a dashboard read
-    directly after a crash sees the data, not an empty log.
+    The leftover-deletion half runs ONLY from compact_log (the
+    single-compactor path — the availableNow trigger model this module
+    documents): a concurrent read must never rmtree a ``.compact`` the
+    live compactor is about to rename, so the read path uses
+    :func:`_restore_live` alone.
     """
     import shutil
 
+    _restore_live(log_dir)
     old = log_dir.rstrip("/") + ".old"
     tmp = log_dir.rstrip("/") + ".compact"
-    if not os.path.isdir(log_dir) and os.path.isdir(old):
-        os.rename(old, log_dir)
-    elif os.path.isdir(log_dir) and os.path.isdir(old):
+    if os.path.isdir(log_dir) and os.path.isdir(old):
         shutil.rmtree(old)
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
@@ -105,7 +126,7 @@ def _repair_swap(log_dir: str) -> None:
 def current_rollup(spark: SparkSession, log_dir: str) -> DataFrame:
     """The maintained rollup: final fold over the partial log. Matches
     events.py:hourly_event_rollup on the same data, bit-for-bit."""
-    _repair_swap(log_dir)
+    _restore_live(log_dir)  # read path: restore-only, never delete
     has_data = os.path.isdir(log_dir) and any(
         f.endswith(".parquet")
         for _, _, files in os.walk(log_dir)

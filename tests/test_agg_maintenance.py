@@ -211,11 +211,14 @@ def test_compaction_crash_between_renames_recovers(
     # crash state: live log GONE, .old + .compact stranded
     assert not os.path.exists(log_dir)
     assert os.path.exists(log_dir + ".old")
-    # the READ path repairs and still serves the exact rollup
+    # the READ path restores the live log and serves the exact rollup;
+    # it is restore-ONLY (never deletes), so .compact survives until
+    # the single-compactor path clears it
     assert _rollup_map(current_rollup(spark, log_dir)) == want
     assert os.path.exists(log_dir) and not os.path.exists(log_dir + ".old")
-    assert not os.path.exists(log_dir + ".compact")
-    # the next compaction completes the fold: batch -1 + newest only
+    assert os.path.exists(log_dir + ".compact")
+    # the next compaction clears leftovers and completes the fold:
+    # batch -1 + newest only
     M.compact_log(spark, log_dir)
     assert _rollup_map(current_rollup(spark, log_dir)) == want
     got_ids = sorted(
@@ -263,7 +266,62 @@ def test_compaction_crash_before_old_delete_recovers(
             M.compact_log(spark, log_dir)
     finally:
         monkeypatch.undo()
-    # swap completed; .old stranded
+    # swap completed; .old stranded. The READ path serves the correct
+    # rollup but does NOT delete the leftover (restore-only — a reader
+    # must never race a live compactor's files); compact_log clears it
     assert os.path.exists(log_dir) and os.path.exists(log_dir + ".old")
     assert _rollup_map(current_rollup(spark, log_dir)) == want
+    assert os.path.exists(log_dir + ".old")
+    M.compact_log(spark, log_dir)
     assert not os.path.exists(log_dir + ".old")
+
+
+def test_stream_restart_after_mid_swap_crash_preserves_history(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The post-close review's data-loss window: compaction crashes
+    between its two renames (live gone, history stranded in .old), then
+    the STREAM restarts and writes a new micro-batch before any
+    read/compact runs. The sink must restore .old first — otherwise its
+    write recreates a bare log_dir holding only the new batch and the
+    next repair deletes batches 0..N with it."""
+    import os
+
+    import pytest
+
+    import salesanalytics_etl_spark.streaming.agg_maintenance as M
+
+    log_dir = str(tmp_path / "restart_log")
+    sink = M.RollupMaintenanceSink(spark, log_dir)
+    events = load_driver_tables(spark, sf_dir, ["events"])["events"]
+    for bid in range(3):
+        sink.process_batch(events.limit(300 + 100 * bid), batch_id=bid)
+
+    real_rename = os.rename
+
+    def crash_after_first_rename(src, dst):
+        real_rename(src, dst)
+        if src.rstrip("/") == log_dir.rstrip("/"):
+            raise OSError("injected crash between the swap's renames")
+
+    monkeypatch.setattr(M.os, "rename", crash_after_first_rename)
+    with pytest.raises(OSError, match="injected crash"):
+        M.compact_log(spark, log_dir)
+    monkeypatch.setattr(M.os, "rename", real_rename)
+    assert not os.path.exists(log_dir) and os.path.exists(log_dir + ".old")
+
+    # restart: the next micro-batch arrives BEFORE any read or compact
+    sink.process_batch(events.limit(700), batch_id=3)
+    got = spark.read.parquet(log_dir)
+    ids = sorted(r[0] for r in got.select("batch_id").distinct().collect())
+    assert ids == [0, 1, 2, 3], ids  # history restored, not replaced
+    # and the subsequent full repair + fold keeps all of it
+    M.compact_log(spark, log_dir)
+    want_ids = sorted(
+        r[0]
+        for r in spark.read.parquet(log_dir)
+        .select("batch_id")
+        .distinct()
+        .collect()
+    )
+    assert want_ids == [-1, 3]

@@ -394,11 +394,11 @@ def test_capped_bucket_recovery_rounds(spark):
     assert len(rows8) == len({(r.doc_a, r.doc_b) for r in rows8})
     c1, c8 = got1.count(), len(rows8)
     assert 0 < c1 < c8 <= len(all_pairs)
-    # R=8, cap/m = 4/24: expected pair coverage 1-(1-1/6)^8 ~ 0.77 per
-    # band; 6 independent?-ish bands share the same sub-salt per round
-    # (same doc ids, same hash) so coverage ~ the single-band number.
-    # Loose bound only: materially above the R=1 fraction.
-    assert c8 / len(all_pairs) > 0.4, (c8, len(all_pairs))
+    # R=8, cap/m = 4/24 -> 1-(1-1/6)^8 ~ 0.77 per band, and the salt
+    # includes band_id so the 6 bands are INDEPENDENT trials (the
+    # post-close review fix): combined ~ 1-(1-1/6)^48 ~ 1.0 minus
+    # truncation losses. Loose bound, resilient to truncation:
+    assert c8 / len(all_pairs) > 0.8, (c8, len(all_pairs))
 
 
 def test_recovery_rounds_do_not_touch_small_buckets(spark):
