@@ -59,6 +59,14 @@ DROP_MOD = 10
 # OVERALL edit rate matches drop-only (~10%) while replace/insert ADD
 # shingles the original never had — the regime the r13 S-curve could
 # not measure (deletions only ever REMOVE shingles).
+# reorder mode: the doc is cut into N_SEGMENTS equal token runs and the
+# runs are permuted by md5('ro-'||doc_id||'-seg-'||seg) — section
+# reordering, the remaining realistic near-dup regime (r14 verdict
+# item 5): the token MULTISET is untouched (SimHash is provably
+# invariant), the char-5-gram shingle set changes only at segment
+# boundaries (LSH sees a high-J pair for long docs, a scrambled one
+# for short docs), and winnowing windows move wholesale.
+N_SEGMENTS = 8
 # audit a deterministic 1/SAMPLE_MOD of docs (salt 'editsample-',
 # independent of the q51 split hash and q183's 'sample-' salt): the
 # audit is linear, but its oracle twin re-derives 64 min-aggregates
@@ -97,7 +105,15 @@ def perturbed_text(
     shingles, so the measured S-curve had never seen shingle-adding
     edits).
 
-    Both modes are higher-order-function projections (interpreted per
+    ``edits='reorder'``: no token is added or dropped — the doc's
+    :data:`N_SEGMENTS` equal token runs are permuted by
+    ``md5(salt||'-'||doc_id||'-seg-'||s)`` (tokens within a run keep
+    original order). Section reordering is the remaining realistic
+    near-dup regime: the token multiset is invariant (SimHash provably
+    unchanged) while char-shingle sets change only at run boundaries
+    and winnowing windows move wholesale.
+
+    All modes are higher-order-function projections (interpreted per
     element) rather than explode+string_agg: ~one md5 per token (mixed
     mode stages the action tag into a struct so CaseWhen branches don't
     re-evaluate it; the synthetic-token md5 is lazy, ~2/(3*drop_mod) of
@@ -121,6 +137,47 @@ def perturbed_text(
             _md5_int(_tag(i)) % drop_mod != 0
         )
         return F.array_join(F.filter(F.split(norm_text, " "), keep), " ")
+    if edits == "reorder":
+        # segment permutation: token at 0-based index i of an n-token
+        # doc belongs to segment (i*N_SEGMENTS) div n; segments are
+        # permuted by the 60-bit md5 of 'salt-doc-seg-s' (the portable
+        # hash family), tokens within a segment keep original order.
+        # array_sort over (segkey, i, tok) structs — one projection,
+        # no shuffle, no explode; the DuckDB twin is
+        # string_agg(tok ORDER BY segkey, i). No token is added or
+        # dropped, so the token multiset (and SimHash) is invariant.
+        toks = F.split(norm_text, " ")
+        n = F.size(toks)
+        staged = F.transform(
+            toks,
+            lambda tok, i: F.struct(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{salt}-"),
+                                doc_id.cast("string"),
+                                F.lit("-seg-"),
+                                ((i * N_SEGMENTS) / n)
+                                .cast("int")
+                                .cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("segkey"),
+                i.alias("i"),
+                tok.alias("tok"),
+            ),
+        )
+        return F.array_join(
+            F.transform(F.array_sort(staged), lambda s: s["tok"]), " "
+        )
     if edits != "mixed":
         raise ValueError(f"unknown edits mode {edits!r}")
 
@@ -174,7 +231,9 @@ def editnoise_pairs(
 ) -> DataFrame:
     """(doc_id, t, v): normalized text and its deterministic edit-noise
     variant (token-drop by default; ``edits='mixed'`` adds replace and
-    insert edits under salt ``'mix'`` — see :func:`perturbed_text`).
+    insert edits under salt ``'mix'``; ``edits='reorder'`` permutes
+    :data:`N_SEGMENTS` token runs under salt ``'ro'`` — see
+    :func:`perturbed_text`).
 
     ``t`` is the fingerprint-canonical form (:func:`normalize_text` —
     lowercase, whitespace collapsed), so ``split(t, ' ')`` yields the
@@ -195,7 +254,7 @@ def editnoise_pairs(
             % sample_mod
             == 0
         )
-    salt = "edit" if edits == "drop" else "mix"
+    salt = {"drop": "edit", "mixed": "mix", "reorder": "ro"}[edits]
     return spread_partitions(base).select(
         "doc_id",
         "t",

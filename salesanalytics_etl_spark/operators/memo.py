@@ -89,8 +89,17 @@ def _canon_uri(uri: str) -> tuple[str, str, str]:
         # port (and any userinfo) verbatim, so hdfs://NN:8020 == hdfs://nn:8020
         if netloc:
             userinfo, _, hostport = netloc.rpartition("@")
-            host, colon, port = hostport.partition(":")
-            netloc = (userinfo + "@" if userinfo else "") + host.lower() + colon + port
+            if hostport.startswith("["):
+                # bracketed IPv6 literal: the host runs to the closing
+                # ']'; partition(':') would stop at the first colon
+                # INSIDE the address and leave most of it un-folded
+                # (r14 ADVICE)
+                end = hostport.find("]") + 1 or len(hostport)
+                host, rest = hostport[:end], hostport[end:]
+            else:
+                host, colon, port = hostport.partition(":")
+                rest = colon + port
+            netloc = (userinfo + "@" if userinfo else "") + host.lower() + rest
         # Hadoop's inputFiles() percent-encodes paths (space -> %20) while
         # mutator-supplied paths are raw; decode so both forms match
         path = posixpath.normpath("/" + unquote(p.path).lstrip("/"))

@@ -2365,36 +2365,66 @@ def _editnoise_base_sql(edits: str = "drop") -> str:
     all-tokens-dropped edge via LEFT JOIN + COALESCE). ``edits='mixed'``
     mirrors perturbed_text's mixed mode: md5 tag (salt 'mix') % 30 picks
     0 delete / 1 replace / 2 insert-after / else keep, with the synthetic
-    token = substr(md5('ins-mix-'||doc_id||'-'||i), 1, 8)."""
-    head = r"""
+    token = substr(md5('ins-mix-'||doc_id||'-'||i), 1, 8).
+
+    Every modulus and salt is f-string-derived from the SAME module
+    constants the Spark side reads (DROP_MOD/SAMPLE_MOD — r14 ADVICE):
+    a caller registering a non-default rate cannot silently diverge
+    from its oracle."""
+    from salesanalytics_etl_spark.operators.editnoise import (
+        DROP_MOD,
+        N_SEGMENTS,
+        SAMPLE_MOD,
+    )
+
+    head = rf"""
     WITH base AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
       FROM documents
       WHERE CAST(('0x' || substr(md5('editsample-' || CAST(doc_id AS VARCHAR)),
-                                 1, 6)) AS INT) % 4 = 0
+                                 1, 6)) AS INT) % {SAMPLE_MOD} = 0
     ),
     w AS (SELECT doc_id, t, string_split(t, ' ') AS wl FROM base),"""
     if edits == "drop":
-        mid = r"""
+        mid = rf"""
     kept AS (
       SELECT doc_id, i, wl[CAST(i AS INTEGER)] AS tok
       FROM w, UNNEST(range(1, len(wl) + 1)) AS u(i)
       WHERE CAST(('0x' || substr(md5('edit-' || CAST(doc_id AS VARCHAR)
                                  || '-' || CAST(i AS VARCHAR)),
-                                 1, 6)) AS INT) % 10 != 0
+                                 1, 6)) AS INT) % {DROP_MOD} != 0
     ),
     vtab AS (
       SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS v
       FROM kept GROUP BY doc_id
     ),"""
+    elif edits == "reorder":
+        # segment permutation: token i (1-based) belongs to segment
+        # ((i-1)*N_SEGMENTS) // n; segments are reordered by the md5 of
+        # 'ro-'||doc_id||'-seg-'||seg (60-bit prefix, the portable hash
+        # family), tokens within a segment keep original order — exactly
+        # perturbed_text's array_sort((segkey, i, tok)) projection
+        mid = rf"""
+    kept AS (
+      SELECT doc_id, i, wl[CAST(i AS INTEGER)] AS tok,
+             CAST(('0x' || substr(md5('ro-' || CAST(doc_id AS VARCHAR)
+                   || '-seg-'
+                   || CAST(((i - 1) * {N_SEGMENTS}) // len(wl) AS VARCHAR)),
+                   1, 15)) AS BIGINT) AS segkey
+      FROM w, UNNEST(range(1, len(wl) + 1)) AS u(i)
+    ),
+    vtab AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY segkey, i) AS v
+      FROM kept GROUP BY doc_id
+    ),"""
     else:
         assert edits == "mixed", edits
-        mid = r"""
+        mid = rf"""
     kept AS (
       SELECT doc_id, i,
              CASE CAST(('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)
                                        || '-' || CAST(i AS VARCHAR)),
-                                       1, 6)) AS INT) % 30
+                                       1, 6)) AS INT) % {3 * DROP_MOD}
                WHEN 0 THEN NULL
                WHEN 1 THEN substr(md5('ins-mix-' || CAST(doc_id AS VARCHAR)
                                       || '-' || CAST(i AS VARCHAR)), 1, 8)
@@ -3319,3 +3349,79 @@ def q196_sampled_neardup_recovery(
     return n_docs.join(F.broadcast(summary), F.lit(True), "inner").select(
         "n_docs_sampled", "n_pairs", "sum_jaccard_bp"
     )
+
+
+# ---------------------------------------------------------------------------
+# Reorder twins of the edit-noise audits (q197-q199) — r14 handoff: drop
+# and mixed edits change the token multiset, so no probe had measured
+# SECTION REORDERING, the remaining realistic near-dup regime (crawl
+# re-renders, template reshuffles). perturbed_text(edits='reorder')
+# permutes the doc's 8 equal token runs by md5 ('ro' salt): the token
+# multiset is untouched (SimHash is provably invariant — q198 MEASURES
+# that), char-5-gram shingle sets change only at run boundaries (long
+# docs stay high-J, short docs scramble — q197's S-curve has mass at
+# both ends), and winnowing windows move wholesale (q199). Same sampled
+# docs ('editsample-' salt), same rollups — per-decile numbers are
+# directly comparable against q186/q187/q189 and q193/q194/q195.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q197_editnoise_reorder_lsh",
+    oracle=_editnoise_lsh_oracle(edits="reorder"),
+    doc="q186's LSH recall audit under SEGMENT REORDERING (8 md5-"
+    "permuted token runs, salt 'ro', no token added or dropped): per "
+    "exact-Jaccard decile, band-collision recall and MinHash estimate "
+    "vs exact 5-gram Jaccard, where only run-boundary shingles differ. "
+    "Linear doc-keyed shape, <=10 output rows.",
+)
+def q197_editnoise_reorder_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.editnoise import (
+        editnoise_lsh_audit,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return editnoise_lsh_audit(documents, edits="reorder")
+
+
+@register(
+    "q198_editnoise_reorder_simhash",
+    oracle=_editnoise_simhash_oracle(edits="reorder"),
+    doc="q187's SimHash audit under segment reordering. Bag-of-tokens "
+    "SimHash is invariant under any permutation BY CONSTRUCTION, so "
+    "the expected output is a single hamming=0 row with every pair a "
+    "chunk hit — this query MEASURES that invariance (and would catch "
+    "any accidental order-dependence in the signature path).",
+)
+def q198_editnoise_reorder_simhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.editnoise import (
+        editnoise_simhash_audit,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return editnoise_simhash_audit(documents, edits="reorder")
+
+
+@register(
+    "q199_editnoise_reorder_winnow",
+    oracle=_editnoise_winnow_oracle(edits="reorder"),
+    doc="q189's winnowing-fidelity audit under segment reordering: "
+    "winnowing samples window minima from the POSITIONAL 8-gram "
+    "stream, so permuting runs moves windows across run boundaries — "
+    "does the ~2/(w+1) fingerprint sample still track exact Jaccard "
+    "when similarity loss is concentrated at 7 seams instead of "
+    "spread uniformly? <=10 output rows.",
+)
+def q199_editnoise_reorder_winnow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.editnoise import (
+        editnoise_winnow_audit,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return editnoise_winnow_audit(documents, edits="reorder")

@@ -93,7 +93,15 @@ def _restore_live(log_dir: str) -> None:
     """
     old = log_dir.rstrip("/") + ".old"
     if not os.path.isdir(log_dir) and os.path.isdir(old):
-        os.rename(old, log_dir)
+        try:
+            os.rename(old, log_dir)
+        except OSError:
+            # two readers (or a reader and a restarting stream) can both
+            # pass the isdir checks in the crash-recovery window; the
+            # rename loser must treat "another repairer won" as success
+            # (r14 ADVICE) — only re-raise if the log is STILL missing
+            if not os.path.isdir(log_dir):
+                raise
 
 
 def _repair_swap(log_dir: str) -> None:

@@ -285,3 +285,68 @@ def test_subgram_sides_empty_sets(spark):
     ).collect()
     assert len(wres) == 1 and wres[0].j_decile == 0
     assert wres[0].n_pairs == 1 and wres[0].sum_winnow_bp == 0
+
+
+def test_reorder_variant_matches_python(spark):
+    """Reorder-mode variant equals a pure-Python rederivation under salt
+    'ro' (segment of 0-based token i in an n-token doc =
+    (i*8) div n; segments sorted by 60-bit md5 of
+    'ro-doc-seg-s', stable within a segment) — the property the
+    q197-q199 oracle twins rely on."""
+    from salesanalytics_etl_spark.operators.editnoise import N_SEGMENTS
+
+    rows = (
+        editnoise_pairs(_docs(spark), sample_mod=None, edits="reorder")
+        .orderBy("doc_id")
+        .limit(20)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        toks = r.t.split(" ")
+        n = len(toks)
+
+        def segkey(i: int) -> int:
+            seg = (i * N_SEGMENTS) // n
+            return int(
+                hashlib.md5(
+                    f"ro-{r.doc_id}-seg-{seg}".encode()
+                ).hexdigest()[:15],
+                16,
+            )
+
+        order = sorted(range(n), key=lambda i: (segkey(i), i))
+        assert r.v == " ".join(toks[i] for i in order), r.doc_id
+
+
+def test_reorder_preserves_token_multiset(spark):
+    """No token is added or dropped: sorted token lists of t and v are
+    identical for every pair — the invariance q198 measures (SimHash
+    over token sets cannot distinguish t from v)."""
+    pairs = editnoise_pairs(_docs(spark), sample_mod=None, edits="reorder")
+    diff = pairs.filter(
+        F.array_sort(F.split("t", " ")) != F.array_sort(F.split("v", " "))
+    ).count()
+    assert diff == 0
+
+
+def test_reorder_actually_reorders(spark):
+    """With 8 md5-permuted segments, identity permutations are rare
+    (~1/8! per doc): most docs at sf0.001 must differ from their
+    variant as STRINGS while agreeing as multisets."""
+    pairs = editnoise_pairs(_docs(spark), sample_mod=None, edits="reorder")
+    total = pairs.count()
+    changed = pairs.filter(F.col("t") != F.col("v")).count()
+    assert total > 0
+    assert changed / total > 0.9, (changed, total)
+
+
+def test_reorder_simhash_audit_all_hamming_zero(spark):
+    """The audit MEASURES the invariance: every pair lands at hamming=0
+    with a chunk hit."""
+    out = editnoise_simhash_audit(
+        _docs(spark), edits="reorder"
+    ).collect()
+    assert len(out) == 1, out
+    assert out[0].hamming == 0
+    assert out[0].n_chunk_hit == out[0].n_pairs

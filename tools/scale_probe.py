@@ -38,12 +38,15 @@ FACTOR = int(os.environ.get("SPARK_GRAFT_PROBE_FACTOR", "10"))
 EDITNOISE = os.environ.get("SPARK_GRAFT_PROBE_EDITNOISE", "") == "1"
 # EDITMODE=mixed makes each replica a delete+replace+insert variant
 # (operators/editnoise.py mixed mode) instead of drop-only — the
-# shingle-ADDING clique regime for the r14 recall probes
+# shingle-ADDING clique regime for the r14 recall probes;
+# EDITMODE=reorder permutes 8 token runs per replica (r15 — the
+# token-multiset-preserving regime)
 EDITMODE = os.environ.get("SPARK_GRAFT_PROBE_EDITMODE", "drop")
+_MODE_SUFFIX = {"drop": "en", "mixed": "enm", "reorder": "enr"}
 PROBE = os.environ.get(
     "SPARK_GRAFT_PROBE_DIR",
     f"/tmp/probe{FACTOR}x"
-    + (("enm" if EDITMODE == "mixed" else "en") if EDITNOISE else ""),
+    + (_MODE_SUFFIX.get(EDITMODE, "en") if EDITNOISE else ""),
 )
 
 # per-table key columns to shift; (col, parent_table, parent_key) for FKs
