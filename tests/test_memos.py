@@ -308,6 +308,19 @@ def test_canon_uri_matches_uri_and_bare_forms():
         "hdfs://nn:8020/tbl")
     # bare path never collides with a scheme'd one
     assert _canon_uri("s3a://bucket/tbl") != _canon_uri("/bucket/tbl")
+    # URI hosts are case-insensitive — including bracketed IPv6
+    # literals, whose colons defeated the old partition(':') fold
+    # (r14 ADVICE): upper/lower forms of one address must match, the
+    # port must stay verbatim, and userinfo must survive untouched
+    assert _canon_uri("hdfs://NN:8020/t") == _canon_uri("hdfs://nn:8020/t")
+    assert _canon_uri("hdfs://[2001:DB8::1]:8020/t") == _canon_uri(
+        "hdfs://[2001:db8::1]:8020/t")
+    assert _canon_uri("hdfs://[2001:DB8::1]:8020/t") == (
+        "hdfs", "[2001:db8::1]:8020", "/t")
+    assert _canon_uri("hdfs://[2001:DB8::1]/t") == (
+        "hdfs", "[2001:db8::1]", "/t")
+    assert _canon_uri("s3a://User@[2001:DB8::2]:9000/t") == (
+        "s3a", "User@[2001:db8::2]:9000", "/t")
 
 
 def test_invalidate_memos_for_uri_path():

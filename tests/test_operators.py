@@ -805,3 +805,46 @@ def test_vacuum_stale_staging(tmp_path):
     assert not os.path.exists(staging)
     # idempotent
     assert vacuum_stale_staging(path, min_age_seconds=3600) is False
+
+
+def test_bloom_decontaminate_sizing_monotonicity(spark):
+    """The r14 sizing rule's mechanism, pinned at unit grain: the Bloom
+    monitor never false-negatives at ANY m (bloom flags ⊇ exact flags),
+    and a saturated tiny filter (m=64: every bit set by k=7 hashes of
+    ~dozens of grams) flags everything while a right-sized one (m=2^16)
+    flags only real contamination — FP monotone non-increasing in m.
+    q192/q200 VALUE-gate the same operator at 2^20/2^22 vs DuckDB."""
+    from pyspark.sql import functions as F
+
+    from salesanalytics_etl_spark.operators.sketches import (
+        bloom_decontaminate_audit,
+    )
+
+    rows = []
+    for d in range(8):
+        # 20 distinct tokens per doc -> 8 13-grams; doc 0 is the
+        # benchmark; docs 1-3 share its text (contaminated), 4-7 clean
+        base = d if d >= 4 or d == 0 else 0
+        rows.append(
+            (d, " ".join(f"tok{base}x{j}" for j in range(20)))
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") == 0)
+    corpus = docs.filter(F.col("doc_id") != 0)
+
+    tiny = bloom_decontaminate_audit(
+        corpus, bench, m_bits=64
+    ).collect()[0]
+    sized = bloom_decontaminate_audit(
+        corpus, bench, m_bits=1 << 16
+    ).collect()[0]
+    for r in (tiny, sized):
+        assert r.n_flagged_exact == 3  # docs 1-3
+        assert r.n_flagged_bloom >= r.n_flagged_exact  # no false negative
+    # deterministic md5 values, rederived in pure Python: the m=64
+    # filter sets 36/64 bits (load 0.562) and exactly ONE of the 4
+    # clean docs has a gram whose 7 positions are all set; at m=2^16
+    # the 56 positions never align (load 0.001, 0 FPs)
+    assert tiny.n_false_pos_docs == 1, tiny
+    assert sized.n_false_pos_docs == 0, sized
+    assert sized.n_false_pos_docs <= tiny.n_false_pos_docs

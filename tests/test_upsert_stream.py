@@ -318,3 +318,93 @@ def test_stream_crash_after_sink_commit_replays_and_converges(
     q2 = sink2.attach(stream2, checkpoint=ckpt)
     q2.awaitTermination(120)
     assert {r.k: r.v for r in sink2.current().collect()} == dict(rows)
+
+
+def test_partitioned_sink_crash_around_stage_and_swap_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """Restart parity for the partitioned CDC sink (r14 verdict item 6
+    sweep): both halves of the stage-and-swap window, crashed and then
+    replayed (foreachBatch redelivery after a checkpoint that never
+    committed). (a) Crash BETWEEN the staging write and the dynamic
+    partition overwrite: the table is untouched and the staging leftover
+    must neither be read as table state nor block the replay (its
+    overwrite-mode write clears it). (b) Crash AFTER the overwrite,
+    BEFORE the staging rmtree: the table already holds the batch; the
+    replay must be absorbed idempotently and the leftover cleared."""
+    import os
+    import shutil as real_shutil
+
+    import pytest
+
+    from salesanalytics_etl_spark.operators import upsert as U
+    from salesanalytics_etl_spark.streaming.upsert_stream import (
+        PartitionedParquetUpsertSink,
+    )
+
+    path = str(tmp_path / "part_crash_t")
+    staging = path + ".__swap_staging__"
+    sink = PartitionedParquetUpsertSink(
+        spark, path, keys=["k"], partition_by=["dt"]
+    )
+    seed = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d2", "b")], ["k", "dt", "v"]
+    )
+    sink.process_batch(seed, 0)
+
+    # --- (a) crash between staging write and partition overwrite ------
+    real_sas = U._stage_and_swap
+
+    def crash_after_staging(spark_, df, path_, partition_by_, read_schema):
+        stg = path_.rstrip("/") + ".__swap_staging__"
+        df.write.mode("overwrite").partitionBy(*partition_by_).parquet(stg)
+        raise OSError("injected crash before the partition overwrite")
+
+    monkeypatch.setattr(U, "_stage_and_swap", crash_after_staging)
+    batch = spark.createDataFrame(
+        [(1, "d1", "a2"), (3, "d1", "c")], ["k", "dt", "v"]
+    )
+    with pytest.raises(OSError, match="injected crash"):
+        sink.process_batch(batch, 1)
+    monkeypatch.setattr(U, "_stage_and_swap", real_sas)
+    # crash state: staging stranded, table untouched, reads unaffected
+    assert os.path.isdir(staging)
+    assert {r.k: r.v for r in sink.current().collect()} == {
+        1: "a", 2: "b",
+    }
+
+    # replay of the same batch converges and clears the leftover
+    sink.process_batch(batch, 1)
+    assert {r.k: r.v for r in sink.current().collect()} == {
+        1: "a2", 2: "b", 3: "c",
+    }
+    assert not os.path.exists(staging)
+
+    # --- (b) crash after the overwrite, before the staging rmtree -----
+    armed = {"on": True}
+
+    def flaky_rmtree(p, *a, **k):
+        if armed["on"] and str(p).rstrip("/") == staging.rstrip("/"):
+            armed["on"] = False
+            raise OSError("injected crash before the staging rmtree")
+        return real_shutil.rmtree(p, *a, **k)
+
+    monkeypatch.setattr("shutil.rmtree", flaky_rmtree)
+    batch2 = spark.createDataFrame([(4, "d2", "d")], ["k", "dt", "v"])
+    try:
+        with pytest.raises(OSError, match="injected crash"):
+            sink.process_batch(batch2, 2)
+    finally:
+        monkeypatch.undo()
+    # crash state: batch LANDED, staging stranded beside a healthy table
+    assert os.path.isdir(staging)
+    assert {r.k: r.v for r in sink.current().collect()} == {
+        1: "a2", 2: "b", 3: "c", 4: "d",
+    }
+
+    # redelivered batch is absorbed idempotently; leftover cleared
+    sink.process_batch(batch2, 2)
+    assert {r.k: r.v for r in sink.current().collect()} == {
+        1: "a2", 2: "b", 3: "c", 4: "d",
+    }
+    assert not os.path.exists(staging)

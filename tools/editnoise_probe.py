@@ -25,8 +25,10 @@ Usage:
     SPARK_GRAFT_PROBE_EDITNOISE=1 SPARK_GRAFT_PROBE_FACTOR=30 \
         python tools/editnoise_probe.py [--no-build] [--recover R]
 
-``--recover R`` measures the r14 capped-bucket recovery knob
-(minhash_near_dupes recover_rounds=R) on the same GT;
+``--recover R[,R2,...]`` measures the r14 capped-bucket recovery knob
+(minhash_near_dupes recover_rounds=R) on the same GT — a comma list
+sweeps the knee in ONE warm session (GT computed once, wall deltas =
+marginal recovery cost);
 ``SPARK_GRAFT_PROBE_EDITMODE=mixed`` builds the replica cliques with
 delete+replace+insert edits (the shingle-adding regime). Results are
 recorded in SCALE.md (Round-13 for the drop-only baseline, Round-14
@@ -118,51 +120,75 @@ def main() -> None:
     n_gt = gt.count()
 
     # --- 2. production pipeline ---------------------------------------
-    recover = (
-        int(sys.argv[sys.argv.index("--recover") + 1])
+    # --recover accepts a comma-separated list (r15: knee measurement —
+    # GT is computed ONCE and every R runs in the same warm session, so
+    # the wall-time deltas between R values are the marginal recovery
+    # cost, not JVM/load noise)
+    recovers = (
+        [
+            int(x)
+            for x in sys.argv[sys.argv.index("--recover") + 1].split(",")
+        ]
         if "--recover" in sys.argv
-        else 0
+        else [0]
     )
-    t0 = time.perf_counter()
-    found = minhash_near_dupes(  # already a localCheckpoint
-        docs, recover_rounds=recover
-    )
-    n_found = found.count()
-    dt = time.perf_counter() - t0
-    print(
-        f"pipeline (recover_rounds={recover}): {n_found} pairs "
-        f"in {dt:.1f}s; GT clique pairs: {n_gt}"
-    )
-
     target = gt.filter(F.col("j_bp") >= 5000).persist()
-    hit = target.join(found, ["doc_a", "doc_b"], "left_semi")
+    target.count()
     band = F.expr("least(j_bp, 9999) div 500 * 500").alias("band")
     gt_by = target.select(band).groupBy("band").agg(
         F.count("*").alias("n_gt")
     )
-    hit_by = hit.select(band).groupBy("band").agg(
-        F.count("*").alias("n_hit")
-    )
-    recall = (
-        gt_by.join(hit_by, "band", "left")
-        .select("band", "n_gt", F.coalesce("n_hit", F.lit(0)).alias("n_hit"))
-        .orderBy("band")
-        .collect()
-    )
-    tot_gt = tot_hit = 0
-    for r in recall:
-        s_curve = 1 - (1 - (r.band / 10000 + 0.025) ** 5) ** 6
-        print(
-            f"  J[{r.band/10000:.2f},{r.band/10000+0.05:.2f}): "
-            f"GT {r.n_gt:>7} hit {r.n_hit:>7} "
-            f"recall {r.n_hit/r.n_gt:6.3f}  (analytic {s_curve:.3f})"
+    knee: list[tuple[int, int, float, float]] = []
+    for recover in recovers:
+        t0 = time.perf_counter()
+        found = minhash_near_dupes(  # already a localCheckpoint
+            docs, recover_rounds=recover
         )
-        tot_gt += r.n_gt
-        tot_hit += r.n_hit
-    print(f"overall clique recall (J>=0.5): {tot_hit}/{tot_gt}"
-          f" = {tot_hit/max(tot_gt,1):.3f}")
-    cross = found.join(gt, ["doc_a", "doc_b"], "left_anti").count()
-    print(f"pairs outside cliques (organic near-dups): {cross}")
+        n_found = found.count()
+        dt = time.perf_counter() - t0
+        print(
+            f"pipeline (recover_rounds={recover}): {n_found} pairs "
+            f"in {dt:.1f}s; GT clique pairs: {n_gt}"
+        )
+
+        hit = target.join(found, ["doc_a", "doc_b"], "left_semi")
+        hit_by = hit.select(band).groupBy("band").agg(
+            F.count("*").alias("n_hit")
+        )
+        recall = (
+            gt_by.join(hit_by, "band", "left")
+            .select(
+                "band", "n_gt", F.coalesce("n_hit", F.lit(0)).alias("n_hit")
+            )
+            .orderBy("band")
+            .collect()
+        )
+        tot_gt = tot_hit = 0
+        for r in recall:
+            s_curve = 1 - (1 - (r.band / 10000 + 0.025) ** 5) ** 6
+            print(
+                f"  J[{r.band/10000:.2f},{r.band/10000+0.05:.2f}): "
+                f"GT {r.n_gt:>7} hit {r.n_hit:>7} "
+                f"recall {r.n_hit/r.n_gt:6.3f}  (analytic {s_curve:.3f})"
+            )
+            tot_gt += r.n_gt
+            tot_hit += r.n_hit
+        print(
+            f"overall clique recall (J>=0.5, R={recover}): "
+            f"{tot_hit}/{tot_gt} = {tot_hit/max(tot_gt,1):.3f}"
+        )
+        cross = found.join(gt, ["doc_a", "doc_b"], "left_anti").count()
+        print(f"pairs outside cliques (organic near-dups): {cross}")
+        knee.append((recover, tot_hit, tot_hit / max(tot_gt, 1), dt))
+    if len(knee) > 1:
+        print("knee summary (R, hits, recall, wall_s, d_hits/d_s vs prev):")
+        for i, (rr, th, rc, dt) in enumerate(knee):
+            marg = ""
+            if i > 0:
+                dh = th - knee[i - 1][1]
+                ds = dt - knee[i - 1][3]
+                marg = f"  marginal {dh} hits / {ds:+.1f}s"
+            print(f"  R={rr:>2}: hits {th} recall {rc:.3f} wall {dt:.1f}s{marg}")
     target.unpersist()
 
     # --- 3. bucket shape under the realistic regime -------------------

@@ -20,6 +20,10 @@ Usage:
     SPARK_GRAFT_PROBE_FACTOR=30 python tools/samplerate_probe.py [--no-build]
     # add SPARK_GRAFT_PROBE_EDITNOISE=1 to probe the realistic-content
     # corpus (distinct variants, growing shingle domain)
+    # --flip builds/uses the FLIPPABLE-decile corpus at /tmp/probe_flip
+    # (base36 unique pads sized per doc_id%10 — r15 verdict item 2: the
+    # template testdata has no df=1 mass, so every doc sat at decile 10
+    # and the off-diagonal axis was structurally dead)
 """
 
 from __future__ import annotations
@@ -36,6 +40,85 @@ if _REPO not in sys.path:
 from tools import scale_probe  # noqa: E402  (reads env at import)
 
 
+def _build_flip_corpus(spark, out_dir: str, factor: int):
+    """Corpus with FLIPPABLE deciles (r14 handoff → r15 verdict item 2).
+
+    The template-generated testdata has no df=1 shingle mass — every doc
+    sits at exact decile 10, so q182's off-diagonal axis was
+    structurally dead and the mod-16 recommendation rested on the unseen
+    column alone. This corpus appends to each doc a UNIQUE pad sized so
+    the doc's common-shingle fraction lands at ~(10 - doc_id%10)/10:
+    exact deciles spread over 1..10 and sampling CAN misestimate them.
+
+    Pad alphabet is base36 (``conv(md5-hex, 16, 36)`` — 36^5 ≈ 60M
+    5-gram space), per the handoff: hex-only pads collide at 5-gram
+    grain and stay df>=2. Pads key on the SHIFTED doc_id, so replicas of
+    one base doc share their template text (df stays high there) but
+    never a pad gram by construction intent (rare base36 birthday
+    collisions only blur a doc's fraction, they cannot collapse the
+    spread)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from salesanalytics_etl_spark.operators.text import normalize_text
+
+    base = spark.read.parquet(f"{scale_probe.BASE}/documents.parquet")
+    hi = base.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = []
+    for i in range(factor):
+        reps.append(
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(i * hi))
+        )
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    # u = unique-gram target fraction in {0.0 .. 0.9}; pad chars =
+    # len(t) * u / (1 - u) (10-char base36 tokens, one md5 each)
+    padded = (
+        big.withColumn("t", normalize_text(F.col("text")))
+        .withColumn("u10", F.col("doc_id") % 10)
+        .withColumn(
+            "n_tok",
+            F.expr("int(ceil(length(t) * u10 / (10.0 - u10) / 11.0))"),
+        )
+        .withColumn(
+            "pad",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tok")),
+                    lambda j: F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("flip-"),
+                                    F.col("doc_id").cast("string"),
+                                    F.lit("-"),
+                                    j.cast("string"),
+                                )
+                            ),
+                            1,
+                            13,
+                        ),
+                        16,
+                        36,
+                    ),
+                ),
+                " ",
+            ),
+        )
+        .withColumn(
+            "text",
+            F.when(F.col("n_tok") <= 0, F.col("t")).otherwise(
+                F.concat(F.col("t"), F.lit(" "), F.col("pad"))
+            ),
+        )
+        .select(*big.columns)
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    padded.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -47,9 +130,14 @@ def main() -> None:
     from salesanalytics_etl_spark.session import get_spark
 
     spark = get_spark(app_name="samplerate_probe")
-    probe_dir = scale_probe.PROBE
-    if "--no-build" not in sys.argv:
-        scale_probe.build(spark, ["documents"])
+    if "--flip" in sys.argv:
+        probe_dir = "/tmp/probe_flip"
+        if "--no-build" not in sys.argv:
+            _build_flip_corpus(spark, probe_dir, scale_probe.FACTOR)
+    else:
+        probe_dir = scale_probe.PROBE
+        if "--no-build" not in sys.argv:
+            scale_probe.build(spark, ["documents"])
     docs = spark.read.parquet(f"{probe_dir}/documents.parquet")
     n_docs = docs.count()
     print(f"probe corpus: {n_docs} docs ({scale_probe.FACTOR}x)")
@@ -78,6 +166,16 @@ def main() -> None:
     )
     n_exact = exact_doc.count()
     print(f"exact frame: {n_exact} docs with >=1 shingle")
+    hist = (
+        exact_doc.groupBy("exact_decile")
+        .count()
+        .orderBy("exact_decile")
+        .collect()
+    )
+    print(
+        "exact-decile histogram: "
+        + " ".join(f"{r.exact_decile}:{r['count']}" for r in hist)
+    )
 
     for mod in (8, 16, 32):
         t0 = time.perf_counter()
