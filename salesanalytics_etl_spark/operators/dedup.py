@@ -355,6 +355,21 @@ def minhash_near_dupes(
     :func:`lsh_candidates`) — the recall-critical configuration for
     corpora where the q116 audit shows material ``dropped_pairs`` volume
     in buckets the cap can't simply be raised over.
+
+    **Default-selection rule (r15 knee, measured at 30× on the drop AND
+    mixed edit-noise corpora — SCALE.md Round-15 §1):** keep ``R=0``
+    while q116's ``dropped_pairs`` is under ~5% of the emitted pair
+    count — recovery can only reclaim capped-bucket pairs, so below
+    that the ceiling is under a recall point. Above it use **R=4**:
+    the reclaim-vs-R curve halves each doubling (R=2 captures ~60% of
+    the total reclaimable mass, R=4 ~81-83%, R=8 ~94%, R=16 ~97% on
+    BOTH corpora), while the marginal wall cost is bounded by the r14
+    clean interleaved measurement at ~20-30% of pipeline wall for R=8
+    (~3.1k reclaimed pairs/s there; the r15 same-session sweep puts
+    R≤4 inside run-to-run noise). Past R=8 a doubling buys <0.5 recall
+    points — spend the budget on a larger ``max_bucket`` instead if the
+    q116 audit shows few very-large buckets rather than many slightly
+    -over-cap ones.
     """
     if min_agree is None:
         min_agree = max(1, int(N_HASHES * (threshold - 0.125)))

@@ -3036,16 +3036,12 @@ def q191_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q192_bloom_decontamination_audit",
-    # The sketch/exact/audit triple applied to decontamination: the
-    # Bloom monitor's doc flags AND its measured false-positive count
-    # are hash-checked (both engines rebuild the identical 2^20-bit
-    # filter from md5-derived positions). Gram strings are q70's exact
-    # 13-token grams; each gram hashes ONCE to a 60-bit long, the 7
-    # bit positions derive from that long (cheap re-hash of a short
-    # digit string, not of the 80-char gram, 7x).
-    oracle=r"""
+def _bloom_decon_oracle(m_bits: int = 1 << 20, k_hashes: int = 7) -> str:
+    """DuckDB twin of operators/sketches.py:bloom_decontaminate_audit on
+    the q192 doc_id%50 benchmark/corpus split, f-string-parameterized by
+    the SAME m_bits/k the Spark call passes (the r14-ADVICE constants
+    discipline): the q200 resized row cannot drift from its oracle."""
+    return rf"""
     WITH toks AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g')),
@@ -3062,25 +3058,25 @@ def q191_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus AS (
       SELECT DISTINCT doc_id, h FROM grams WHERE doc_id % 50 <> 0
     ),
-    ks AS (SELECT unnest(range(0, 7)) AS i),
+    ks AS (SELECT unnest(range(0, {k_hashes})) AS i),
     fbits AS (
       SELECT DISTINCT
         CAST(('0x' || substr(md5(concat_ws('-', 'bloomd',
                CAST(i AS VARCHAR), CAST(h AS VARCHAR))), 1, 15))
-             AS BIGINT) % 1048576 AS pos
+             AS BIGINT) % {m_bits} AS pos
       FROM bench, ks
     ),
     ppos AS (
       SELECT doc_id, h,
         CAST(('0x' || substr(md5(concat_ws('-', 'bloomd',
                CAST(i AS VARCHAR), CAST(h AS VARCHAR))), 1, 15))
-             AS BIGINT) % 1048576 AS pos
+             AS BIGINT) % {m_bits} AS pos
       FROM corpus, ks
     ),
     bhit AS (
       SELECT DISTINCT doc_id FROM (
         SELECT doc_id, h FROM ppos JOIN fbits USING (pos)
-        GROUP BY doc_id, h HAVING COUNT(*) = 7
+        GROUP BY doc_id, h HAVING COUNT(*) = {k_hashes}
       )
     ),
     ehit AS (SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (h)),
@@ -3110,7 +3106,19 @@ def q191_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                      // (2 * (n_corpus_docs - n_flagged_exact)) END
                 AS BIGINT) AS fp_doc_bp
     FROM agg
-    """,
+    """
+
+
+@register(
+    "q192_bloom_decontamination_audit",
+    # The sketch/exact/audit triple applied to decontamination: the
+    # Bloom monitor's doc flags AND its measured false-positive count
+    # are hash-checked (both engines rebuild the identical 2^20-bit
+    # filter from md5-derived positions). Gram strings are q70's exact
+    # 13-token grams; each gram hashes ONCE to a 60-bit long, the 7
+    # bit positions derive from that long (cheap re-hash of a short
+    # digit string, not of the 80-char gram, 7x).
+    oracle=_bloom_decon_oracle(m_bits=1 << 20),
     doc="monitor-cadence decontamination: engine-portable Bloom filter "
     "(2^20 bits, k=7, md5-derived positions) over the benchmark's "
     "13-token-gram hashes, FP-audited in-band against q70's exact "
@@ -3425,3 +3433,27 @@ def q199_editnoise_reorder_winnow(
 
     (documents,) = _t(spark, sf_dir, "documents")
     return editnoise_winnow_audit(documents, edits="reorder")
+
+
+@register(
+    "q200_bloom_sized_audit",
+    oracle=_bloom_decon_oracle(m_bits=1 << 22),
+    doc="q192's Bloom decontamination audit resized to m=2^22 bits "
+    "(k=7) — the oracle-backed VALUE gate for the r14 sizing rule "
+    "('keep filter load <~0.15'): the 30x mixed-edit corpus drives the "
+    "2^20 filter to load 0.44 with ~19k FP docs, and this surface "
+    "pins the resized filter's flags + FP count bit-for-bit on both "
+    "engines (the packed-word bitset broadcast is 4x larger, ~512 KiB "
+    "— still trivially broadcast-safe). Same doc_id%50 split as q192, "
+    "1 fixed output row; tools/bloom_probe.py --m-bits carries the "
+    "same configuration to probe volume.",
+)
+def q200_bloom_sized_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.sketches import (
+        bloom_decontaminate_audit,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    bench = documents.filter(F.col("doc_id") % 50 == 0)
+    corpus = documents.filter(F.col("doc_id") % 50 != 0)
+    return bloom_decontaminate_audit(corpus, bench, m_bits=1 << 22)

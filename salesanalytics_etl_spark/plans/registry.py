@@ -40,91 +40,86 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-# Round-14 rotation (driver records the FIRST 50 entries). Self-counting
+# Round-15 rotation (driver records the FIRST 50 entries). Self-counting
 # arithmetic (the r10/r13 failure mode was headers contradicting it):
-# 4 new + 5 re-stamps + 41 roll-debt = 50. Priority order:
-# (0) the 4 queries NEW this round, ZERO driver records: q193/q194/q195
-#     — the mixed-edit (delete+replace+insert) twins of the edit-noise
-#     LSH / SimHash / winnowing audits — and q196, the sampled replay
-#     that VALUE-gates the capped-bucket recovery pass (cap 4, R=3).
-# (1) 5 code-changed re-stamps, ONE per code path changed this round
-#     (values re-gated green on current code; the stamp proves it):
-#     q186 + q189 (sub-gram-length sides now contribute EMPTY shingle
-#     sets instead of a phantom truncated gram — r13 ADVICE; engine-
-#     consistent fix applied to operator AND oracle), q187 (rides the
-#     same editnoise_pairs path), q192 (the Bloom filter now broadcasts
-#     a packed 64-bit-word bitset instead of per-position rows — values
-#     identical, plan changed), q52 (memo._canon_uri percent-decode +
-#     case-insensitive host — the invalidation hook under the merge
-#     path).
-# (2) 41 roll-debt rows, oldest records first:
-#     - the 7 r9-era rows the r13 window displaced (q129, q131,
-#       q135-q139) — after this window stamps them, NO driver record is
-#       older than r10;
-#     - q75 (r12; the split-helper refactor re-stamp promised by r13);
-#     - the 8 memo-family rows r13 promised to this window (q25, q27,
-#       q34, q113, q116, q121, q172, q178);
-#     - 25 of the 45 remaining r10-era rows in query order (q15, q16,
-#       q19, q23, q31, q35, q36, q44, q45, q46, q48, q49, q57, q69,
-#       q72, q77, q84, q93, q98, q99, q102, q103, q104, q105, q110).
-#       The 20 r10 rows after q110 (q111...q153) roll to r15.
+# 4 new + 2 re-stamps + 44 roll-debt = 50. Priority order:
+# (0) the 4 queries NEW this round, ZERO driver records: q197/q198/q199
+#     — the segment-REORDER twins of the edit-noise LSH / SimHash /
+#     winnowing audits (token multiset preserved; SimHash provably
+#     invariant, q198 measures it) — and q200, the m=2^22 resized Bloom
+#     decontamination audit that VALUE-gates the r14 sizing rule.
+# (1) 2 code-changed re-stamps, ONE per code path changed this round:
+#     q186 (editnoise_pairs' salt dispatch became a 3-mode map when
+#     reorder landed — rides the shared drop path; oracles regenerate
+#     byte-identical from module constants, proven by diff), q52
+#     (memo._canon_uri now case-folds bracketed IPv6 hosts — the
+#     invalidation hook under the merge path; r14 ADVICE).
+# (2) 44 roll-debt rows, oldest records first:
+#     - ALL 20 remaining r10-era rows (q111, q114, q115, q117, q119,
+#       q120, q134, q140-q148, q150-q153 — the r14 handoff list);
+#       after this window stamps them, NO driver record is older
+#       than r11;
+#     - the 24 oldest r11-era rows in query order (q01-q04, q100,
+#       q107, q108, q123, q124, q149, q154-q167). The 18 r11 rows
+#       after q167 (q168, q169, q171, q50, q64, q67, q73, q74, q82,
+#       q85, q87, q88, q89, q91, q92, q95, q96, q97) roll to r16.
 # Every name here is also swept by tests/test_queries.py +
 # tests/strict_gate.py against the same oracles, so reordering changes
 # what the driver RECORDS, never what is verified.
 _CHECK_FIRST = [
     # --- (0) new this round, never recorded ---
-    "q193_editnoise_mixed_lsh",
-    "q194_editnoise_mixed_simhash",
-    "q195_editnoise_mixed_winnow",
-    "q196_sampled_neardup_recovery",
+    "q197_editnoise_reorder_lsh",
+    "q198_editnoise_reorder_simhash",
+    "q199_editnoise_reorder_winnow",
+    "q200_bloom_sized_audit",
     # --- (1) code-changed re-stamps, one per changed code path ---
     "q186_editnoise_lsh_recall",
-    "q187_editnoise_simhash",
-    "q189_editnoise_winnow_fidelity",
-    "q192_bloom_decontamination_audit",
     "q52_merge_upsert",
-    # --- (2) 41 roll-debt rows, oldest first (arithmetic above) ---
-    "q129_segment_percentiles_distributed",
-    "q131_orders_profile",
-    "q135_event_transitions",
-    "q136_retention_cohorts",
-    "q137_order_value_histogram",
-    "q138_benford_digit_audit",
-    "q139_winsorized_order_stats",
-    "q75_curation_pipeline",
-    "q25_minhash_neardup",
-    "q27_ann_cosine_topk",
-    "q34_ann_cosine_ivf",
-    "q113_cell_stats_replay",
-    "q116_lsh_bucket_audit",
-    "q121_ann_recall_audit",
-    "q172_source_minhash_jaccard",
-    "q178_split_neardup_leakage",
-    "q15_dedupe_keep_last",
-    "q16_fk_violations",
-    "q19_top_parts_per_type",
-    "q23_docs_quality",
-    "q31_media_features",
-    "q35_sales_rollup",
-    "q36_status_pivot",
-    "q44_docs_rolling_fingerprint",
-    "q45_media_resize",
-    "q46_media_frame_sample",
-    "q48_pricing_summary",
-    "q49_dedup_clusters",
-    "q57_ngram_jaccard_pairs",
-    "q69_repetition_filter",
-    "q72_language_rebalance",
-    "q77_label_centroids",
-    "q84_split_leakage_check",
-    "q93_customer_rfm",
-    "q98_supplier_type_share",
-    "q99_priority_sla",
-    "q102_exact_jaccard_join",
-    "q103_duplicate_spans",
-    "q104_unigram_surprisal",
-    "q105_cluster_representatives",
-    "q110_hll_distinct_replay",
+    # --- (2) 44 roll-debt rows, oldest first (arithmetic above) ---
+    "q111_hdr_percentile_replay",
+    "q114_bloom_membership_audit",
+    "q115_compressibility_replay",
+    "q117_quality_threshold_calibration",
+    "q119_bigram_surprisal",
+    "q120_source_kl_divergence",
+    "q134_pruned_snapshot_diff",
+    "q140_segment_regression",
+    "q141_sales_ewma",
+    "q142_pareto_parts",
+    "q143_weekday_seasonality",
+    "q144_purchase_gap_histogram",
+    "q145_active_users_sliding",
+    "q146_weighted_price_percentiles",
+    "q147_customer_gini",
+    "q148_sales_cusum",
+    "q150_truncation_audit",
+    "q151_supplier_hhi",
+    "q152_decile_lift",
+    "q153_seasonal_backtest",
+    "q01_table_counts",
+    "q02_orders_sample_topk",
+    "q03_sales_by_day",
+    "q04_sales_by_month",
+    "q100_etl_dataflow",
+    "q107_hopping_window",
+    "q108_identifier_linkage",
+    "q123_typo_linkage_degree",
+    "q124_join_key_skew",
+    "q149_categorical_entropy",
+    "q154_time_to_conversion",
+    "q155_new_vs_returning",
+    "q156_theil_sen_trend",
+    "q157_sales_autocorrelation",
+    "q158_zipf_slope",
+    "q159_soft_fd_audit",
+    "q160_digit_uniformity_chi2",
+    "q161_cross_source_dup_matrix",
+    "q162_centroid_distance_matrix",
+    "q163_trigram_diversity",
+    "q164_price_elasticity",
+    "q165_purchase_hazard",
+    "q166_cluster_size_histogram",
+    "q167_orphan_rate_trend",
 ]
 
 

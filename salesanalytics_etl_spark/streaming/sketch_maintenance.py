@@ -62,19 +62,28 @@ def run_signature_maintenance_to_memory(
     docs_dir: str,
     table: str,
     max_files_per_trigger: int = 1,
+    checkpoint: str | None = None,
 ):
     """Drain the backlog (availableNow) into an in-memory table holding
     the CURRENT signatures (complete mode re-emits the |sources|-row
-    state each batch — bounded, so complete is cheap here)."""
+    state each batch — bounded, so complete is cheap here).
+
+    ``checkpoint`` makes the maintenance RESTARTABLE: a re-run with the
+    same location restores the signature state from the state store and
+    reads only files the source has not yet committed — the restart
+    semantics ``tests/test_sketch_stream.py`` pins (without it, Spark
+    mints a temp checkpoint and every run refolds the whole backlog)."""
     stream = read_documents_stream(spark, docs_dir, max_files_per_trigger)
-    return (
+    writer = (
         maintain_source_signatures(stream)
         .writeStream.format("memory")
         .queryName(table)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
 
 
 def current_estimates(spark: SparkSession, table: str) -> DataFrame:

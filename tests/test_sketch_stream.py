@@ -63,3 +63,58 @@ def test_streamed_signatures_equal_batch(spark, sf_dir, docs_stream_dir):
         )
     )
     assert est_stream == est_batch
+
+
+def test_restarted_maintenance_resumes_from_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """Restart parity (r14 verdict item 6 sweep): a maintenance query
+    killed after N batches and RESTARTED from the same checkpoint must
+    restore the signature state from the state store, fold only the NEW
+    files, and emit signatures bit-identical to a batch run over the
+    union — the exactness claim survives a process restart, not just a
+    single uninterrupted run."""
+    src = str(tmp_path / "docs_restart")
+    ckpt = str(tmp_path / "sig_ckpt")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half_a = docs.filter("doc_id % 2 = 0")
+    half_b = docs.filter("doc_id % 2 = 1")
+    half_a.repartition(2).write.mode("overwrite").parquet(src)
+
+    # phase 1: two micro-batches over half the corpus, then the query
+    # terminates (availableNow) — the state store holds the partial fold
+    q1 = run_signature_maintenance_to_memory(
+        spark, src, "sig_restart_a", max_files_per_trigger=1, checkpoint=ckpt
+    )
+    q1.awaitTermination(120)
+    got_a = {
+        r["source"]: tuple(r[f"mh{i}"] for i in range(32))
+        for r in spark.table("sig_restart_a").collect()
+    }
+    want_a = {
+        r["source"]: tuple(r[f"mh{i}"] for i in range(32))
+        for r in source_minhash_signatures(half_a).collect()
+    }
+    assert got_a == want_a
+
+    # the other half arrives while the query is DOWN
+    half_b.repartition(2).write.mode("append").parquet(src)
+
+    # phase 2: restart from the SAME checkpoint — only the new files are
+    # read (the source's commit log), the restored mins keep folding
+    q2 = run_signature_maintenance_to_memory(
+        spark, src, "sig_restart_b", max_files_per_trigger=1, checkpoint=ckpt
+    )
+    q2.awaitTermination(120)
+    assert q2.lastProgress is not None
+    got = {
+        r["source"]: tuple(r[f"mh{i}"] for i in range(32))
+        for r in spark.table("sig_restart_b").collect()
+    }
+    want = {
+        r["source"]: tuple(r[f"mh{i}"] for i in range(32))
+        for r in source_minhash_signatures(
+            spark.read.parquet(src)
+        ).collect()
+    }
+    assert got == want  # bit-identical to batch over the UNION
