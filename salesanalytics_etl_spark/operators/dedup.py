@@ -1091,6 +1091,7 @@ def simhash_near_dupes(
     max_bucket: int = MAX_BUCKET,
     token_hash: Callable[[Column], Column] | None = None,
     candidate_budget: int | None = None,
+    recover_rounds: int = 0,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -1110,6 +1111,22 @@ def simhash_near_dupes(
     the candidate pairs FROM THE BUCKET SIZES — Σ m·(m−1)/2, exact
     integers, no pair expansion (the q116 audit trick) — and raises
     loudly when exceeded instead of grinding through the pair join.
+
+    ``recover_rounds > 0``: the SimHash twin of
+    :func:`lsh_candidates`' capped-bucket recovery (r15 — the reorder
+    probe showed the CAP, not Hamming, limits this path's recall when
+    permutation-invariant signatures collapse the chunk buckets: recall
+    0.028 at J≥0.95 on the 30× reorder corpus, SCALE.md Round-15 §2).
+    Each of the R rounds hashes every over-cap bucket's members into
+    ceil(m/max_bucket) salted sub-buckets of ≤ cap and pairs only
+    within — ≤ R·(max_bucket−1)/2 pairs per dropped member, never the
+    bucket's m(m−1)/2; the exact Hamming check still verifies every
+    recovered pair. Unlike the LSH path's xxhash64 salt, the sub-bucket
+    id here derives from md5 of 'simrec-chunk_id-chunk_val-r-doc_id'
+    (24-bit prefix) so that with ``token_hash=md5_token_hash`` the
+    ENTIRE pipeline — signatures, chunks, recovery partitions — is
+    engine-portable and the production function value-gates directly
+    against DuckDB (q201). R=0 is byte-identical to the drop behavior.
     """
     sigs = simhash_signatures(df, text_col, token_hash=token_hash)
     chunks = sigs.select(
@@ -1155,18 +1172,85 @@ def simhash_near_dupes(
                 "candidate_budget to proceed anyway, or restore a finite "
                 "max_bucket (recall < 1) for this corpus."
             )
-    pairs = (
-        buckets.select(F.explode("members").alias("a"), "members")
-        .select("a", F.explode("members").alias("b"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+    def _expand(bkts: DataFrame) -> DataFrame:
+        return (
+            bkts.select(F.explode("members").alias("a"), "members")
+            .select("a", F.explode("members").alias("b"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"),
+            )
         )
-        .distinct()
-    )
+
+    pairs = _expand(buckets)
+    if recover_rounds > 0:
+        # members of over-cap chunk buckets with true size m — separate
+        # (chunk, value)-keyed pass so the R=0 plan is untouched
+        sized = chunks.withColumn(
+            "m",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("chunk_id", "chunk_val")
+            ),
+        ).filter(F.col("m") > max_bucket)
+        sub = sized.select(
+            "chunk_id",
+            "chunk_val",
+            "doc_id",
+            "simhash",
+            F.expr(f"(m + {max_bucket} - 1) div {max_bucket}").alias(
+                "g_n"
+            ),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(recover_rounds - 1))
+            ).alias("r"),
+        ).withColumn(
+            # md5-salted sub-bucket id (portable — see docstring); the
+            # CHUNK is in the salt so a doc oversized in several chunks
+            # gets an independent partition in each
+            "g",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "-",
+                                F.lit("simrec"),
+                                F.col("chunk_id").cast("string"),
+                                F.col("chunk_val").cast("string"),
+                                F.col("r").cast("string"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        6,
+                    ),
+                    16,
+                    10,
+                ).cast("int"),
+                F.col("g_n"),
+            ),
+        )
+        rw = Window.partitionBy("chunk_id", "chunk_val", "r", "g").orderBy(
+            "doc_id"
+        )
+        rbuckets = (
+            sub.withColumn("_rn", F.row_number().over(rw))
+            # truncate (don't drop): hash variance can overshoot the
+            # ~cap-sized target; the bound must hold regardless
+            .filter(F.col("_rn") <= max_bucket)
+            .groupBy("chunk_id", "chunk_val", "r", "g")
+            .agg(
+                F.collect_list(F.struct("doc_id", "simhash")).alias(
+                    "members"
+                )
+            )
+            .filter(F.size("members") > 1)
+        )
+        pairs = pairs.unionByName(_expand(rbuckets))
+    pairs = pairs.distinct()
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     out = pairs.select("doc_a", "doc_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming

@@ -3457,3 +3457,165 @@ def q200_bloom_sized_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = documents.filter(F.col("doc_id") % 50 == 0)
     corpus = documents.filter(F.col("doc_id") % 50 != 0)
     return bloom_decontaminate_audit(corpus, bench, m_bits=1 << 22)
+
+
+def _simhash_recovery_oracle(
+    cap: int = 4, rounds: int = 3, max_hamming: int = 3, sample_pct: int = 5
+) -> str:
+    """DuckDB twin of the PRODUCTION ``simhash_near_dupes`` run with
+    ``token_hash=md5_token_hash`` + a deliberately small bucket cap +
+    the r15 capped-bucket recovery pass: portable 63-bit signatures
+    (q26's proven construction), 4×16-bit chunk buckets, cap drop,
+    md5-salted sub-buckets of ≤ cap with row_number truncation, pair
+    union, exact Hamming verification. All constants f-string-derived
+    from the same values the Spark call passes (the r14 ADVICE
+    discipline)."""
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id, trim(regexp_replace(lower(regexp_replace(text, '([぀-ヿ㐀-䶿一-鿿가-힯])', ' \1 ', 'g')), '\s+', ' ', 'g')) AS t
+      FROM documents
+      WHERE CAST(('0x' || substr(md5('sample-' || CAST(doc_id AS VARCHAR)),
+                                 1, 6)) AS INT) % 100 < {sample_pct}
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tok FROM docs
+    ),
+    th AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, b.b AS b,
+             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM th CROSS JOIN (SELECT unnest(range(0, 63)) AS b) b
+      GROUP BY doc_id, b.b
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b)
+                      ELSE 0::BIGINT END) AS BIGINT) AS sig
+      FROM votes GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, sig, c.c AS chunk_id,
+             (sig >> CAST(16 * c.c AS INTEGER)) & 65535 AS chunk_val
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c
+    ),
+    bsize AS (
+      SELECT chunk_id, chunk_val, COUNT(*) AS m
+      FROM chunks GROUP BY 1, 2
+    ),
+    member AS (
+      SELECT ch.doc_id, ch.sig, ch.chunk_id, ch.chunk_val
+      FROM chunks ch JOIN bsize USING (chunk_id, chunk_val)
+      WHERE m BETWEEN 2 AND {cap}
+    ),
+    cand0 AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.sig AS sa, y.sig AS sb
+      FROM member x JOIN member y USING (chunk_id, chunk_val)
+      WHERE x.doc_id < y.doc_id
+    ),
+    over_m AS (
+      SELECT ch.doc_id, ch.sig, ch.chunk_id, ch.chunk_val, b.m
+      FROM chunks ch JOIN bsize b USING (chunk_id, chunk_val)
+      WHERE b.m > {cap}
+    ),
+    sub AS (
+      SELECT doc_id, sig, chunk_id, chunk_val, r.r AS r,
+             CAST(('0x' || substr(md5('simrec-' || CAST(chunk_id AS VARCHAR)
+                   || '-' || CAST(chunk_val AS VARCHAR)
+                   || '-' || CAST(r.r AS VARCHAR)
+                   || '-' || CAST(doc_id AS VARCHAR)), 1, 6)) AS INT)
+               % ((m + {cap - 1}) // {cap}) AS g
+      FROM over_m, (SELECT unnest(range(0, {rounds})) AS r) r
+    ),
+    rmember AS (
+      SELECT doc_id, sig, chunk_id, chunk_val, r, g FROM (
+        SELECT sub.*, ROW_NUMBER() OVER (
+          PARTITION BY chunk_id, chunk_val, r, g ORDER BY doc_id) AS rn
+        FROM sub
+      ) WHERE rn <= {cap}
+    ),
+    rcand AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.sig AS sa, y.sig AS sb
+      FROM rmember x JOIN rmember y
+        ON x.chunk_id = y.chunk_id AND x.chunk_val = y.chunk_val
+       AND x.r = y.r AND x.g = y.g AND x.doc_id < y.doc_id
+    ),
+    allc AS (
+      SELECT DISTINCT doc_a, doc_b, sa, sb FROM (
+        SELECT * FROM cand0 UNION ALL SELECT * FROM rcand
+      )
+    ),
+    ham AS (
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+      FROM allc WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    )
+    SELECT CAST((SELECT COUNT(*) FROM docs) AS BIGINT) AS n_docs_sampled,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(hamming), 0) AS BIGINT) AS sum_hamming
+    FROM ham
+    """
+
+
+@register(
+    "q201_simhash_recovery_gate",
+    oracle=_simhash_recovery_oracle(cap=4, rounds=3, max_hamming=3),
+    doc="q196's discipline applied to the SimHash path: the PRODUCTION "
+    "simhash_near_dupes run with the portable md5 token hash, a "
+    "deliberately small bucket cap (4) and the r15 capped-bucket "
+    "recovery pass (recover_rounds=3) on a deterministic 5% doc sample "
+    "— the oracle replays signatures, chunk buckets, cap drop, "
+    "md5-salted sub-buckets, row_number truncation, pair union and the "
+    "exact Hamming check bit-for-bit. VALUE-gates the recovery "
+    "semantics the 30x reorder probe showed matter (collapsed buckets "
+    "past the cap are where SimHash recall dies). 1 fixed summary row.",
+)
+def q201_simhash_recovery_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import (
+        md5_token_hash,
+        simhash_near_dupes,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sampled = documents.filter(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("sample-"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+        < 5
+    )
+    pairs = simhash_near_dupes(
+        sampled,
+        max_hamming=3,
+        max_bucket=4,
+        token_hash=md5_token_hash,
+        recover_rounds=3,
+    )
+    summary = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum("hamming"), F.lit(0))
+        .cast("bigint")
+        .alias("sum_hamming"),
+    )
+    n_docs = sampled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_sampled")
+    )
+    return n_docs.join(F.broadcast(summary), F.lit(True), "inner").select(
+        "n_docs_sampled", "n_pairs", "sum_hamming"
+    )

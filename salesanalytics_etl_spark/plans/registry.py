@@ -42,27 +42,32 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 # Round-15 rotation (driver records the FIRST 50 entries). Self-counting
 # arithmetic (the r10/r13 failure mode was headers contradicting it):
-# 4 new + 2 re-stamps + 44 roll-debt = 50. Priority order:
-# (0) the 4 queries NEW this round, ZERO driver records: q197/q198/q199
+# 5 new + 3 re-stamps + 42 roll-debt = 50. Priority order:
+# (0) the 5 queries NEW this round, ZERO driver records: q197/q198/q199
 #     — the segment-REORDER twins of the edit-noise LSH / SimHash /
 #     winnowing audits (token multiset preserved; SimHash provably
-#     invariant, q198 measures it) — and q200, the m=2^22 resized Bloom
-#     decontamination audit that VALUE-gates the r14 sizing rule.
-# (1) 2 code-changed re-stamps, ONE per code path changed this round:
+#     invariant, q198 measures it) — q200, the m=2^22 resized Bloom
+#     decontamination audit that VALUE-gates the r14 sizing rule, and
+#     q201, the production-SimHash capped-bucket recovery gate (cap 4,
+#     R=3 — the knob the reorder probe showed matters).
+# (1) 3 code-changed re-stamps, ONE per code path changed this round:
 #     q186 (editnoise_pairs' salt dispatch became a 3-mode map when
 #     reorder landed — rides the shared drop path; oracles regenerate
 #     byte-identical from module constants, proven by diff), q52
 #     (memo._canon_uri now case-folds bracketed IPv6 hosts — the
-#     invalidation hook under the merge path; r14 ADVICE).
-# (2) 44 roll-debt rows, oldest records first:
+#     invalidation hook under the merge path; r14 ADVICE), q26
+#     (simhash_near_dupes grew the recover_rounds branch — R=0 plan
+#     byte-identical, the stamp proves it on current code).
+# (2) 42 roll-debt rows, oldest records first:
 #     - ALL 20 remaining r10-era rows (q111, q114, q115, q117, q119,
 #       q120, q134, q140-q148, q150-q153 — the r14 handoff list);
 #       after this window stamps them, NO driver record is older
 #       than r11;
-#     - the 24 oldest r11-era rows in query order (q01-q04, q100,
-#       q107, q108, q123, q124, q149, q154-q167). The 18 r11 rows
-#       after q167 (q168, q169, q171, q50, q64, q67, q73, q74, q82,
-#       q85, q87, q88, q89, q91, q92, q95, q96, q97) roll to r16.
+#     - the 22 oldest r11-era rows in query order (q01-q04, q100,
+#       q107, q108, q123, q124, q149, q154-q165). The 20 r11 rows
+#       after q165 (q166, q167, q168, q169, q171, q50, q64, q67, q73,
+#       q74, q82, q85, q87, q88, q89, q91, q92, q95, q96, q97) roll
+#       to r16.
 # Every name here is also swept by tests/test_queries.py +
 # tests/strict_gate.py against the same oracles, so reordering changes
 # what the driver RECORDS, never what is verified.
@@ -72,10 +77,12 @@ _CHECK_FIRST = [
     "q198_editnoise_reorder_simhash",
     "q199_editnoise_reorder_winnow",
     "q200_bloom_sized_audit",
+    "q201_simhash_recovery_gate",
     # --- (1) code-changed re-stamps, one per changed code path ---
     "q186_editnoise_lsh_recall",
     "q52_merge_upsert",
-    # --- (2) 44 roll-debt rows, oldest first (arithmetic above) ---
+    "q26_simhash_neardup",
+    # --- (2) 42 roll-debt rows, oldest first (arithmetic above) ---
     "q111_hdr_percentile_replay",
     "q114_bloom_membership_audit",
     "q115_compressibility_replay",
@@ -118,8 +125,6 @@ _CHECK_FIRST = [
     "q163_trigram_diversity",
     "q164_price_elasticity",
     "q165_purchase_hazard",
-    "q166_cluster_size_histogram",
-    "q167_orphan_rate_trend",
 ]
 
 

@@ -424,3 +424,62 @@ def test_recovery_rounds_do_not_touch_small_buckets(spark):
         ).collect()
     }
     assert base == rec and base
+
+
+def test_simhash_capped_bucket_recovery(spark):
+    """r15 SimHash recovery knob (the reorder probe showed the CAP, not
+    Hamming, limits this path when signatures collapse): docs with the
+    IDENTICAL token set share one signature, so n docs form one over-cap
+    bucket per chunk — dropped at R=0, re-admitted via md5-salted
+    sub-buckets at R>0. Every recovered pair is hamming=0 and coverage
+    grows with R; pairs stay valid (a<b, deduped)."""
+    from salesanalytics_etl_spark.operators.dedup import (
+        simhash_near_dupes,
+    )
+
+    n, cap = 24, 4
+    text = " ".join(f"tok{j}" for j in range(30))
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    )
+    assert simhash_near_dupes(docs, max_bucket=cap).count() == 0
+    got1 = simhash_near_dupes(docs, max_bucket=cap, recover_rounds=1)
+    got8 = simhash_near_dupes(docs, max_bucket=cap, recover_rounds=8)
+    rows8 = got8.collect()
+    all_pairs = {(a, b) for a in range(n) for b in range(n) if a < b}
+    assert {(r.doc_a, r.doc_b) for r in rows8} <= all_pairs
+    assert len(rows8) == len({(r.doc_a, r.doc_b) for r in rows8})
+    assert all(r.hamming == 0 for r in rows8)
+    c1, c8 = got1.count(), len(rows8)
+    assert 0 < c1 < c8 <= len(all_pairs)
+    # cap/m = 1/6 per (chunk, round); 4 chunks x 8 rounds of independent
+    # md5-salted partitions -> coverage ~ 1-(1-1/6)^32 minus truncation
+    assert c8 / len(all_pairs) > 0.8, (c8, len(all_pairs))
+
+
+def test_simhash_recovery_does_not_touch_small_buckets(spark):
+    """Under-cap corpora produce identical pairs with and without
+    recovery — R=0 stays the byte-identical production default."""
+    from salesanalytics_etl_spark.operators.dedup import (
+        simhash_near_dupes,
+    )
+
+    # 3 groups of 3 identical docs; distinct groups differ wholesale
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"g{i % 3}tok{j}" for j in range(25)))
+            for i in range(9)
+        ],
+        "doc_id long, text string",
+    )
+    base = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_dupes(docs, max_bucket=8).collect()
+    }
+    rec = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_dupes(
+            docs, max_bucket=8, recover_rounds=8
+        ).collect()
+    }
+    assert base == rec and base

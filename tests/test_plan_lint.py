@@ -196,6 +196,12 @@ _AGG_BUFFER_ALLOWLIST = {
     # postings list capped at max_postings=20 by the rank-gated WHEN
     # inside the collect (operators/text.py:432) — k-bounded buffer
     "q66_inverted_index": 1,
+    # r15: the simhash recovery gate runs the production pipeline
+    # INLINE (no candidate_budget -> no localCheckpoint fold): its two
+    # member collects (normal buckets + recovery sub-buckets) are both
+    # row_number-TRUNCATED at the bucket cap (4; +1 sentinel) BEFORE
+    # collecting — buffers of <= 5 structs per group, never data-scaled
+    "q201_simhash_recovery_gate": 2,
     # (calibrated r9 against every registered plan: these are the ONLY
     # two queries whose physical plans carry a collecting aggregate —
     # the LSH/simhash/jaccard family's per-doc collects run in eager

@@ -199,36 +199,62 @@ def main() -> None:
     # --- 4. production SimHash path on the same cliques ----------------
     # SimHash(<=3) targets the near-exact tail; this measures how much
     # of the realistic-edit clique mass it sees, per true-J band.
+    # --simhash-recover R runs the r15 capped-bucket recovery pass —
+    # the knob the reorder corpus needs (collapsed signature buckets
+    # blow the cap exactly where the clique mass is).
     from salesanalytics_etl_spark.operators.dedup import simhash_near_dupes
 
-    t0 = time.perf_counter()
-    sfound = simhash_near_dupes(docs, max_hamming=3)
-    n_sfound = sfound.count()
-    print(
-        f"simhash(<=3): {n_sfound} pairs in {time.perf_counter()-t0:.1f}s"
+    srecovers = (
+        [
+            int(x)
+            for x in sys.argv[
+                sys.argv.index("--simhash-recover") + 1
+            ].split(",")
+        ]
+        if "--simhash-recover" in sys.argv
+        else [0]
     )
-    shit_by = (
-        gt.join(sfound, ["doc_a", "doc_b"], "left_semi")
-        .select(band)
-        .groupBy("band")
-        .agg(F.count("*").alias("n_hit"))
+    sgt_by = (
+        gt.select(band).groupBy("band").agg(F.count("*").alias("n_gt"))
     )
-    srecall = (
-        gt.select(band)
-        .groupBy("band")
-        .agg(F.count("*").alias("n_gt"))
-        .join(shit_by, "band", "left")
-        .select(
-            "band", "n_gt", F.coalesce("n_hit", F.lit(0)).alias("n_hit")
+    for srecover in srecovers:
+        t0 = time.perf_counter()
+        sfound = simhash_near_dupes(
+            docs, max_hamming=3, recover_rounds=srecover
         )
-        .orderBy("band")
-        .collect()
-    )
-    for r in srecall:
+        n_sfound = sfound.count()
         print(
-            f"  simhash J[{r.band/10000:.2f},{r.band/10000+0.05:.2f}): "
-            f"GT {r.n_gt:>7} hit {r.n_hit:>7} "
-            f"recall {r.n_hit/r.n_gt:6.3f}"
+            f"simhash(<=3, R={srecover}): {n_sfound} pairs "
+            f"in {time.perf_counter()-t0:.1f}s"
+        )
+        shit_by = (
+            gt.join(sfound, ["doc_a", "doc_b"], "left_semi")
+            .select(band)
+            .groupBy("band")
+            .agg(F.count("*").alias("n_hit"))
+        )
+        srecall = (
+            sgt_by.join(shit_by, "band", "left")
+            .select(
+                "band",
+                "n_gt",
+                F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            )
+            .orderBy("band")
+            .collect()
+        )
+        tot_g = tot_h = 0
+        for r in srecall:
+            print(
+                f"  simhash J[{r.band/10000:.2f},{r.band/10000+0.05:.2f}): "
+                f"GT {r.n_gt:>7} hit {r.n_hit:>7} "
+                f"recall {r.n_hit/r.n_gt:6.3f}"
+            )
+            tot_g += r.n_gt
+            tot_h += r.n_hit
+        print(
+            f"simhash overall (J>=0.5 bands incl. sub-0.5 shown: all GT),"
+            f" R={srecover}: {tot_h}/{tot_g} = {tot_h/max(tot_g,1):.3f}"
         )
 
 
