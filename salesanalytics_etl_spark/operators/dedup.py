@@ -1155,37 +1155,7 @@ def simhash_near_dupes(
         )
         .filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
     )
-    if candidate_budget is not None:
-        buckets = buckets.persist()
-        n_cands = (
-            buckets.select(
-                F.sum(_bucket_pair_count("members")).alias("n")
-            ).collect()[0].n
-            or 0
-        )
-        if n_cands > candidate_budget:
-            buckets.unpersist()
-            raise RuntimeError(
-                f"simhash_near_dupes: {n_cands} candidate pairs exceed the "
-                f"budget ({candidate_budget}); a degenerate chunk bucket is "
-                "going quadratic under the lifted cap. Raise "
-                "candidate_budget to proceed anyway, or restore a finite "
-                "max_bucket (recall < 1) for this corpus."
-            )
-    def _expand(bkts: DataFrame) -> DataFrame:
-        return (
-            bkts.select(F.explode("members").alias("a"), "members")
-            .select("a", F.explode("members").alias("b"))
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.col("a.simhash").alias("sh_a"),
-                F.col("b.simhash").alias("sh_b"),
-            )
-        )
-
-    pairs = _expand(buckets)
+    rbuckets = None
     if recover_rounds > 0:
         # members of over-cap chunk buckets with true size m — separate
         # (chunk, value)-keyed pass so the R=0 plan is untouched
@@ -1249,6 +1219,56 @@ def simhash_near_dupes(
             )
             .filter(F.size("members") > 1)
         )
+    if candidate_budget is not None:
+        # the budget must cover EVERY source of candidate pairs:
+        # recovery sub-buckets are bounded per member, but an enormous
+        # collapsed corpus at high R still multiplies — counting only
+        # the base buckets would let recovery silently bypass the
+        # "raise loudly instead of grinding" guarantee (r15 review)
+        buckets = buckets.persist()
+        n_cands = (
+            buckets.select(
+                F.sum(_bucket_pair_count("members")).alias("n")
+            ).collect()[0].n
+            or 0
+        )
+        if rbuckets is not None:
+            rbuckets = rbuckets.persist()
+            n_cands += (
+                rbuckets.select(
+                    F.sum(_bucket_pair_count("members")).alias("n")
+                ).collect()[0].n
+                or 0
+            )
+        if n_cands > candidate_budget:
+            buckets.unpersist()
+            if rbuckets is not None:
+                rbuckets.unpersist()
+            raise RuntimeError(
+                f"simhash_near_dupes: {n_cands} candidate pairs "
+                f"(base + recovery) exceed the budget "
+                f"({candidate_budget}); a degenerate chunk bucket is "
+                "going quadratic under the lifted cap, or "
+                "recover_rounds is multiplying a collapsed corpus. "
+                "Raise candidate_budget to proceed anyway, or restore "
+                "a finite max_bucket / lower recover_rounds."
+            )
+
+    def _expand(bkts: DataFrame) -> DataFrame:
+        return (
+            bkts.select(F.explode("members").alias("a"), "members")
+            .select("a", F.explode("members").alias("b"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"),
+            )
+        )
+
+    pairs = _expand(buckets)
+    if rbuckets is not None:
         pairs = pairs.unionByName(_expand(rbuckets))
     pairs = pairs.distinct()
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -1257,9 +1277,11 @@ def simhash_near_dupes(
     )
     if candidate_budget is not None:
         # materialize the (bounded: within budget) result, then release
-        # the bucket cache — a lazy return would pin it indefinitely
+        # the bucket caches — a lazy return would pin them indefinitely
         out = out.localCheckpoint()
         buckets.unpersist()
+        if rbuckets is not None:
+            rbuckets.unpersist()
     return out
 
 

@@ -254,7 +254,11 @@ def editnoise_pairs(
             % sample_mod
             == 0
         )
-    salt = {"drop": "edit", "mixed": "mix", "reorder": "ro"}[edits]
+    salt = {"drop": "edit", "mixed": "mix", "reorder": "ro"}.get(edits)
+    if salt is None:
+        # same self-explanatory error perturbed_text raises — a bare
+        # KeyError from the salt map would hide the contract (review)
+        raise ValueError(f"unknown edits mode {edits!r}")
     return spread_partitions(base).select(
         "doc_id",
         "t",

@@ -72,7 +72,16 @@ def run_signature_maintenance_to_memory(
     same location restores the signature state from the state store and
     reads only files the source has not yet committed — the restart
     semantics ``tests/test_sketch_stream.py`` pins (without it, Spark
-    mints a temp checkpoint and every run refolds the whole backlog)."""
+    mints a temp checkpoint and every run refolds the whole backlog).
+
+    Restart caveat (r15 review): a complete-mode memory sink emits only
+    when a micro-batch RUNS, and availableNow with all offsets already
+    committed runs none — so a restart with ZERO new files leaves the
+    freshly registered table EMPTY even though the state store holds
+    the full fold. Read the maintained table through
+    :func:`current_signatures` (memory table if populated, else the
+    batch fold over the source dir — bit-identical by the min algebra),
+    never via ``spark.table`` directly after a restart."""
     stream = read_documents_stream(spark, docs_dir, max_files_per_trigger)
     writer = (
         maintain_source_signatures(stream)
@@ -86,9 +95,29 @@ def run_signature_maintenance_to_memory(
     return writer.start()
 
 
-def current_estimates(spark: SparkSession, table: str) -> DataFrame:
+def current_signatures(
+    spark: SparkSession, table: str, docs_dir: str | None = None
+) -> DataFrame:
+    """The CURRENT maintained signatures, robust to the zero-new-files
+    restart window (r15 review): the memory sink table when it has
+    emitted, else — with ``docs_dir`` — the batch fold over everything
+    the source has committed. The two are bit-identical whenever both
+    exist (min is a monotone, duplicate-insensitive fold; the stream
+    equality test pins it), so the fallback is a correctness no-op and
+    monitoring never reads "no sources" from a freshly restarted
+    maintenance job."""
+    sigs = spark.table(table)
+    if docs_dir is not None and not sigs.take(1):
+        return source_minhash_signatures(spark.read.parquet(docs_dir))
+    return sigs
+
+
+def current_estimates(
+    spark: SparkSession, table: str, docs_dir: str | None = None
+) -> DataFrame:
     """Pairwise estimated Jaccard from the maintained signature table —
-    the q172 readout against live state."""
-    return signature_pair_estimates(spark.table(table)).orderBy(
-        "source_a", "source_b"
-    )
+    the q172 readout against live state. Pass ``docs_dir`` to survive
+    the zero-new-files restart window (see :func:`current_signatures`)."""
+    return signature_pair_estimates(
+        current_signatures(spark, table, docs_dir)
+    ).orderBy("source_a", "source_b")

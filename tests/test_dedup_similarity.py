@@ -483,3 +483,36 @@ def test_simhash_recovery_does_not_touch_small_buckets(spark):
         ).collect()
     }
     assert base == rec and base
+
+
+def test_simhash_budget_counts_recovery_pairs(spark):
+    """r15 review: the candidate budget must cover recovery sub-bucket
+    pairs too — a collapsed corpus whose base buckets are all DROPPED
+    (over cap) would otherwise pass a tiny budget and then grind
+    through the recovery pair join anyway."""
+    import pytest
+
+    from salesanalytics_etl_spark.operators.dedup import (
+        simhash_near_dupes,
+    )
+
+    text = " ".join(f"tok{j}" for j in range(30))
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(24)], "doc_id long, text string"
+    )
+    # base path: the single 24-member bucket is over cap 4 -> 0 base
+    # candidates, so a base-only count would pass budget=1
+    assert (
+        simhash_near_dupes(docs, max_bucket=4, candidate_budget=1).count()
+        == 0
+    )
+    # with recovery the sub-buckets contribute counted pairs -> raise
+    with pytest.raises(RuntimeError, match="base \\+ recovery"):
+        simhash_near_dupes(
+            docs, max_bucket=4, candidate_budget=1, recover_rounds=4
+        )
+    # and a budget that covers them proceeds, returning recovered pairs
+    got = simhash_near_dupes(
+        docs, max_bucket=4, candidate_budget=10_000, recover_rounds=4
+    )
+    assert got.count() > 0

@@ -118,3 +118,57 @@ def test_restarted_maintenance_resumes_from_checkpoint(
         ).collect()
     }
     assert got == want  # bit-identical to batch over the UNION
+
+
+def test_restart_with_no_new_files_falls_back_to_batch(
+    spark, sf_dir, tmp_path
+):
+    """The r15 review window: availableNow with every file already
+    committed runs NO micro-batch, so the restarted query's memory
+    table stays empty even though the state store holds the fold.
+    current_signatures/current_estimates with a docs_dir fallback must
+    return the full (batch-identical) state instead of nothing."""
+    from salesanalytics_etl_spark.streaming.sketch_maintenance import (
+        current_signatures,
+    )
+
+    src = str(tmp_path / "docs_nonew")
+    ckpt = str(tmp_path / "sig_ckpt_nonew")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+
+    q1 = run_signature_maintenance_to_memory(
+        spark, src, "sig_nonew_a", max_files_per_trigger=1, checkpoint=ckpt
+    )
+    q1.awaitTermination(120)
+    assert spark.table("sig_nonew_a").count() > 0
+
+    # restart with ZERO new files: no batch runs, bare table is empty
+    q2 = run_signature_maintenance_to_memory(
+        spark, src, "sig_nonew_b", max_files_per_trigger=1, checkpoint=ckpt
+    )
+    q2.awaitTermination(120)
+    assert spark.table("sig_nonew_b").count() == 0  # the review finding
+
+    got = {
+        r["source"]: tuple(r[f"mh{i}"] for i in range(32))
+        for r in current_signatures(
+            spark, "sig_nonew_b", docs_dir=src
+        ).collect()
+    }
+    want = {
+        r["source"]: tuple(r[f"mh{i}"] for i in range(32))
+        for r in source_minhash_signatures(
+            spark.read.parquet(src)
+        ).collect()
+    }
+    assert got == want  # fallback serves the full, batch-identical state
+
+    # populated-table path unchanged: fallback must NOT shadow live state
+    got_live = {
+        r["source"]: tuple(r[f"mh{i}"] for i in range(32))
+        for r in current_signatures(
+            spark, "sig_nonew_a", docs_dir=src
+        ).collect()
+    }
+    assert got_live == want
