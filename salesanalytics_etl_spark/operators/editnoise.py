@@ -158,9 +158,9 @@ def perturbed_text(
                                 F.lit(f"{salt}-"),
                                 doc_id.cast("string"),
                                 F.lit("-seg-"),
-                                ((i * N_SEGMENTS) / n)
-                                .cast("int")
-                                .cast("string"),
+                                F.call_function(
+                                    "div", i * N_SEGMENTS, n
+                                ).cast("string"),
                             )
                         ),
                         1,

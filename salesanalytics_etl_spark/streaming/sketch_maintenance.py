@@ -105,7 +105,12 @@ def current_signatures(
     exist (min is a monotone, duplicate-insensitive fold; the stream
     equality test pins it), so the fallback is a correctness no-op and
     monitoring never reads "no sources" from a freshly restarted
-    maintenance job."""
+    maintenance job. An UNREGISTERED table is treated like an empty
+    one (r15 ADVICE): in a fresh monitor process the memory sink may
+    not exist at all yet, and ``spark.table`` would raise instead of
+    falling back."""
+    if docs_dir is not None and not spark.catalog.tableExists(table):
+        return source_minhash_signatures(spark.read.parquet(docs_dir))
     sigs = spark.table(table)
     if docs_dir is not None and not sigs.take(1):
         return source_minhash_signatures(spark.read.parquet(docs_dir))

@@ -172,3 +172,39 @@ def test_restart_with_no_new_files_falls_back_to_batch(
         ).collect()
     }
     assert got_live == want
+
+
+def test_unregistered_table_falls_back_to_batch(spark, sf_dir, tmp_path):
+    """The r15 ADVICE window: in a FRESH monitor process the memory
+    sink table may not be registered at all (the maintenance query has
+    never run there), so current_signatures must treat "table absent"
+    like "table empty" when docs_dir is given — batch fold, not
+    TABLE_OR_VIEW_NOT_FOUND — and still raise without the fallback."""
+    from pyspark.errors import AnalysisException
+
+    from salesanalytics_etl_spark.streaming.sketch_maintenance import (
+        current_signatures,
+    )
+
+    src = str(tmp_path / "docs_unreg")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+    assert not spark.catalog.tableExists("sig_never_registered")
+
+    got = {
+        r["source"]: tuple(r[f"mh{i}"] for i in range(32))
+        for r in current_signatures(
+            spark, "sig_never_registered", docs_dir=src
+        ).collect()
+    }
+    want = {
+        r["source"]: tuple(r[f"mh{i}"] for i in range(32))
+        for r in source_minhash_signatures(
+            spark.read.parquet(src)
+        ).collect()
+    }
+    assert got == want  # absent table == empty table when docs_dir given
+
+    # without docs_dir there is nothing to fall back to: still raises
+    with pytest.raises(AnalysisException):
+        current_signatures(spark, "sig_never_registered").take(1)
