@@ -1627,3 +1627,177 @@ def sampled_shingle_boilerplate(
             F.sum(F.when(F.col("d") >= 2, 1).otherwise(0)).alias("n_common"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing-fingerprint near-duplicate PIPELINE (r15 handoff: the audits
+# q189/q199 measured winnow-vs-exact fidelity; this turns the fingerprints
+# into a production dedup path with the measured slack baked in).
+# --------------------------------------------------------------------------
+WINNOW_K = 8  # k-gram length for winnowing fingerprints (q60's k)
+WINNOW_W = 4  # window width: min over WINNOW_W consecutive k-gram hashes
+# Candidate-filter slack in basis points: the winnow-fingerprint Jaccard
+# UNDERSTATES the exact 5-gram Jaccard (the fingerprints are a ~2/(w+1)
+# deterministic sample whose windows re-pick minima under edits). Measured
+# per decile by the q189 (token-drop) and q199 (segment-reorder) audits at
+# 30x probe volume: mean |gap| ~850-1800 bp at deciles 4-8 under drop
+# edits, up to ~2900 bp under reorder (SCALE.md Round-15 §2). 3000 bp
+# covers the worst measured decile of both regimes, so the pre-verify
+# filter kills only pairs that essentially cannot verify; the exact
+# verifier restores precision at the true threshold.
+WINNOW_SLACK_BP = 3000
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp) DISTINCT winnowed document fingerprints.
+
+    Schleimer et al.'s winnowing (public algorithm, the MOSS sampler):
+    hash every WINNOW_K-char gram of the normalized text, keep the MIN
+    hash of each sliding window of WINNOW_W grams, dedupe. Guarantees a
+    shared fingerprint for any common run >= WINNOW_W + WINNOW_K - 1
+    chars while storing ~2/(WINNOW_W+1) of the gram hashes. Fingerprints
+    are 60-bit longs from the portable md5-prefix family, so the whole
+    downstream pipeline (and the q202 oracle) is engine-replayable.
+    Shape: one explode scan + one (doc_id)-partitioned running-min window
+    + a distinct keyed by doc — data-grain, no funnel (the q60 plan).
+    """
+    rows = shingle_rows(df, text_col, k=WINNOW_K, with_pos=True).withColumn(
+        "kh",
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    return rows.select("doc_id", F.min("kh").over(w).alias("fp")).distinct()
+
+
+def winnow_near_dupes(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket: int = MAX_BUCKET,
+    min_shared: int = 2,
+    slack_bp: int = WINNOW_SLACK_BP,
+) -> DataFrame:
+    """End-to-end winnowing near-duplicate pairs with exact verification —
+    the fourth dedup family next to exact fingerprints, MinHash+LSH and
+    SimHash. (doc_a, doc_b, jaccard) with exact 5-gram Jaccard >=
+    ``threshold``, doc_a < doc_b.
+
+    Stages (every join keyed, no cross product):
+
+    1. **Fingerprint**: :func:`winnow_fingerprints` — |fp rows| ~
+       2/(w+1) of the gram rows, the cheapest sketch of the four.
+    2. **Inverted index**: documents sharing a fingerprint are
+       candidates. Fingerprints held by > ``max_bucket`` docs are
+       DROPPED WHOLESALE (the MOSS stopword rule): a fingerprint that
+       common is boilerplate, and dropping the whole posting list is
+       deterministic — engine-portable, unlike a rank-truncation whose
+       tie order DuckDB could replay differently. Per-fp pair work is
+       thus bounded by max_bucket^2/2. Singleton fingerprints never
+       pair and are filtered before the self-join.
+    3. **Shared-fp floor**: pairs sharing < ``min_shared`` uncapped
+       fingerprints are dropped (one shared window survives any common
+       11-char run — a real near-dup at t >= 0.5 shares many).
+    4. **Winnow-estimate filter with measured slack**: the bucket join
+       already yields n_shared = a LOWER bound of |fpA ∩ fpB| (capped
+       fps are excluded), so w_lb_bp = floor-round bp of the
+       fingerprint-Jaccard lower bound. Winnow-J understates exact J
+       (q189/q199 audits — see :data:`WINNOW_SLACK_BP`), so the filter
+       keeps w_lb_bp >= t_bp - slack_bp rather than t_bp: the slack is
+       the measured estimator bias, not a fudge.
+    5. **Exact verify**: 5-gram shingle Jaccard on survivors only
+       (:func:`jaccard_verify` — same verifier as the MinHash path),
+       semi-joined shingle sets so the collect_set shuffle is
+       proportional to the candidate tail, not the corpus.
+
+    Recall is set by the fingerprint sample (any pair whose shared runs
+    all sit inside capped fingerprints is missed — q203 measures the
+    per-decile recall against exact ground truth); precision is exact.
+
+    Scale: fingerprint rows ≪ shingle rows; the self-join shuffles on
+    fp with bounded buckets; n_shared groupBy shuffles on the pair key;
+    verify joins on doc id. At 100 TB the dominant exchange is the
+    fingerprint distinct — ~2/(w+1) of the MinHash signature build's
+    input, with no 32-hash aggregation on top.
+    """
+    t_bp = int(round(threshold * 10000))
+    est = (
+        winnow_candidate_scores(df, text_col, max_bucket, min_shared)
+        .filter(F.col("w_lb_bp") >= F.lit(t_bp - slack_bp))
+        .select("doc_a", "doc_b")
+    )
+    est = est.persist()
+    docs_in_pairs = (
+        est.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(est.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = shingle_sets(
+        shingle_rows(df, text_col).join(docs_in_pairs, "doc_id", "left_semi")
+    ).persist()
+    out = jaccard_verify(est, sets, threshold).localCheckpoint()
+    est.unpersist()
+    sets.unpersist()
+    return out
+
+
+def winnow_candidate_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    max_bucket: int = MAX_BUCKET,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Stages 1-4 of :func:`winnow_near_dupes` WITHOUT the slack cut:
+    (doc_a, doc_b, n_shared, w_lb_bp) for every pair sharing >=
+    ``min_shared`` uncapped winnow fingerprints, where ``w_lb_bp`` is
+    the integer-bp LOWER BOUND of the fingerprint Jaccard
+    (``(n_shared*20000 + un) div (2*un)``, un = sz_a + sz_b − n_shared
+    — capped fps are excluded from n_shared but counted in the sizes,
+    so both the intersection is under- and the union over-stated).
+    Exposed separately so q204's slack-sensitivity curve can score the
+    SAME candidate set at several slack values without re-running the
+    fingerprint stages.
+    """
+    fps = winnow_fingerprints(df, text_col).persist()
+    fps.count()  # eager: sizes / posting-list filter / self-join all consume it
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    posting = fps.join(
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dfc"))
+        .filter((F.col("dfc") >= 2) & (F.col("dfc") <= max_bucket))
+        .select("fp"),
+        "fp",
+        "left_semi",
+    )
+    a = posting.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = posting.select(F.col("doc_id").alias("doc_b"), "fp")
+    cand = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sz_a = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")
+    )
+    sz_b = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")
+    )
+    out = (
+        cand.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .withColumn("un", F.col("sz_a") + F.col("sz_b") - F.col("n_shared"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.expr("(n_shared * 20000 + un) div (2 * un)").alias("w_lb_bp"),
+        )
+        .localCheckpoint()
+    )
+    fps.unpersist()
+    return out

@@ -3619,3 +3619,279 @@ def q201_simhash_recovery_gate(
     return n_docs.join(F.broadcast(summary), F.lit(True), "inner").select(
         "n_docs_sampled", "n_pairs", "sum_hamming"
     )
+
+
+# --------------------------------------------------------------------------
+# r16: winnowing near-duplicate PIPELINE (the r15 handoff item) — the
+# audits q189/q199 measured how far winnow-fingerprint Jaccard sits below
+# exact 5-gram Jaccard; winnow_near_dupes turns the fingerprints into a
+# production dedup path with that measured slack baked into its candidate
+# filter, and q202/q203 gate the pipeline + its recall against DuckDB.
+# --------------------------------------------------------------------------
+def _winnow_norm_ctes() -> str:
+    """Shared oracle CTEs: normalized text, winnow fingerprints (the q60
+    twin, parameterized by the module constants), per-doc fp sizes, the
+    capped posting list, candidate pairs, the slack estimate filter and
+    5-gram shingle sets — everything except the final verify projection."""
+    from salesanalytics_etl_spark.operators.dedup import (
+        MAX_BUCKET,
+        WINNOW_K,
+        WINNOW_SLACK_BP,
+        WINNOW_W,
+    )
+
+    return rf"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), h AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             CAST(('0x' || substr(md5(substr(norm, CAST(i AS INT),
+                                             {WINNOW_K})), 1, 15))
+                  AS BIGINT) AS kh
+      FROM n, UNNEST(range(1, GREATEST(length(norm) - {WINNOW_K - 2}, 2)))
+             AS t(i)
+    ), w AS (
+      SELECT DISTINCT doc_id,
+             MIN(kh) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                           AND CURRENT ROW) AS fp
+      FROM h
+    ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY 1),
+    keep AS (
+      SELECT doc_id, fp FROM w
+      WHERE fp IN (SELECT fp FROM w GROUP BY fp
+                   HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET})
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ), est AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN sizes sa ON sa.doc_id = cand.doc_a
+      JOIN sizes sb ON sb.doc_id = cand.doc_b
+      WHERE (n_shared * 20000 + (sa.sz + sb.sz - n_shared))
+            // (2 * (sa.sz + sb.sz - n_shared))
+            >= {5000 - WINNOW_SLACK_BP}
+    ), g AS (
+      SELECT doc_id, list(DISTINCT substr(norm, CAST(i AS INT), 5)) AS sh
+      FROM n, UNNEST(range(1, GREATEST(length(norm) - 3, 2))) AS t(i)
+      GROUP BY doc_id
+    )"""
+
+
+def _winnow_neardup_oracle() -> str:
+    return (
+        _winnow_norm_ctes()
+        + r"""
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT est.doc_a, est.doc_b,
+             FLOOR(CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(ga.sh, gb.sh)))
+                   * 10000.0 + 0.5) / 10000.0 AS jaccard
+      FROM est
+      JOIN g ga ON ga.doc_id = est.doc_a
+      JOIN g gb ON gb.doc_id = est.doc_b
+    ) WHERE jaccard >= 0.5
+    """
+    )
+
+
+@register(
+    "q202_winnow_neardup",
+    oracle=_winnow_neardup_oracle(),
+    doc="winnowing near-duplicate PIPELINE end-to-end (the fourth dedup "
+    "family): winnow fingerprints (8-gram md5-prefix hashes, window-4 "
+    "min, distinct — the q60 sketch) -> inverted index with the MOSS "
+    "stopword rule (posting lists over 64 docs dropped wholesale — "
+    "deterministic, engine-portable, bounds per-fp pair work at "
+    "64^2/2) -> >=2-shared-fingerprint floor -> fingerprint-Jaccard "
+    "lower-bound filter at threshold MINUS the 3000 bp slack the "
+    "q189/q199 audits measured (winnow-J understates exact J by up to "
+    "~2900 bp per decile under reorder edits; the slack is the "
+    "measured estimator bias, not a fudge) -> exact 5-gram Jaccard "
+    "verify at 0.5 (same verifier as the MinHash path). The oracle "
+    "replays every stage bit-for-bit: fingerprints, posting-list cap, "
+    "pair counts, integer-bp estimate filter, floor-rounded verify "
+    "(operators/dedup.py:winnow_near_dupes)",
+)
+def q202_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import winnow_near_dupes
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return winnow_near_dupes(documents)
+
+
+_WINNOW_VERIFY_EXPR = (
+    "FLOOR(CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE)"
+    " / len(list_distinct(list_concat(ga.sh, gb.sh)))"
+    " * 10000.0 + 0.5) / 10000.0"
+)
+
+
+def _winnow_recall_oracle() -> str:
+    return (
+        _winnow_norm_ctes()
+        + rf"""
+    , gt AS (
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b,
+               {_WINNOW_VERIFY_EXPR} AS jaccard
+        FROM g ga JOIN g gb ON ga.doc_id < gb.doc_id
+      ) WHERE jaccard >= 0.5
+    ), found AS (
+      SELECT est.doc_a, est.doc_b FROM est
+      JOIN g ga ON ga.doc_id = est.doc_a
+      JOIN g gb ON gb.doc_id = est.doc_b
+      WHERE {_WINNOW_VERIFY_EXPR} >= 0.5
+    ), per AS (
+      SELECT LEAST(CAST(FLOOR(gt.jaccard * 10) AS INT), 9) AS j_decile,
+             CASE WHEN f.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+      FROM gt LEFT JOIN found f
+        ON gt.doc_a = f.doc_a AND gt.doc_b = f.doc_b
+    )
+    SELECT j_decile, CAST(COUNT(*) AS BIGINT) AS n_gt,
+           CAST(SUM(hit) AS BIGINT) AS n_found,
+           CAST((SUM(hit) * 20000 + COUNT(*)) // (2 * COUNT(*))
+                AS BIGINT) AS recall_bp
+    FROM per GROUP BY 1 ORDER BY 1
+    """
+    )
+
+
+@register(
+    "q203_winnow_recall_audit",
+    oracle=_winnow_recall_oracle(),
+    doc="winnow-pipeline RECALL against exact ground truth, per Jaccard "
+    "decile: GT = every pair with exact 5-gram Jaccard >= 0.5 (Spark "
+    "side via the prefix-filtered exact_jaccard_join — recall-1.0 by "
+    "the SSJoin prefix theorem; the DuckDB twin brute-forces all "
+    "pairs, so a hash match ALSO re-certifies the prefix filter at "
+    "char grain), joined against q202's verified output. "
+    "j_decile | n_gt | n_found | recall_bp (integer bp). Misses are "
+    "pairs whose every shared run sits inside a capped (boilerplate) "
+    "fingerprint or below the 2-shared floor. The brute-force oracle "
+    "is O(|docs|^2) list intersects — sf0.01-gated like q109's "
+    "unsampled replay; volume recall is measured clique-keyed by the "
+    "edit-noise probe (SCALE.md r16)",
+)
+def q203_winnow_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import (
+        exact_jaccard_join,
+        winnow_near_dupes,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    gt = exact_jaccard_join(documents, threshold=0.5, unit="char")
+    found = winnow_near_dupes(documents).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    per = gt.join(found, ["doc_a", "doc_b"], "left").withColumn(
+        "j_decile",
+        F.least(F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9)),
+    )
+    return (
+        per.groupBy("j_decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gt"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_found"),
+        )
+        .withColumn(
+            "recall_bp",
+            F.expr("(n_found * 20000 + n_gt) div (2 * n_gt)").cast("bigint"),
+        )
+        .orderBy("j_decile")
+    )
+
+
+def _winnow_slack_oracle() -> str:
+    return (
+        _winnow_norm_ctes()
+        + rf"""
+    , scores AS (
+      SELECT doc_a, doc_b,
+             (n_shared * 20000 + (sa.sz + sb.sz - n_shared))
+             // (2 * (sa.sz + sb.sz - n_shared)) AS w_lb_bp
+      FROM cand
+      JOIN sizes sa ON sa.doc_id = cand.doc_a
+      JOIN sizes sb ON sb.doc_id = cand.doc_b
+    ), okp AS (
+      SELECT s.doc_a, s.doc_b, s.w_lb_bp,
+             CASE WHEN {_WINNOW_VERIFY_EXPR} >= 0.5
+                  THEN 1 ELSE 0 END AS ok
+      FROM scores s
+      JOIN g ga ON ga.doc_id = s.doc_a
+      JOIN g gb ON gb.doc_id = s.doc_b
+    ), sl AS (SELECT * FROM (VALUES (0), (1000), (2000), (3000))
+              AS v(slack_bp))
+    SELECT slack_bp,
+           CAST(COUNT(okp.doc_a) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(SUM(ok), 0) AS BIGINT) AS n_verified
+    FROM sl LEFT JOIN okp ON okp.w_lb_bp >= 5000 - sl.slack_bp
+    GROUP BY 1 ORDER BY 1
+    """
+    )
+
+
+@register(
+    "q204_winnow_slack_curve",
+    oracle=_winnow_slack_oracle(),
+    doc="slack-sensitivity curve for q202's candidate filter: the SAME "
+    "candidate set (>=2 shared uncapped fingerprints) scored at slack "
+    "0/1000/2000/3000 bp — per slack, how many candidates pass the "
+    "fingerprint-Jaccard lower-bound cut and how many of those verify "
+    "exactly at 0.5. n_verified rising with slack = true pairs the "
+    "unslacked filter would throw away (the q189/q199 estimator bias "
+    "made operational); n_candidates is the extra verify work the "
+    "slack buys it with. 4 fixed rows; the non-equi join against the "
+    "4-row slack frame is a broadcast nested loop over the tiny "
+    "candidate-score frame (operators/dedup.py:winnow_candidate_scores)",
+)
+def q204_winnow_slack_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import (
+        jaccard_verify,
+        shingle_rows,
+        shingle_sets,
+        winnow_candidate_scores,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    scores = winnow_candidate_scores(documents)
+    docs_in_pairs = (
+        scores.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(scores.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = shingle_sets(
+        shingle_rows(documents).join(docs_in_pairs, "doc_id", "left_semi")
+    )
+    verified = jaccard_verify(
+        scores.select("doc_a", "doc_b"), sets, 0.5
+    ).select("doc_a", "doc_b", F.lit(1).alias("ok"))
+    sc = scores.join(verified, ["doc_a", "doc_b"], "left").withColumn(
+        "ok", F.coalesce(F.col("ok"), F.lit(0))
+    )
+    slacks = spark.createDataFrame(
+        [(0,), (1000,), (2000,), (3000,)], "slack_bp int"
+    )
+    return (
+        slacks.join(
+            sc,
+            F.col("w_lb_bp") >= F.lit(5000) - F.col("slack_bp"),
+            "left",
+        )
+        .groupBy("slack_bp")
+        .agg(
+            F.count("doc_a").cast("bigint").alias("n_candidates"),
+            F.coalesce(F.sum("ok"), F.lit(0))
+            .cast("bigint")
+            .alias("n_verified"),
+        )
+        .orderBy("slack_bp")
+    )

@@ -1039,19 +1039,10 @@ def q59_salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "codegen, shuffle only on doc_id",
 )
 def q60_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from salesanalytics_etl_spark.operators.dedup import shingle_rows
+    from salesanalytics_etl_spark.operators.dedup import winnow_fingerprints
 
     (documents,) = _t(spark, sf_dir, "documents")
-    rows = shingle_rows(documents, k=8, with_pos=True).withColumn(
-        "kh", F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
-    )
-    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-3, 0)
-    return (
-        rows.select("doc_id", F.min("kh").over(w).alias("fp"))
-        .distinct()
-    )
+    return winnow_fingerprints(documents)
 
 
 @register(

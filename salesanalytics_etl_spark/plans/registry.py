@@ -40,91 +40,87 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-# Round-15 rotation (driver records the FIRST 50 entries). Self-counting
+# Round-16 rotation (driver records the FIRST 50 entries). Self-counting
 # arithmetic (the r10/r13 failure mode was headers contradicting it):
-# 5 new + 3 re-stamps + 42 roll-debt = 50. Priority order:
-# (0) the 5 queries NEW this round, ZERO driver records: q197/q198/q199
-#     — the segment-REORDER twins of the edit-noise LSH / SimHash /
-#     winnowing audits (token multiset preserved; SimHash provably
-#     invariant, q198 measures it) — q200, the m=2^22 resized Bloom
-#     decontamination audit that VALUE-gates the r14 sizing rule, and
-#     q201, the production-SimHash capped-bucket recovery gate (cap 4,
-#     R=3 — the knob the reorder probe showed matters).
-# (1) 3 code-changed re-stamps, ONE per code path changed this round:
-#     q186 (editnoise_pairs' salt dispatch became a 3-mode map when
-#     reorder landed — rides the shared drop path; oracles regenerate
-#     byte-identical from module constants, proven by diff), q52
-#     (memo._canon_uri now case-folds bracketed IPv6 hosts — the
-#     invalidation hook under the merge path; r14 ADVICE), q26
-#     (simhash_near_dupes grew the recover_rounds branch — R=0 plan
-#     byte-identical, the stamp proves it on current code).
-# (2) 42 roll-debt rows, oldest records first:
-#     - ALL 20 remaining r10-era rows (q111, q114, q115, q117, q119,
-#       q120, q134, q140-q148, q150-q153 — the r14 handoff list);
-#       after this window stamps them, NO driver record is older
-#       than r11;
-#     - the 22 oldest r11-era rows in query order (q01-q04, q100,
-#       q107, q108, q123, q124, q149, q154-q165). The 20 r11 rows
-#       after q165 (q166, q167, q168, q169, q171, q50, q64, q67, q73,
-#       q74, q82, q85, q87, q88, q89, q91, q92, q95, q96, q97) roll
-#       to r16.
+# 3 new + 4 re-stamps + 43 roll-debt = 50. Priority order:
+# (0) the 3 queries NEW this round, ZERO driver records: q202 (the
+#     winnowing near-dup PIPELINE — the r15 handoff item: fingerprints
+#     -> capped inverted index -> measured-slack estimate filter ->
+#     exact verify), q203 (its per-decile recall vs brute-force exact
+#     ground truth) and q204 (the slack-sensitivity curve that
+#     VALUE-gates the 3000 bp knob).
+# (1) 4 code-changed re-stamps: q197/q198/q199 (the reorder-mode
+#     segment id moved from float division + int cast to SQL `div` —
+#     integer arithmetic end-to-end per r15 ADVICE; values identical,
+#     the stamp proves it on current code) and q60 (its body now calls
+#     the factored winnow_fingerprints operator q202 shares).
+# (2) 43 roll-debt rows, oldest records first:
+#     - ALL 20 remaining r11-era rows (q166, q167, q168, q169, q171,
+#       q50, q64, q67, q73, q74, q82, q85, q87, q88, q89, q91, q92,
+#       q95, q96, q97 — the r15 handoff list); after this window
+#       stamps them, NO driver record is older than r12;
+#     - the 23 oldest r12-era rows in query order (q05-q14, q17, q18,
+#       q20, q21, q22, q24, q47, q65, q66, q70, q71, q81, q86). The
+#       15 r12 rows after q86 (q90, q106, q118, q126, q127, q128,
+#       q130, q132, q133, q173, q174, q175, q177, q179, q180) roll
+#       to r17.
 # Every name here is also swept by tests/test_queries.py +
 # tests/strict_gate.py against the same oracles, so reordering changes
 # what the driver RECORDS, never what is verified.
 _CHECK_FIRST = [
     # --- (0) new this round, never recorded ---
+    "q202_winnow_neardup",
+    "q203_winnow_recall_audit",
+    "q204_winnow_slack_curve",
+    # --- (1) code-changed re-stamps ---
     "q197_editnoise_reorder_lsh",
     "q198_editnoise_reorder_simhash",
     "q199_editnoise_reorder_winnow",
-    "q200_bloom_sized_audit",
-    "q201_simhash_recovery_gate",
-    # --- (1) code-changed re-stamps, one per changed code path ---
-    "q186_editnoise_lsh_recall",
-    "q52_merge_upsert",
-    "q26_simhash_neardup",
-    # --- (2) 42 roll-debt rows, oldest first (arithmetic above) ---
-    "q111_hdr_percentile_replay",
-    "q114_bloom_membership_audit",
-    "q115_compressibility_replay",
-    "q117_quality_threshold_calibration",
-    "q119_bigram_surprisal",
-    "q120_source_kl_divergence",
-    "q134_pruned_snapshot_diff",
-    "q140_segment_regression",
-    "q141_sales_ewma",
-    "q142_pareto_parts",
-    "q143_weekday_seasonality",
-    "q144_purchase_gap_histogram",
-    "q145_active_users_sliding",
-    "q146_weighted_price_percentiles",
-    "q147_customer_gini",
-    "q148_sales_cusum",
-    "q150_truncation_audit",
-    "q151_supplier_hhi",
-    "q152_decile_lift",
-    "q153_seasonal_backtest",
-    "q01_table_counts",
-    "q02_orders_sample_topk",
-    "q03_sales_by_day",
-    "q04_sales_by_month",
-    "q100_etl_dataflow",
-    "q107_hopping_window",
-    "q108_identifier_linkage",
-    "q123_typo_linkage_degree",
-    "q124_join_key_skew",
-    "q149_categorical_entropy",
-    "q154_time_to_conversion",
-    "q155_new_vs_returning",
-    "q156_theil_sen_trend",
-    "q157_sales_autocorrelation",
-    "q158_zipf_slope",
-    "q159_soft_fd_audit",
-    "q160_digit_uniformity_chi2",
-    "q161_cross_source_dup_matrix",
-    "q162_centroid_distance_matrix",
-    "q163_trigram_diversity",
-    "q164_price_elasticity",
-    "q165_purchase_hazard",
+    "q60_winnowing_fingerprints",
+    # --- (2) 43 roll-debt rows, oldest first (arithmetic above) ---
+    "q166_cluster_size_histogram",
+    "q167_orphan_rate_trend",
+    "q168_k_anonymity_audit",
+    "q169_packing_utilization",
+    "q171_source_length_deciles",
+    "q50_curation_sample",
+    "q64_approx_distinct_sketch",
+    "q67_pii_redaction",
+    "q73_embedding_quantization",
+    "q74_source_overlap",
+    "q82_approx_percentile_sketch",
+    "q85_compression_quality",
+    "q87_stratified_cap_sample",
+    "q88_lang_metadata_agreement",
+    "q89_embedding_cluster_stats",
+    "q91_cohort_retention",
+    "q92_part_cooccurrence",
+    "q95_sentence_split_udtf",
+    "q96_event_transition_matrix",
+    "q97_daily_sales_anomalies",
+    "q05_top_products",
+    "q06_top_customers",
+    "q07_status_histogram",
+    "q08_avg_order_value",
+    "q09_parts_no_sales",
+    "q10_customers_no_orders",
+    "q11_last_order_details",
+    "q12_order_totals",
+    "q13_order_reconciliation",
+    "q14_sales_daterange",
+    "q17_view_sales_by_day_sql",
+    "q18_running_daily_sales",
+    "q20_docs_fingerprint",
+    "q21_docs_exact_dedupe",
+    "q22_docs_token_stats",
+    "q24_docs_langid",
+    "q47_docs_chunking",
+    "q65_tfidf_top_terms",
+    "q66_inverted_index",
+    "q70_benchmark_decontamination",
+    "q71_sequence_packing",
+    "q81_bigram_merge_candidates",
+    "q86_bm25_search",
 ]
 
 

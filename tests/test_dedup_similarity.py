@@ -516,3 +516,95 @@ def test_simhash_budget_counts_recovery_pairs(spark):
         docs, max_bucket=4, candidate_budget=10_000, recover_rounds=4
     )
     assert got.count() > 0
+
+
+def test_winnow_finds_planted_near_dups(docs):
+    from salesanalytics_etl_spark.operators.dedup import winnow_near_dupes
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in winnow_near_dupes(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup: jaccard 1
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.6  # near-dup found
+    assert (1, 4) not in pairs and (3, 4) not in pairs  # distinct not paired
+
+
+def test_winnow_fingerprint_guarantee_and_sampling(spark):
+    """Winnowing's published guarantee: two docs sharing a common run of
+    >= WINNOW_W + WINNOW_K - 1 chars share >= 1 fingerprint; and the
+    fingerprint set is a strict sample (~2/(w+1)) of the gram hashes."""
+    from salesanalytics_etl_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    run = "zqxjvkwpyfbgmdh"  # 15 chars >= 4 + 8 - 1
+    rows = [
+        (1, "aaaaaaaaaaaaaaaaaaaa " + run + " bbbbbbbbbbbbbbbbbbbb"),
+        (2, "cccccccccccccccccccc " + run + " dddddddddddddddddddd"),
+    ]
+    assert len(run) >= WINNOW_W + WINNOW_K - 1
+    fps = winnow_fingerprints(
+        spark.createDataFrame(rows, ["doc_id", "text"])
+    ).collect()
+    by_doc = {1: set(), 2: set()}
+    for r in fps:
+        by_doc[r.doc_id].add(r.fp)
+    assert by_doc[1] & by_doc[2]  # shared run -> shared fingerprint
+    n_grams = len(rows[0][1]) - WINNOW_K + 1
+    assert len(by_doc[1]) < n_grams / 2  # a real sample, not all hashes
+
+
+def test_winnow_boilerplate_cap_drops_hot_fingerprints(spark):
+    """The MOSS stopword rule: a fingerprint held by more docs than
+    max_bucket is dropped WHOLESALE, so a 70-clique of identical docs
+    yields no pairs at cap 64 but pairs up when the cap clears it."""
+    from salesanalytics_etl_spark.operators.dedup import winnow_near_dupes
+
+    text = (
+        "identical boilerplate paragraph repeated across every document "
+        "in this synthetic clique for the posting list cap test"
+    )
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(70)], ["doc_id", "text"]
+    )
+    assert winnow_near_dupes(docs, max_bucket=64).count() == 0
+    assert winnow_near_dupes(docs, max_bucket=100).count() == 70 * 69 // 2
+
+
+def test_winnow_slack_widens_candidates_monotonically(docs):
+    """slack 0 candidates are a subset of slack 3000 candidates, and the
+    verified output at any slack is exact-precision (every pair >= t)."""
+    from salesanalytics_etl_spark.operators.dedup import winnow_near_dupes
+
+    tight = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_near_dupes(docs, slack_bp=0).collect()
+    }
+    wide = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in winnow_near_dupes(docs, slack_bp=3000).collect()
+    }
+    assert tight <= set(wide)
+    assert all(j >= 0.5 for j in wide.values())
+
+
+def test_winnow_candidate_scores_bounds(docs):
+    """w_lb_bp is a true LOWER bound of the fingerprint Jaccard in bp:
+    recompute exact fp-Jaccard per candidate pair and compare."""
+    from salesanalytics_etl_spark.operators.dedup import (
+        winnow_candidate_scores,
+        winnow_fingerprints,
+    )
+
+    fps = {}
+    for r in winnow_fingerprints(docs).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    for r in winnow_candidate_scores(docs).collect():
+        inter = len(fps[r.doc_a] & fps[r.doc_b])
+        union = len(fps[r.doc_a] | fps[r.doc_b])
+        true_bp = (inter * 20000 + union) // (2 * union)
+        assert 0 <= r.w_lb_bp <= true_bp, (r.doc_a, r.doc_b)
+        assert r.n_shared <= inter

@@ -202,6 +202,13 @@ _AGG_BUFFER_ALLOWLIST = {
     # row_number-TRUNCATED at the bucket cap (4; +1 sentinel) BEFORE
     # collecting — buffers of <= 5 structs per group, never data-scaled
     "q201_simhash_recovery_gate": 2,
+    # r16: the slack-curve query verifies its candidate set INLINE
+    # (winnow_candidate_scores checkpoints, but the verify-side
+    # shingle_sets does not — q204 needs the unfiltered candidate/verify
+    # join live): two per-DOC shingle collect_sets (a and b join sides),
+    # group = one document, buffer bounded by document length — the q57
+    # bound
+    "q204_winnow_slack_curve": 2,
     # (calibrated r9 against every registered plan: these are the ONLY
     # two queries whose physical plans carry a collecting aggregate —
     # the LSH/simhash/jaccard family's per-doc collects run in eager
