@@ -1680,6 +1680,7 @@ def winnow_near_dupes(
     max_bucket: int = MAX_BUCKET,
     min_shared: int = 2,
     slack_bp: int = WINNOW_SLACK_BP,
+    recover_bands: int = 0,
 ) -> DataFrame:
     """End-to-end winnowing near-duplicate pairs with exact verification —
     the fourth dedup family next to exact fingerprints, MinHash+LSH and
@@ -1717,6 +1718,29 @@ def winnow_near_dupes(
     all sit inside capped fingerprints is missed — q203 measures the
     per-decile recall against exact ground truth); precision is exact.
 
+    ``recover_bands = R > 0`` turns on the capped-corpus recovery pass
+    (r16 probe finding: on the 30× replica corpora EVERY posting list
+    blows the cap — template text makes each 8-gram run appear in
+    hundreds of docs — and the stopword rule deletes the entire index:
+    clique recall 0.000 against 2.14M GT pairs, the winnow twin of the
+    r15 SimHash collapse). Instead of re-admitting hot posting lists
+    (whose pair work is quadratic in list length), the pass runs R
+    salted MIN-FINGERPRINT bands: round r keys each doc by
+    ``min over its fps of md5('winrec-r-' || fp)`` — a one-row MinHash
+    over the FINGERPRINT SET, so two docs agree on round r with
+    probability exactly their fingerprint Jaccard. Buckets are
+    row_number-TRUNCATED at ``max_bucket`` (not dropped: a giant
+    min-band bucket is an exact-dup class, exact_dedupe's territory,
+    not boilerplate noise), pairs form within buckets, and every
+    recovered pair is scored by its EXACT fingerprint Jaccard
+    (array_intersect on the two ~2/(w+1)-sized fp sets — far cheaper
+    than gram arrays) against ``t_bp - slack_bp`` before the exact
+    5-gram verify. Cost is R extra rows per doc plus capped-bucket
+    pairing — linear in the corpus, never in posting-list length; a
+    J>=t pair is recovered with probability ~ 1-(1-fpJ)^R. R=0 is
+    byte-identical to the plain pipeline. All md5 — the whole branch
+    replays in DuckDB (q206 value-gates it).
+
     Scale: fingerprint rows ≪ shingle rows; the self-join shuffles on
     fp with bounded buckets; n_shared groupBy shuffles on the pair key;
     verify joins on doc id. At 100 TB the dominant exchange is the
@@ -1729,6 +1753,86 @@ def winnow_near_dupes(
         .filter(F.col("w_lb_bp") >= F.lit(t_bp - slack_bp))
         .select("doc_a", "doc_b")
     )
+    if recover_bands > 0:
+        fps = winnow_fingerprints(df, text_col).persist()
+        fps.count()
+        salted = (
+            fps.select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(recover_bands - 1))
+                ).alias("r"),
+                "fp",
+            )
+            .withColumn(
+                "h",
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("winrec-"),
+                                F.col("r").cast("string"),
+                                F.lit("-"),
+                                F.col("fp").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+            .groupBy("doc_id", "r")
+            .agg(F.min("h").alias("g"))
+        )
+        rw = Window.partitionBy("r", "g").orderBy("doc_id")
+        rmem = salted.withColumn("_rn", F.row_number().over(rw)).filter(
+            F.col("_rn") <= max_bucket
+        )
+        ra = rmem.select("r", "g", F.col("doc_id").alias("doc_a"))
+        rb = rmem.select("r", "g", F.col("doc_id").alias("doc_b"))
+        rcand = (
+            ra.join(rb, ["r", "g"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        rdocs = (
+            rcand.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(rcand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        fpsets = (
+            fps.join(rdocs, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("fp").alias("fset"))
+        )
+        fa = fpsets.select(
+            F.col("doc_id").alias("doc_a"), F.col("fset").alias("fset_a")
+        )
+        fb = fpsets.select(
+            F.col("doc_id").alias("doc_b"), F.col("fset").alias("fset_b")
+        )
+        i_ = F.size(F.array_intersect("fset_a", "fset_b")).cast("long")
+        u_ = F.size(F.array_union("fset_a", "fset_b")).cast("long")
+        rest = (
+            rcand.join(fa, "doc_a")
+            .join(fb, "doc_b")
+            .withColumn("i", i_)
+            .withColumn("u", u_)
+            .filter(
+                F.expr("(i * 20000 + u) div (2 * u)")
+                >= F.lit(t_bp - slack_bp)
+            )
+            .select("doc_a", "doc_b")
+        )
+        # materialize the recovered-candidate union BEFORE releasing the
+        # fingerprint cache — est is lazy, and an unpersisted fps would
+        # be recomputed through the whole fingerprint stage when the
+        # verify step finally runs it
+        est = est.unionByName(rest).distinct().localCheckpoint()
+        fps.unpersist()
     est = est.persist()
     docs_in_pairs = (
         est.select(F.col("doc_a").alias("doc_id"))

@@ -3628,18 +3628,22 @@ def q201_simhash_recovery_gate(
 # production dedup path with that measured slack baked into its candidate
 # filter, and q202/q203 gate the pipeline + its recall against DuckDB.
 # --------------------------------------------------------------------------
-def _winnow_norm_ctes() -> str:
+def _winnow_norm_ctes(max_bucket: int | None = None) -> str:
     """Shared oracle CTEs: normalized text, winnow fingerprints (the q60
     twin, parameterized by the module constants), per-doc fp sizes, the
     capped posting list, candidate pairs, the slack estimate filter and
-    5-gram shingle sets — everything except the final verify projection."""
+    5-gram shingle sets — everything except the final verify projection.
+    ``max_bucket`` overrides the module cap (q206's deliberately small
+    recovery-firing configuration); None = the production constant, so
+    q202/q203/q204/q205's SQL is unchanged."""
+    from salesanalytics_etl_spark.operators import dedup
     from salesanalytics_etl_spark.operators.dedup import (
-        MAX_BUCKET,
         WINNOW_K,
         WINNOW_SLACK_BP,
         WINNOW_W,
     )
 
+    MAX_BUCKET = dedup.MAX_BUCKET if max_bucket is None else max_bucket
     return rf"""
     WITH n AS (
       SELECT doc_id,
@@ -3895,3 +3899,158 @@ def q204_winnow_slack_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("slack_bp")
     )
+
+
+def _winnow_cluster_oracle() -> str:
+    # q166's recursive-CTE transitive closure, seeded by the q202
+    # pipeline's verified edges instead of the exact all-pairs graph
+    return (
+        _winnow_norm_ctes().replace("WITH n AS", "WITH RECURSIVE n AS")
+        + rf"""
+    , edges AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT est.doc_a, est.doc_b,
+               {_WINNOW_VERIFY_EXPR} AS jaccard
+        FROM est
+        JOIN g ga ON ga.doc_id = est.doc_a
+        JOIN g gb ON gb.doc_id = est.doc_b
+      ) WHERE jaccard >= 0.5
+    ), und AS (
+      SELECT doc_a AS s, doc_b AS d FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ), reach(s, d) AS (
+      SELECT s, d FROM und
+      UNION
+      SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+    ), clusters AS (
+      SELECT LEAST(s, MIN(d)) AS cluster_id, s AS doc_id
+      FROM reach GROUP BY s
+    ), csizes AS (
+      SELECT cluster_id, COUNT(*) AS sz FROM clusters GROUP BY 1
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+    FROM csizes GROUP BY sz ORDER BY cluster_size
+    """
+    )
+
+
+@register(
+    "q205_winnow_cluster_histogram",
+    oracle=_winnow_cluster_oracle(),
+    doc="dedup YIELD of the winnow pipeline: q202's verified pairs -> "
+    "transitive clusters (connected components — driver union-find "
+    "under the size gate, distributed min-label propagation above it) "
+    "-> cluster-size histogram with n_removable = docs beyond one "
+    "keeper per cluster; the q166 report computed for the fourth dedup "
+    "family, so the two families' yields are directly comparable. "
+    "Oracle: the q202 stage replay seeding q166's recursive-CTE "
+    "transitive closure (operators/graph.py:dedup_clusters)",
+)
+def q205_winnow_cluster_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import winnow_near_dupes
+    from salesanalytics_etl_spark.operators.graph import dedup_clusters
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    clusters = dedup_clusters(
+        winnow_near_dupes(documents).select("doc_a", "doc_b")
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        sizes.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.sum(F.col("sz") - 1).cast("bigint").alias("n_removable"),
+        )
+        .select(
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+            "n_removable",
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _winnow_recovery_oracle(cap: int, bands: int) -> str:
+    from salesanalytics_etl_spark.operators.dedup import WINNOW_SLACK_BP
+
+    values = ", ".join(f"({r})" for r in range(bands))
+    return (
+        _winnow_norm_ctes(max_bucket=cap)
+        + rf"""
+    , rs AS (SELECT * FROM (VALUES {values}) AS v(r))
+    , salted AS (
+      SELECT w.doc_id, rs.r,
+             MIN(CAST(('0x' || substr(md5('winrec-' || CAST(rs.r AS VARCHAR)
+                       || '-' || CAST(w.fp AS VARCHAR)), 1, 15))
+                 AS BIGINT)) AS g
+      FROM w CROSS JOIN rs GROUP BY 1, 2
+    ), rmem AS (
+      SELECT doc_id, r, g,
+             ROW_NUMBER() OVER (PARTITION BY r, g ORDER BY doc_id) AS rn
+      FROM salted
+    ), rcand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rmem a JOIN rmem b
+        ON a.r = b.r AND a.g = b.g AND a.doc_id < b.doc_id
+      WHERE a.rn <= {cap} AND b.rn <= {cap}
+    ), fsets AS (
+      SELECT doc_id, list(fp) AS fset FROM w GROUP BY 1
+    ), rest AS (
+      SELECT doc_a, doc_b FROM rcand
+      JOIN fsets fa ON fa.doc_id = rcand.doc_a
+      JOIN fsets fb ON fb.doc_id = rcand.doc_b
+      WHERE (len(list_intersect(fa.fset, fb.fset)) * 20000
+             + len(list_distinct(list_concat(fa.fset, fb.fset))))
+            // (2 * len(list_distinct(list_concat(fa.fset, fb.fset))))
+            >= {5000 - WINNOW_SLACK_BP}
+    ), estall AS (
+      SELECT doc_a, doc_b FROM est
+      UNION
+      SELECT doc_a, doc_b FROM rest
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT estall.doc_a, estall.doc_b,
+             {_WINNOW_VERIFY_EXPR} AS jaccard
+      FROM estall
+      JOIN g ga ON ga.doc_id = estall.doc_a
+      JOIN g gb ON gb.doc_id = estall.doc_b
+    ) WHERE jaccard >= 0.5
+    """
+    )
+
+
+@register(
+    "q206_winnow_recovery_gate",
+    oracle=_winnow_recovery_oracle(cap=4, bands=3),
+    doc="q201's discipline applied to the winnow path: the PRODUCTION "
+    "winnow_near_dupes run with a deliberately small posting-list cap "
+    "(4) and the r16 min-fingerprint-band recovery (recover_bands=3) — "
+    "the configuration the 30x probe showed matters (on replica-heavy "
+    "corpora EVERY posting list blows the cap and the MOSS stopword "
+    "rule deletes the whole index: clique recall 0.000 against 2.14M "
+    "GT pairs; at cap 4 the collapse reproduces at gate SF, so the "
+    "recovery FIRES here). Each of the R salted bands keys a doc by "
+    "min over its fps of md5('winrec-r-'||fp) — a one-row MinHash over "
+    "the fingerprint set (agreement probability = fp-Jaccard) — then "
+    "capped-bucket pairing, exact fp-set-Jaccard estimate at "
+    "threshold-slack, and the usual exact 5-gram verify. The oracle "
+    "replays salted minima, bucket truncation, pair union, estimate "
+    "and verify bit-for-bit (operators/dedup.py:winnow_near_dupes "
+    "recover_bands)",
+)
+def q206_winnow_recovery_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from salesanalytics_etl_spark.operators.dedup import winnow_near_dupes
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return winnow_near_dupes(documents, max_bucket=4, recover_bands=3)

@@ -608,3 +608,28 @@ def test_winnow_candidate_scores_bounds(docs):
         true_bp = (inter * 20000 + union) // (2 * union)
         assert 0 <= r.w_lb_bp <= true_bp, (r.doc_a, r.doc_b)
         assert r.n_shared <= inter
+
+
+def test_winnow_recovery_restores_capped_recall(spark, sf_dir):
+    """The r16 cap-collapse fix: at cap 4 every planted-dup posting list
+    in the sf0.001 corpus is over-cap, so the plain pipeline finds
+    NOTHING; recover_bands=4 (salted min-fingerprint bands + fp-set
+    estimate + exact verify) restores nearly all pairs found at the
+    production cap, and everything it emits is exact-verified >= t."""
+    from salesanalytics_etl_spark.operators.dedup import winnow_near_dupes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in winnow_near_dupes(docs).collect()
+    }
+    assert winnow_near_dupes(docs, max_bucket=4).count() == 0  # collapse
+    rec = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in winnow_near_dupes(docs, max_bucket=4, recover_bands=4).collect()
+    }
+    assert len(rec) >= 0.9 * len(full) > 0  # recovery restores recall
+    assert all(j >= 0.5 for j in rec.values())  # precision stays exact
+    # recovered pairs carry the same verified jaccard as the full run
+    for k in set(rec) & set(full):
+        assert rec[k] == full[k]

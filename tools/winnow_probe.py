@@ -112,22 +112,17 @@ def main() -> None:
         F.count("*").alias("n_gt")
     )
 
-    # --- 2. pipeline at each slack value (one warm session) -----------
-    slacks = (
-        [int(x) for x in sys.argv[sys.argv.index("--slack") + 1].split(",")]
-        if "--slack" in sys.argv
-        else [WINNOW_SLACK_BP]
-    )
-    for slack in slacks:
+    # --- 2. pipeline sweeps (one warm session) ------------------------
+    def _measure(label: str, **kwargs) -> None:
         t0 = time.perf_counter()
-        found = winnow_near_dupes(docs, slack_bp=slack)  # localCheckpoint
+        found = winnow_near_dupes(docs, **kwargs)  # localCheckpoint
         n_found = found.count()
         dt = time.perf_counter() - t0
         hit = target.join(found, ["doc_a", "doc_b"], "left_semi")
         n_hit = hit.count()
         overall = n_hit / n_target if n_target else float("nan")
         print(
-            f"slack={slack}: {n_found} pairs in {dt:.1f}s; "
+            f"{label}: {n_found} pairs in {dt:.1f}s; "
             f"clique recall {n_hit}/{n_target} = {overall:.3f}"
         )
         hit_by = hit.select(band).groupBy("band").agg(
@@ -148,6 +143,22 @@ def main() -> None:
                 f"  band [{r.band/10000:.2f},{(r.band+500)/10000:.2f}): "
                 f"recall {r.n_hit}/{r.n_gt} = {frac:.3f}"
             )
+
+    slacks = (
+        [int(x) for x in sys.argv[sys.argv.index("--slack") + 1].split(",")]
+        if "--slack" in sys.argv
+        else [WINNOW_SLACK_BP]
+    )
+    for slack in slacks:
+        _measure(f"slack={slack}", slack_bp=slack)
+    # --recover R1,R2,...: the r16 min-fingerprint-band recovery knee,
+    # measured in the same warm session so wall deltas are marginal cost
+    if "--recover" in sys.argv:
+        for rec in [
+            int(x)
+            for x in sys.argv[sys.argv.index("--recover") + 1].split(",")
+        ]:
+            _measure(f"recover_bands={rec}", recover_bands=rec)
     target.unpersist()
 
 
