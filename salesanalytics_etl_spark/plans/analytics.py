@@ -4054,3 +4054,90 @@ def q206_winnow_recovery_gate(
 
     (documents,) = _t(spark, sf_dir, "documents")
     return winnow_near_dupes(documents, max_bucket=4, recover_bands=3)
+
+
+def _winnow_health_oracle() -> str:
+    from salesanalytics_etl_spark.operators import dedup
+
+    cap = dedup.MAX_BUCKET
+    return (
+        _winnow_norm_ctes()
+        + rf"""
+    , dfc AS (
+      SELECT fp, CAST(COUNT(*) AS BIGINT) AS d FROM w GROUP BY 1
+    ), bucketed AS (
+      SELECT CASE WHEN d <= {cap} THEN 0 WHEN d <= 256 THEN 1
+                  WHEN d <= 1024 THEN 2 WHEN d <= 4096 THEN 3
+                  ELSE 4 END AS b,
+             d
+      FROM dfc
+    ), per AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n_fps,
+             CAST(SUM(d) AS BIGINT) AS n_occurrences
+      FROM bucketed GROUP BY 1
+    ), tot AS (SELECT SUM(n_occurrences) AS t FROM per)
+    SELECT b AS dfc_bucket, n_fps, n_occurrences,
+           CAST((n_occurrences * 20000 + tot.t) // (2 * tot.t)
+                AS BIGINT) AS occ_share_bp
+    FROM per CROSS JOIN tot ORDER BY dfc_bucket
+    """
+    )
+
+
+@register(
+    "q207_winnow_index_health",
+    oracle=_winnow_health_oracle(),
+    doc="winnow INDEX HEALTH audit — the q116-style pre-flight a "
+    "deployment runs BEFORE trusting the winnow family: posting-list "
+    "(fp document-frequency) size distribution in 5 buckets "
+    "(<=cap kept / 65-256 / 257-1024 / 1025-4096 / >4096) with the "
+    "occurrence share of each in integer bp. The r16 30x probe "
+    "mechanism in one query: on the replica corpus only 7 561 "
+    "distinct fps cover 15.2M occurrences and the kept share is "
+    "9 bp (0.09%) — the index carries no discriminative signal at "
+    "8-gram grain and recall is structurally capped (recover_bands "
+    "reclaims 0.17, not 1.0); a healthy organic corpus keeps the "
+    "overwhelming share. Deployment rule: kept occ_share_bp low + "
+    "recall mattering -> use minhash_near_dupes (0.884 at the same "
+    "volume). Linear: one fp groupBy + a 5-row rollup "
+    "(operators/dedup.py:winnow_fingerprints)",
+)
+def q207_winnow_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from salesanalytics_etl_spark.operators import dedup
+    from salesanalytics_etl_spark.operators.dedup import winnow_fingerprints
+
+    cap = dedup.MAX_BUCKET
+    (documents,) = _t(spark, sf_dir, "documents")
+    dfc = (
+        winnow_fingerprints(documents)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    per = (
+        dfc.withColumn(
+            "dfc_bucket",
+            F.when(F.col("d") <= cap, 0)
+            .when(F.col("d") <= 256, 1)
+            .when(F.col("d") <= 1024, 2)
+            .when(F.col("d") <= 4096, 3)
+            .otherwise(4),
+        )
+        .groupBy("dfc_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+            F.sum("d").cast("bigint").alias("n_occurrences"),
+        )
+    )
+    tot = per.agg(F.sum("n_occurrences").alias("t"))
+    return (
+        per.join(F.broadcast(tot), F.lit(True), "inner")
+        .select(
+            "dfc_bucket",
+            "n_fps",
+            "n_occurrences",
+            F.expr("(n_occurrences * 20000 + t) div (2 * t)")
+            .cast("bigint")
+            .alias("occ_share_bp"),
+        )
+        .orderBy("dfc_bucket")
+    )

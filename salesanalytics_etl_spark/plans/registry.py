@@ -42,8 +42,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 # Round-16 rotation (driver records the FIRST 50 entries). Self-counting
 # arithmetic (the r10/r13 failure mode was headers contradicting it):
-# 5 new + 4 re-stamps + 41 roll-debt = 50. Priority order:
-# (0) the 5 queries NEW this round, ZERO driver records: q202 (the
+# 6 new + 4 re-stamps + 40 roll-debt = 50. Priority order:
+# (0) the 6 queries NEW this round, ZERO driver records: q202 (the
 #     winnowing near-dup PIPELINE — the r15 handoff item: fingerprints
 #     -> capped inverted index -> measured-slack estimate filter ->
 #     exact verify), q203 (its per-decile recall vs brute-force exact
@@ -52,7 +52,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #     over the new family's transitive clusters) and q206 (the
 #     min-fingerprint-band recovery gate — cap 4, recover_bands 3 —
 #     for the cap-collapse the 30x probe found: recall 0.000 on
-#     replica corpora when every posting list blows the stopword cap).
+#     replica corpora when every posting list blows the stopword cap)
+#     and q207 (the winnow index-health audit that makes the collapse
+#     mechanism a one-query pre-flight: posting-list dfc distribution
+#     + kept-occurrence share in bp).
 # (1) 4 code-changed re-stamps: q197/q198/q199 (the reorder-mode
 #     segment id moved from float division + int cast to SQL `div` —
 #     integer arithmetic end-to-end per r15 ADVICE; values identical,
@@ -63,10 +66,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #       q50, q64, q67, q73, q74, q82, q85, q87, q88, q89, q91, q92,
 #       q95, q96, q97 — the r15 handoff list); after this window
 #       stamps them, NO driver record is older than r12;
-#     - the 21 oldest r12-era rows in query order (q05-q14, q17, q18,
-#       q20, q21, q22, q24, q47, q65, q66, q70, q71). The 17 r12 rows
-#       after q71 (q81, q86, q90, q106, q118, q126, q127, q128, q130,
-#       q132, q133, q173, q174, q175, q177, q179, q180) roll to r17.
+#     - the 20 oldest r12-era rows in query order (q05-q14, q17, q18,
+#       q20, q21, q22, q24, q47, q65, q66, q70). The 18 r12 rows
+#       after q70 (q71, q81, q86, q90, q106, q118, q126, q127, q128,
+#       q130, q132, q133, q173, q174, q175, q177, q179, q180) roll
+#       to r17.
 # Every name here is also swept by tests/test_queries.py +
 # tests/strict_gate.py against the same oracles, so reordering changes
 # what the driver RECORDS, never what is verified.
@@ -77,6 +81,7 @@ _CHECK_FIRST = [
     "q204_winnow_slack_curve",
     "q205_winnow_cluster_histogram",
     "q206_winnow_recovery_gate",
+    "q207_winnow_index_health",
     # --- (1) code-changed re-stamps ---
     "q197_editnoise_reorder_lsh",
     "q198_editnoise_reorder_simhash",
@@ -123,7 +128,6 @@ _CHECK_FIRST = [
     "q65_tfidf_top_terms",
     "q66_inverted_index",
     "q70_benchmark_decontamination",
-    "q71_sequence_packing",
 ]
 
 
