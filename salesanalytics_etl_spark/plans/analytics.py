@@ -3628,14 +3628,17 @@ def q201_simhash_recovery_gate(
 # production dedup path with that measured slack baked into its candidate
 # filter, and q202/q203 gate the pipeline + its recall against DuckDB.
 # --------------------------------------------------------------------------
-def _winnow_norm_ctes(max_bucket: int | None = None) -> str:
+def _winnow_norm_ctes(
+    max_bucket: int | None = None, source: str = "documents"
+) -> str:
     """Shared oracle CTEs: normalized text, winnow fingerprints (the q60
     twin, parameterized by the module constants), per-doc fp sizes, the
     capped posting list, candidate pairs, the slack estimate filter and
     5-gram shingle sets — everything except the final verify projection.
     ``max_bucket`` overrides the module cap (q206's deliberately small
     recovery-firing configuration); None = the production constant, so
-    q202/q203/q204/q205's SQL is unchanged."""
+    q202/q204/q205's SQL is unchanged. ``source`` substitutes the scan
+    (q203's scale-fixed doc_id slice — the q166 precedent)."""
     from salesanalytics_etl_spark.operators import dedup
     from salesanalytics_etl_spark.operators.dedup import (
         WINNOW_K,
@@ -3648,7 +3651,7 @@ def _winnow_norm_ctes(max_bucket: int | None = None) -> str:
     WITH n AS (
       SELECT doc_id,
              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
-      FROM documents
+      FROM {source}
     ), h AS (
       SELECT doc_id, CAST(i AS INT) AS i,
              CAST(('0x' || substr(md5(substr(norm, CAST(i AS INT),
@@ -3739,7 +3742,9 @@ _WINNOW_VERIFY_EXPR = (
 
 def _winnow_recall_oracle() -> str:
     return (
-        _winnow_norm_ctes()
+        _winnow_norm_ctes(
+            source="(SELECT * FROM documents WHERE doc_id < 400)"
+        )
         + rf"""
     , gt AS (
       SELECT doc_a, doc_b, jaccard FROM (
@@ -3775,13 +3780,17 @@ def _winnow_recall_oracle() -> str:
     "side via the prefix-filtered exact_jaccard_join — recall-1.0 by "
     "the SSJoin prefix theorem; the DuckDB twin brute-forces all "
     "pairs, so a hash match ALSO re-certifies the prefix filter at "
-    "char grain), joined against q202's verified output. "
+    "char grain), joined against q202's pipeline on the SAME slice. "
     "j_decile | n_gt | n_found | recall_bp (integer bp). Misses are "
     "pairs whose every shared run sits inside a capped (boilerplate) "
-    "fingerprint or below the 2-shared floor. The brute-force oracle "
-    "is O(|docs|^2) list intersects — sf0.01-gated like q109's "
-    "unsampled replay; volume recall is measured clique-keyed by the "
-    "edit-noise probe (SCALE.md r16)",
+    "fingerprint or below the 2-shared floor. Audited over the "
+    "scale-FIXED doc_id < 400 slice (the q166 precedent): exact GT is "
+    "intrinsically quadratic — unsliced at sf0.1 the prefix join "
+    "exceeds its 5M candidate budget (template text degenerates "
+    "char-grain prefix filtering, measured r16) and the brute-force "
+    "oracle is O(n^2) — so the audit gate is constant-cost at every "
+    "SF while volume recall is measured clique-keyed by "
+    "tools/winnow_probe.py (SCALE.md r16)",
 )
 def q203_winnow_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from salesanalytics_etl_spark.operators.dedup import (
@@ -3790,8 +3799,9 @@ def q203_winnow_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (documents,) = _t(spark, sf_dir, "documents")
-    gt = exact_jaccard_join(documents, threshold=0.5, unit="char")
-    found = winnow_near_dupes(documents).select(
+    sliced = documents.filter(F.col("doc_id") < 400)
+    gt = exact_jaccard_join(sliced, threshold=0.5, unit="char")
+    found = winnow_near_dupes(sliced).select(
         "doc_a", "doc_b", F.lit(1).alias("hit")
     )
     per = gt.join(found, ["doc_a", "doc_b"], "left").withColumn(
