@@ -1748,14 +1748,19 @@ def winnow_near_dupes(
     input, with no 32-hash aggregation on top.
     """
     t_bp = int(round(threshold * 10000))
+    # build the fingerprint frame ONCE when the recovery branch will
+    # need it too (r16 review: the branch previously recomputed the
+    # pipeline's dominant exchange from scratch)
+    fps = None
+    if recover_bands > 0:
+        fps = winnow_fingerprints(df, text_col).persist()
+        fps.count()
     est = (
-        winnow_candidate_scores(df, text_col, max_bucket, min_shared)
+        winnow_candidate_scores(df, text_col, max_bucket, min_shared, fps)
         .filter(F.col("w_lb_bp") >= F.lit(t_bp - slack_bp))
         .select("doc_a", "doc_b")
     )
     if recover_bands > 0:
-        fps = winnow_fingerprints(df, text_col).persist()
-        fps.count()
         salted = (
             fps.select(
                 "doc_id",
@@ -1853,6 +1858,7 @@ def winnow_candidate_scores(
     text_col: str = "text",
     max_bucket: int = MAX_BUCKET,
     min_shared: int = 2,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Stages 1-4 of :func:`winnow_near_dupes` WITHOUT the slack cut:
     (doc_a, doc_b, n_shared, w_lb_bp) for every pair sharing >=
@@ -1863,10 +1869,16 @@ def winnow_candidate_scores(
     so both the intersection is under- and the union over-stated).
     Exposed separately so q204's slack-sensitivity curve can score the
     SAME candidate set at several slack values without re-running the
-    fingerprint stages.
+    fingerprint stages. ``fps`` lets a caller that already built (and
+    persisted) the fingerprint frame share it — the recovery branch of
+    :func:`winnow_near_dupes` would otherwise recompute the pipeline's
+    dominant exchange (r16 review); a passed-in frame is the caller's
+    to persist and release.
     """
-    fps = winnow_fingerprints(df, text_col).persist()
-    fps.count()  # eager: sizes / posting-list filter / self-join all consume it
+    owns_fps = fps is None
+    if owns_fps:
+        fps = winnow_fingerprints(df, text_col).persist()
+        fps.count()  # eager: sizes / posting filter / self-join all consume it
     sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     posting = fps.join(
         fps.groupBy("fp")
@@ -1903,5 +1915,6 @@ def winnow_candidate_scores(
         )
         .localCheckpoint()
     )
-    fps.unpersist()
+    if owns_fps:
+        fps.unpersist()
     return out

@@ -3747,11 +3747,20 @@ def _winnow_recall_oracle() -> str:
         )
         + rf"""
     , gt AS (
-      SELECT doc_a, doc_b, jaccard FROM (
+      -- GT admission mirrors exact_jaccard_join: EXACT integer
+      -- comparison (i*10000 >= t_bp*u), rounded jaccard on the EMIT
+      -- side only (dedup.py's exact-filter/rounded-emit discipline;
+      -- review r16: filtering on the rounded value would admit pairs
+      -- at J in [t-0.00005, t) that the Spark side rejects)
+      SELECT doc_a, doc_b,
+             FLOOR(CAST(i AS DOUBLE) / u * 10000.0 + 0.5) / 10000.0
+               AS jaccard
+      FROM (
         SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b,
-               {_WINNOW_VERIFY_EXPR} AS jaccard
+               len(list_intersect(ga.sh, gb.sh)) AS i,
+               len(list_distinct(list_concat(ga.sh, gb.sh))) AS u
         FROM g ga JOIN g gb ON ga.doc_id < gb.doc_id
-      ) WHERE jaccard >= 0.5
+      ) WHERE i * 10000 >= 5000 * u
     ), found AS (
       SELECT est.doc_a, est.doc_b FROM est
       JOIN g ga ON ga.doc_id = est.doc_a

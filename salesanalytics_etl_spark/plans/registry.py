@@ -61,7 +61,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #     integer arithmetic end-to-end per r15 ADVICE; values identical,
 #     the stamp proves it on current code) and q60 (its body now calls
 #     the factored winnow_fingerprints operator q202 shares).
-# (2) 43 roll-debt rows, oldest records first:
+# (2) 40 roll-debt rows, oldest records first:
 #     - ALL 20 remaining r11-era rows (q166, q167, q168, q169, q171,
 #       q50, q64, q67, q73, q74, q82, q85, q87, q88, q89, q91, q92,
 #       q95, q96, q97 — the r15 handoff list); after this window
@@ -87,7 +87,7 @@ _CHECK_FIRST = [
     "q198_editnoise_reorder_simhash",
     "q199_editnoise_reorder_winnow",
     "q60_winnowing_fingerprints",
-    # --- (2) 43 roll-debt rows, oldest first (arithmetic above) ---
+    # --- (2) 40 roll-debt rows, oldest first (arithmetic above) ---
     "q166_cluster_size_histogram",
     "q167_orphan_rate_trend",
     "q168_k_anonymity_audit",

@@ -33,6 +33,18 @@ os.environ.setdefault("SPARK_GRAFT_PROBE_EDITNOISE", "1")
 from tools import scale_probe  # noqa: E402  (reads env at import)
 
 
+def _int_list(flag: str) -> list[int] | None:
+    if flag not in sys.argv:
+        return None
+    i = sys.argv.index(flag) + 1
+    if i >= len(sys.argv) or sys.argv[i].startswith("--"):
+        sys.exit(f"usage: {flag} N1[,N2,...] — missing value")
+    try:
+        return [int(x) for x in sys.argv[i].split(",")]
+    except ValueError:
+        sys.exit(f"usage: {flag} N1[,N2,...] — got {sys.argv[i]!r}")
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -45,6 +57,11 @@ def main() -> None:
     from salesanalytics_etl_spark.session import get_spark
 
     assert scale_probe.EDITNOISE, "set SPARK_GRAFT_PROBE_EDITNOISE=1"
+    # parse knob lists BEFORE any Spark work: a malformed flag
+    # ('--slack' with the value forgotten) must exit with usage, not
+    # IndexError minutes into the corpus build (r16 review)
+    slacks = _int_list("--slack")
+    recovers = _int_list("--recover")
     spark = get_spark(app_name="winnow_probe")
 
     base_dir, probe_dir = scale_probe.BASE, scale_probe.PROBE
@@ -144,21 +161,12 @@ def main() -> None:
                 f"recall {r.n_hit}/{r.n_gt} = {frac:.3f}"
             )
 
-    slacks = (
-        [int(x) for x in sys.argv[sys.argv.index("--slack") + 1].split(",")]
-        if "--slack" in sys.argv
-        else [WINNOW_SLACK_BP]
-    )
-    for slack in slacks:
+    for slack in slacks if slacks is not None else [WINNOW_SLACK_BP]:
         _measure(f"slack={slack}", slack_bp=slack)
     # --recover R1,R2,...: the r16 min-fingerprint-band recovery knee,
     # measured in the same warm session so wall deltas are marginal cost
-    if "--recover" in sys.argv:
-        for rec in [
-            int(x)
-            for x in sys.argv[sys.argv.index("--recover") + 1].split(",")
-        ]:
-            _measure(f"recover_bands={rec}", recover_bands=rec)
+    for rec in recovers or []:
+        _measure(f"recover_bands={rec}", recover_bands=rec)
     target.unpersist()
 
 
