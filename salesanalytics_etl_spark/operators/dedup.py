@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import logging
 from collections.abc import Callable
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -139,8 +138,10 @@ def minhash_signatures(sh_rows: DataFrame) -> DataFrame:
     doc_id.
     """
     hashed = sh_rows.select("doc_id", F.xxhash64("sh").alias("h"))
+    # SQL-string aggregates (one py4j call each; int literal {i} is the
+    # same IntegerType operand F.lit(i) produced — identical hashes)
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
+        F.expr(f"min(xxhash64({i}, h))").alias(f"mh{i}")
         for i in range(N_HASHES)
     ]
     return hashed.groupBy("doc_id").agg(*aggs)
@@ -311,11 +312,14 @@ def estimate_filter(
         F.col("doc_id").alias("doc_b"),
         *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(N_HASHES)],
     )
-    agree = reduce(
-        lambda acc, i: acc
-        + F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0),
-        range(1, N_HASHES),
-        F.when(F.col("_a0") == F.col("_b0"), 1).otherwise(0),
+    # one SQL-string expression (single py4j call) — the former reduce
+    # of when/otherwise Columns cost ~5 py4j round-trips per term at
+    # DataFrame-construction time (r16 opt round); identical semantics
+    agree = F.expr(
+        " + ".join(
+            f"(case when _a{i} = _b{i} then 1 else 0 end)"
+            for i in range(N_HASHES)
+        )
     )
     return (
         candidates.join(a, "doc_a")
@@ -502,21 +506,23 @@ def _portable_banded(df: DataFrame, text_col: str = "text") -> DataFrame:
     raw = shingle_rows(df, text_col).select(
         "doc_id", md5_token_hash(F.col("sh")).alias("h")
     )
+    # SQL-string expressions (one py4j call each) — see estimate_filter's
+    # note on driver-side construction cost (r16 opt round); identical
+    # expression trees after parsing
     sigs = raw.groupBy("doc_id").agg(
         *[
-            F.min(F.col("h").bitwiseXOR(F.lit(perms[i]))).alias(f"mh{i}")
+            F.expr(f"min(h ^ {perms[i]}L)").alias(f"mh{i}")
             for i in range(N_HASHES)
         ]
     )
     band_keys = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"mh{i}")
-                    for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
-                ],
+        F.expr(
+            "md5(concat_ws(',', "
+            + ", ".join(
+                f"mh{i}"
+                for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
             )
+            + "))"
         )
         for b in range(N_BANDS)
     ]
@@ -1062,24 +1068,26 @@ def simhash_signatures(
         .select("doc_id", F.explode(toks).alias("tok"))
         .select("doc_id", hash_fn(F.col("tok")).alias("h"))
     )
+    # SQL-string expressions: one py4j call per vote aggregate / one for
+    # the 63-term fold, instead of the former Column-combinator loops
+    # whose ~10 py4j round-trips per term made DataFrame CONSTRUCTION a
+    # multi-second driver-side fixed cost per query (measured r16 opt
+    # round on the editnoise twin: build 3.5-14 s vs exec ~1 s).
+    # Semantics identical: CASE WHEN mirrors when/otherwise, bigint
+    # literals mirror the former cast('long') shapes.
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
+        F.expr(
+            f"sum(case when (shiftright(h, {b}) & 1) = 1"
+            " then 1 else -1 end)"
         ).alias(f"v{b}")
         for b in range(N_SIM_BITS)
     ]
     voted = exploded.groupBy("doc_id").agg(*votes)
-    sig = reduce(
-        lambda acc, b: acc
-        + F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
-        range(1, N_SIM_BITS),
-        F.when(F.col("v0") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
+    sig = F.expr(
+        " + ".join(
+            f"(case when v{b} > 0 then {2**b}L else 0L end)"
+            for b in range(N_SIM_BITS)
+        )
     )
     return voted.select("doc_id", sig.alias("simhash"))
 

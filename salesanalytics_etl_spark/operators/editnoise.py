@@ -352,12 +352,13 @@ def editnoise_lsh_audit(
     # signatures of BOTH sides in one doc-keyed agg: min is
     # duplicate-insensitive, so the raw (never distinct'd) shingle
     # stream feeds 2 x N_HASHES conditional partial-mins
+    # built as SQL strings — one py4j call per expression instead of the
+    # former ~10-call Column-combinator loops, which made DataFrame
+    # construction (driver Python) a multi-second fixed cost per audit
+    # (measured r16 opt round; semantics identical)
     sig_aggs = [
-        F.min(
-            F.when(
-                F.col("side") == side,
-                F.col("h").bitwiseXOR(F.lit(perms[i])),
-            )
+        F.expr(
+            f"min(case when side = '{side}' then h ^ {perms[i]}L end)"
         ).alias(f"{side}{i}")
         for side in ("o", "v")
         for i in range(N_HASHES)
@@ -366,41 +367,39 @@ def editnoise_lsh_audit(
     # when-form (not a bare cast of the equality): a sub-gram-length
     # side leaves its mins NULL, and NULL must count as "no match", not
     # poison the whole sum
-    match_cnt = sum(
-        F.when(F.col(f"o{i}") == F.col(f"v{i}"), 1).otherwise(0)
-        for i in range(N_HASHES)
+    match_cnt = F.expr(
+        " + ".join(
+            f"(case when o{i} = v{i} then 1 else 0 end)"
+            for i in range(N_HASHES)
+        )
     )
-    band_hits = sum(
-        F.when(
+    band_hits = F.expr(
+        " + ".join(
             # a band collides iff all its rows agree — exactly the
             # band_key (md5 of the concatenated rows) equality the
             # pipeline joins on
-            F.expr(
-                " and ".join(
-                    f"o{i} = v{i}"
-                    for i in range(
-                        b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND
-                    )
-                )
-            ),
-            1,
-        ).otherwise(0)
-        for b in range(N_BANDS)
+            "(case when "
+            + " and ".join(
+                f"o{i} = v{i}"
+                for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+            )
+            + " then 1 else 0 end)"
+            for b in range(N_BANDS)
+        )
     )
     sigstats = sigs.select(
         "doc_id",
         match_cnt.alias("match_cnt"),
         band_hits.alias("band_hits"),
     )
-    # exact Jaccard: distinct (doc, side, shingle-hash), then per-hash
-    # side membership, then per-doc sizes/overlap — all doc-keyed
-    per_h = (
-        ex.distinct()
-        .groupBy("doc_id", "h")
-        .agg(
-            F.max((F.col("side") == "o").cast("int")).alias("in_o"),
-            F.max((F.col("side") == "v").cast("int")).alias("in_v"),
-        )
+    # exact Jaccard: per-hash side membership, then per-doc sizes/overlap
+    # — all doc-keyed. No pre-distinct: the (doc_id, h) groupBy's ``max``
+    # flags are duplicate-insensitive, so the former ``ex.distinct()``
+    # exchange was redundant with the groupBy's own partial aggregation
+    # (guide §2.4; r16 opt round, results bit-identical)
+    per_h = ex.groupBy("doc_id", "h").agg(
+        F.max((F.col("side") == "o").cast("int")).alias("in_o"),
+        F.max((F.col("side") == "v").cast("int")).alias("in_v"),
     )
     stats = per_h.groupBy("doc_id").agg(
         F.sum("in_o").alias("sz_o"),
@@ -479,21 +478,28 @@ def editnoise_simhash_audit(
     toks = F.array_distinct(
         F.split(normalize_text(cjk_segment(F.col("txt"))), r"\s+")
     )
-    th = (
-        _sided(pairs)
-        .select("doc_id", "side", F.explode(toks).alias("tok"))
-        .distinct()
-        .select("doc_id", "side", md5_token_hash(F.col("tok")).alias("h"))
-    )
+    # NO distinct here: ``toks`` is already array_distinct per (doc, side)
+    # row and _sided emits each (doc_id, side) exactly once, so the
+    # exploded rows are globally unique — the pre-r16 ``.distinct()`` was
+    # a full token-grain exchange that changed nothing (optimization
+    # guide §2.4: remove shuffles outright; r16 opt round, results
+    # bit-identical)
+    th = _sided(pairs).select(
+        "doc_id", "side", F.explode(toks).alias("tok")
+    ).select("doc_id", "side", md5_token_hash(F.col("tok")).alias("h"))
+    # the 126 vote aggregates and the two 63-term signature folds are
+    # built as SQL strings (ONE py4j call per expression) — the former
+    # Column-combinator loops cost ~10 py4j round-trips per aggregate
+    # and made DataFrame CONSTRUCTION the dominant fixed cost of this
+    # audit (measured r16 opt round: build 3.5-14 s vs exec ~1 s at
+    # sf0.1). Expressions are semantically identical: CASE WHEN with no
+    # ELSE = the when().when() NULL default, bigint literals match the
+    # former cast('long') shapes.
     vote_aggs = [
-        F.sum(
-            F.when(
-                (F.col("side") == side)
-                & (
-                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1
-                ),
-                1,
-            ).when(F.col("side") == side, -1)
+        F.expr(
+            f"sum(case when side = '{side}' and"
+            f" (shiftright(h, {b}) & 1) = 1 then 1"
+            f" when side = '{side}' then -1 end)"
         ).alias(f"{side}{b}")
         for side in ("o", "v")
         for b in range(N_SIM_BITS)
@@ -501,26 +507,24 @@ def editnoise_simhash_audit(
     voted = th.groupBy("doc_id").agg(*vote_aggs)
 
     def _sig(side: str) -> Column:
-        out = F.lit(0).cast("long")
-        for b in range(N_SIM_BITS):
-            out = out + F.when(
-                F.col(f"{side}{b}") > 0, F.lit(2**b).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        return out
+        return F.expr(
+            " + ".join(
+                f"(case when {side}{b} > 0 then {2**b}L else 0L end)"
+                for b in range(N_SIM_BITS)
+            )
+        )
 
     sigs = voted.select(
         "doc_id", _sig("o").alias("so"), _sig("v").alias("sv")
     )
-    chunk_hit = F.greatest(
-        *[
-            (
-                F.shiftright(F.col("so"), 16 * c).bitwiseAND(F.lit(0xFFFF))
-                == F.shiftright(F.col("sv"), 16 * c).bitwiseAND(
-                    F.lit(0xFFFF)
-                )
-            ).cast("int")
+    chunk_hit = F.expr(
+        "greatest("
+        + ", ".join(
+            f"cast((shiftright(so, {16 * c}) & 65535)"
+            f" = (shiftright(sv, {16 * c}) & 65535) as int)"
             for c in range(4)
-        ]
+        )
+        + ")"
     )
     per = sigs.select(
         F.bit_count(F.col("so").bitwiseXOR(F.col("sv")))
@@ -603,18 +607,18 @@ def editnoise_winnow_audit(
             )
         )
 
-    exact = _pair_jaccard(
-        _gram_rows(SHINGLE_K, with_pos=False).distinct(), "j_bp"
-    )
+    # no pre-distinct on either side: _pair_jaccard's (doc_id, h) groupBy
+    # aggregates with duplicate-insensitive ``max`` flags, so the former
+    # ``.distinct()`` calls were redundant gram-grain exchanges (guide
+    # §2.4; r16 opt round, results bit-identical)
+    exact = _pair_jaccard(_gram_rows(SHINGLE_K, with_pos=False), "j_bp")
     w = (
         Window.partitionBy("doc_id", "side")
         .orderBy("i")
         .rowsBetween(-3, 0)
     )
-    winnowed = (
-        _gram_rows(8, with_pos=True)
-        .select("doc_id", "side", F.min("h").over(w).alias("h"))
-        .distinct()
+    winnowed = _gram_rows(8, with_pos=True).select(
+        "doc_id", "side", F.min("h").over(w).alias("h")
     )
     winnow = _pair_jaccard(winnowed, "w_bp")
     # LEFT join: a doc with >=1 5-gram but no 8-gram has an exact row

@@ -4146,6 +4146,11 @@ def q207_winnow_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_fps"),
             F.sum("d").cast("bigint").alias("n_occurrences"),
         )
+        # <=5 rows; materialized ONCE so the share join's broadcast side
+        # does not re-run the whole fingerprint+dfc subtree (the r16
+        # opt-round plan showed the scan->explode->md5->window->distinct
+        # ->groupBy tree TWICE — guide §5 on reuse; results identical)
+        .localCheckpoint()
     )
     tot = per.agg(F.sum("n_occurrences").alias("t"))
     return (
