@@ -3891,33 +3891,59 @@ def q204_winnow_slack_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(scores.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # persisted like winnow_near_dupes' verify stage: jaccard_verify
+    # consumes the sets frame through BOTH pair aliases, and unpersisted
+    # it computed twice (r16 opt round, stage metrics)
     sets = shingle_sets(
         shingle_rows(documents).join(docs_in_pairs, "doc_id", "left_semi")
-    )
+    ).persist()
     verified = jaccard_verify(
         scores.select("doc_a", "doc_b"), sets, 0.5
     ).select("doc_a", "doc_b", F.lit(1).alias("ok"))
     sc = scores.join(verified, ["doc_a", "doc_b"], "left").withColumn(
         "ok", F.coalesce(F.col("ok"), F.lit(0))
     )
-    slacks = spark.createDataFrame(
-        [(0,), (1000,), (2000,), (3000,)], "slack_bp int"
-    )
-    return (
-        slacks.join(
-            sc,
-            F.col("w_lb_bp") >= F.lit(5000) - F.col("slack_bp"),
-            "left",
-        )
-        .groupBy("slack_bp")
-        .agg(
-            F.count("doc_a").cast("bigint").alias("n_candidates"),
-            F.coalesce(F.sum("ok"), F.lit(0))
+    # r16 opt round: ONE conditional-aggregation pass over the scored
+    # candidates instead of the former non-equi LEFT join against a
+    # 4-row slack frame — the BroadcastNestedLoopJoin held the whole
+    # verify subtree unmaterialized beneath its build side. Per slack s:
+    # n_candidates = count(w_lb_bp >= 5000-s), n_verified = sum(ok)
+    # under the same cut — exactly what the left join + groupBy
+    # produced, including the no-match slack row (count 0/sum 0 via the
+    # unconditional aggregate + stack). Values identical; oracle
+    # unchanged.
+    slacks = [0, 1000, 2000, 3000]
+    aggs = []
+    for s in slacks:
+        cond = F.col("w_lb_bp") >= F.lit(5000 - s)
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0))
             .cast("bigint")
-            .alias("n_verified"),
+            .alias(f"c{s}")
+        )
+        aggs.append(
+            F.sum(F.when(cond, F.col("ok")).otherwise(0))
+            .cast("bigint")
+            .alias(f"v{s}")
+        )
+    stack_args = ", ".join(
+        f"{s}, coalesce(c{s}, 0L), coalesce(v{s}, 0L)" for s in slacks
+    )
+    out = (
+        sc.agg(*aggs)
+        .select(
+            F.expr(
+                f"stack({len(slacks)}, {stack_args})"
+                " as (slack_bp, n_candidates, n_verified)"
+            )
         )
         .orderBy("slack_bp")
+        # 4 rows; materialized so the sets pin can be released here
+        # instead of leaking into the sweep (the lazy-persist trap)
+        .localCheckpoint()
     )
+    sets.unpersist()
+    return out
 
 
 def _winnow_cluster_oracle() -> str:
