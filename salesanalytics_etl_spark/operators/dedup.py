@@ -176,9 +176,16 @@ def lsh_candidates(
     exactly where the drop hurt most (m just over the cap). R=0 (the
     default) is byte-identical to the pre-r14 drop behavior.
     """
+    # SQL-string band hashes (one py4j call each — r16 opt round, see
+    # estimate_filter); identical xxhash64 over the same operands
     band_hashes = [
-        F.xxhash64(
-            *[F.col(f"mh{i}") for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
+        F.expr(
+            "xxhash64("
+            + ", ".join(
+                f"mh{i}"
+                for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+            )
+            + ")"
         )
         for b in range(N_BANDS)
     ]
@@ -304,13 +311,12 @@ def estimate_filter(
     hash joins on doc id + 32 codegen'd comparisons per pair, instead of
     materializing shingle sets and running array_intersect on each.
     """
-    a = sigs.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(N_HASHES)],
+    # selectExpr: one py4j call per frame (r16 opt round)
+    a = sigs.selectExpr(
+        "doc_id as doc_a", *[f"mh{i} as _a{i}" for i in range(N_HASHES)]
     )
-    b = sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(N_HASHES)],
+    b = sigs.selectExpr(
+        "doc_id as doc_b", *[f"mh{i} as _b{i}" for i in range(N_HASHES)]
     )
     # one SQL-string expression (single py4j call) — the former reduce
     # of when/otherwise Columns cost ~5 py4j round-trips per term at
@@ -844,9 +850,10 @@ def source_minhash_signatures(
         .select(key_col, F.expr("substr(norm, i, 5)").alias("g"))
         .select(key_col, md5_token_hash(F.col("g")).alias("h"))
     )
+    # SQL-string aggregates (one py4j call each — r16 opt round)
     return h.groupBy(key_col).agg(
         *[
-            F.min(F.col("h").bitwiseXOR(F.lit(perms[i]))).alias(f"mh{i}")
+            F.expr(f"min(h ^ {perms[i]}L)").alias(f"mh{i}")
             for i in range(N_HASHES)
         ]
     )
@@ -867,17 +874,21 @@ def signature_pair_estimates(
     collect; the frame is |keys| rows, so the checkpoint is trivially
     bounded."""
     sigs = sigs.localCheckpoint()
-    a = sigs.select(
-        F.col(key_col).alias("source_a"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    # selectExpr / SQL-string forms: one py4j call per frame instead of
+    # two per column (r16 opt round); identical projections
+    a = sigs.selectExpr(
+        f"{key_col} as source_a",
+        *[f"mh{i} as a{i}" for i in range(N_HASHES)],
     )
-    b = sigs.select(
-        F.col(key_col).alias("source_b"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    b = sigs.selectExpr(
+        f"{key_col} as source_b",
+        *[f"mh{i} as b{i}" for i in range(N_HASHES)],
     )
-    matching = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        for i in range(N_HASHES)
+    matching = F.expr(
+        " + ".join(
+            f"(case when a{i} = b{i} then 1 else 0 end)"
+            for i in range(N_HASHES)
+        )
     )
     return (
         a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))

@@ -143,22 +143,25 @@ def bloom_membership_audit(
         )
         .distinct()  # ≤ BLOOM_M rows — the filter itself
     )
-    ppos = probes.select(
-        F.col(probe_key).alias("pk"),
-        F.explode(_bloom_positions(F.col(probe_key))).alias("pos"),
-    )
-    hits = (
-        ppos.join(F.broadcast(mpos), "pos")
-        .groupBy("pk")
-        .agg(F.count(F.lit(1)).alias("nhit"))
-        .filter(F.col("nhit") == BLOOM_K)
-        .select("pk")
-    )
+    # ONE pass over the probe stream (r16 opt round, guide §2.3/2.4):
+    # distinct -> explode(k) -> broadcast LEFT join against the filter ->
+    # groupBy pk, which reuses the distinct's pk partitioning. The former
+    # shape probed the RAW stream and re-read probes a second time for
+    # the audit join — two probe passes and an extra pk shuffle for the
+    # same nhit arithmetic (a probe is bloom-positive iff all k exploded
+    # position rows match, duplicate positions counted per row exactly
+    # as before).
     truth = members.select(F.col(member_key).alias("pk")).distinct()
     audit = (
         probes.select(F.col(probe_key).alias("pk"))
         .distinct()
-        .join(hits.withColumn("_pos", F.lit(1)), "pk", "left")
+        .select("pk", F.explode(_bloom_positions(F.col("pk"))).alias("pos"))
+        .join(F.broadcast(mpos.withColumn("_hit", F.lit(1))), "pos", "left")
+        .groupBy("pk")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("nhit"))
+        .withColumn(
+            "_pos", F.when(F.col("nhit") == BLOOM_K, F.lit(1))
+        )
         .join(truth.withColumn("_mem", F.lit(1)), "pk", "left")
     )
     return audit.agg(
@@ -409,7 +412,12 @@ def bloom_decontaminate_audit(
             ).alias("pos"),
         )
 
-    bench_h = grams(benchmark).select("h").distinct()
+    # both persisted + eager (r16 opt round): bench_h feeds the filter
+    # build AND the exact semi-join, corpus_h feeds the bloom probe AND
+    # the exact side — unpersisted, each consumer re-ran the full
+    # ngram-explode+md5+distinct subtree (the round-7 self-join lesson)
+    bench_h = grams(benchmark).select("h").distinct().persist()
+    bench_h.count()
     # pack the filter into 64-bit words: <= m_bits/64 rows of bigint —
     # a genuine bitset relation, broadcast-safe at any practical m_bits
     filter_words = (
@@ -421,7 +429,8 @@ def bloom_decontaminate_audit(
             ).alias("bits")
         )
     )
-    corpus_h = grams(corpus).select("doc_id", "h").distinct()
+    corpus_h = grams(corpus).select("doc_id", "h").distinct().persist()
+    corpus_h.count()
 
     # Bloom hit: ALL k positions present — a probe position whose word
     # is absent (inner join) or whose bit is clear is a miss
@@ -465,7 +474,7 @@ def bloom_decontaminate_audit(
     )
     # FP rate over docs the exact join clears, in bp (floor-round):
     # denominator is clean docs (guard the all-contaminated corpus)
-    return agg.select(
+    out = agg.select(
         "n_corpus_docs",
         "n_flagged_exact",
         "n_flagged_bloom",
@@ -477,4 +486,9 @@ def bloom_decontaminate_audit(
         )
         .cast("bigint")
         .alias("fp_doc_bp"),
-    )
+        # ONE row; materialized so the persisted gram frames can be
+        # released here instead of leaking into the sweep
+    ).localCheckpoint()
+    bench_h.unpersist()
+    corpus_h.unpersist()
+    return out
