@@ -1637,9 +1637,14 @@ def sampled_shingle_boilerplate(
         .distinct()
         .filter(F.col("h") % mod == 0)
     )
-    df_ = sh.groupBy("h").agg(F.count(F.lit(1)).alias("d"))
+    # window-count doc frequency — q177's r16 shape: ONE h-keyed
+    # exchange and a single-consumer sh subtree, vs groupBy + join-back
+    # (two h exchanges at scale, sh computed once per consumer); values
+    # identical
     return (
-        sh.join(df_, "h")
+        sh.withColumn(
+            "d", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),

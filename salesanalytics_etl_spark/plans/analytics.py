@@ -1522,15 +1522,24 @@ def q177_boilerplate_fraction(
         shingle_rows,
     )
 
+    from pyspark.sql import Window
+
     (documents,) = _t(spark, sf_dir, "documents")
     sh = (
         shingle_rows(documents)
         .select("doc_id", md5_token_hash(F.col("sh")).alias("h"))
         .distinct()
     )
-    df_ = sh.groupBy("h").agg(F.count(F.lit(1)).alias("d"))
+    # doc frequency as a WINDOW count over the h partition (r16 opt
+    # round, guide §2.4): the former groupBy(h) + join-back consumed the
+    # sh subtree twice and at scale needs TWO h-keyed exchanges (the
+    # vocab-grain frequency frame cannot broadcast); the window shares
+    # ONE h exchange and leaves sh single-consumer. Values identical
+    # (measured equal at sf0.1; 5 stages/41 tasks vs 7/69).
     per_doc = (
-        sh.join(df_, "h")
+        sh.withColumn(
+            "d", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -2002,15 +2011,20 @@ def q182_boilerplate_sample_error(
         shingle_rows,
     )
 
+    from pyspark.sql import Window
+
     (documents,) = _t(spark, sf_dir, "documents")
     sh = (
         shingle_rows(documents)
         .select("doc_id", md5_token_hash(F.col("sh")).alias("h"))
         .distinct()
     )
-    edf = sh.groupBy("h").agg(F.count(F.lit(1)).alias("d"))
+    # window-count doc frequency — q177's r16 shape (one h exchange,
+    # sh consumed once); values identical
     exact_doc = (
-        sh.join(edf, "h")
+        sh.withColumn(
+            "d", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_sh"),
