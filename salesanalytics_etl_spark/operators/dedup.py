@@ -1160,6 +1160,13 @@ def simhash_near_dupes(
             )
         ).alias("chunk_id", "chunk_val"),
     )
+    if recover_rounds > 0:
+        # doc-grain ×4 rows, consumed by BOTH the base-bucket path and
+        # the over-cap recovery path — checkpointed so the signature
+        # aggregation (the pipeline's dominant exchange) runs once, not
+        # once per branch (r16 opt round; the winnow recovery branch got
+        # the same fix in the r16 build's post-close review)
+        chunks = chunks.localCheckpoint()
     # same bucket-list pair generation as the MinHash path: carry
     # (doc_id, simhash) structs so the Hamming check needs no join back.
     # Truncate-at-cap+1 before collecting (see lsh_candidates) so one
@@ -1816,8 +1823,14 @@ def winnow_near_dupes(
             .agg(F.min("h").alias("g"))
         )
         rw = Window.partitionBy("r", "g").orderBy("doc_id")
-        rmem = salted.withColumn("_rn", F.row_number().over(rw)).filter(
-            F.col("_rn") <= max_bucket
+        # bounded (≤ |docs|·R rows after the per-round min) and consumed
+        # by BOTH self-join aliases — checkpointed so the salted
+        # explode+md5+min+window subtree runs once, not once per alias
+        # (r16 opt round; the round-7 self-join lesson)
+        rmem = (
+            salted.withColumn("_rn", F.row_number().over(rw))
+            .filter(F.col("_rn") <= max_bucket)
+            .localCheckpoint()
         )
         ra = rmem.select("r", "g", F.col("doc_id").alias("doc_a"))
         rb = rmem.select("r", "g", F.col("doc_id").alias("doc_b"))
@@ -1832,10 +1845,13 @@ def winnow_near_dupes(
             .unionByName(rcand.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
+        # candidate-doc-grain and consumed by BOTH pair aliases —
+        # checkpointed for the same reason as rmem
         fpsets = (
             fps.join(rdocs, "doc_id", "left_semi")
             .groupBy("doc_id")
             .agg(F.collect_set("fp").alias("fset"))
+            .localCheckpoint()
         )
         fa = fpsets.select(
             F.col("doc_id").alias("doc_a"), F.col("fset").alias("fset_a")
