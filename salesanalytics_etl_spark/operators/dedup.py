@@ -141,7 +141,7 @@ def minhash_signatures(sh_rows: DataFrame) -> DataFrame:
     # SQL-string aggregates (one py4j call each; int literal {i} is the
     # same IntegerType operand F.lit(i) produced — identical hashes)
     aggs = [
-        F.expr(f"min(xxhash64({i}, h))").alias(f"mh{i}")
+        F.expr(f"min(xxhash64({i}, h)) as mh{i}")
         for i in range(N_HASHES)
     ]
     return hashed.groupBy("doc_id").agg(*aggs)
@@ -517,7 +517,7 @@ def _portable_banded(df: DataFrame, text_col: str = "text") -> DataFrame:
     # expression trees after parsing
     sigs = raw.groupBy("doc_id").agg(
         *[
-            F.expr(f"min(h ^ {perms[i]}L)").alias(f"mh{i}")
+            F.expr(f"min(h ^ {perms[i]}L) as mh{i}")
             for i in range(N_HASHES)
         ]
     )
@@ -853,7 +853,7 @@ def source_minhash_signatures(
     # SQL-string aggregates (one py4j call each — r16 opt round)
     return h.groupBy(key_col).agg(
         *[
-            F.expr(f"min(h ^ {perms[i]}L)").alias(f"mh{i}")
+            F.expr(f"min(h ^ {perms[i]}L) as mh{i}")
             for i in range(N_HASHES)
         ]
     )
@@ -1089,8 +1089,8 @@ def simhash_signatures(
     votes = [
         F.expr(
             f"sum(case when (shiftright(h, {b}) & 1) = 1"
-            " then 1 else -1 end)"
-        ).alias(f"v{b}")
+            f" then 1 else -1 end) as v{b}"
+        )
         for b in range(N_SIM_BITS)
     ]
     voted = exploded.groupBy("doc_id").agg(*votes)

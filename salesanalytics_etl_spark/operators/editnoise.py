@@ -359,7 +359,8 @@ def editnoise_lsh_audit(
     sig_aggs = [
         F.expr(
             f"min(case when side = '{side}' then h ^ {perms[i]}L end)"
-        ).alias(f"{side}{i}")
+            f" as {side}{i}"
+        )
         for side in ("o", "v")
         for i in range(N_HASHES)
     ]
@@ -499,8 +500,8 @@ def editnoise_simhash_audit(
         F.expr(
             f"sum(case when side = '{side}' and"
             f" (shiftright(h, {b}) & 1) = 1 then 1"
-            f" when side = '{side}' then -1 end)"
-        ).alias(f"{side}{b}")
+            f" when side = '{side}' then -1 end) as {side}{b}"
+        )
         for side in ("o", "v")
         for b in range(N_SIM_BITS)
     ]
