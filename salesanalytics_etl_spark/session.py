@@ -58,6 +58,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Whole-stage codegen bails out above 100 schema fields
+        # (spark.sql.codegen.maxFields default) and the operator falls
+        # back to interpreted evaluation — the SimHash/MinHash vote and
+        # signature stages carry 126-129 columns (63 bit-votes x 2
+        # sides, 32 minhash lanes x 2 aliases) and ran interpreted.
+        # Raising the cap to 200 re-enables codegen for exactly those
+        # plans: measured 5.5x on the simhash family at sf0.1
+        # (interleaved A/B, r16 opt round). Not a local-only tune —
+        # the same stages run interpreted on any cluster at the
+        # default; 200 keeps truly enormous projections on the
+        # interpreted path.
+        .config("spark.sql.codegen.maxFields", "200")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
