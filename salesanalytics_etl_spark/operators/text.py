@@ -124,8 +124,16 @@ def lang_id(
         F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
     )
     # `keep` passes metadata columns through the same projection so
-    # consumers (e.g. the q88 confusion matrix) never need a self-join
-    return df.select("doc_id", *keep, pred.alias("lang_pred"))
+    # consumers (e.g. the q88 confusion matrix) never need a self-join.
+    # spread first (r16 opt round): the marker regex_counts are the cost
+    # and a single-file corpus scan plans as ONE task, serializing the
+    # whole regex pass — same trap as the explode operators (row-level
+    # projection, values unchanged).
+    from salesanalytics_etl_spark.operators.dedup import spread_partitions
+
+    return spread_partitions(df.select("doc_id", *keep, text_col)).select(
+        "doc_id", *keep, pred.alias("lang_pred")
+    )
 
 
 def chunk_documents(
