@@ -40,37 +40,41 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-# Round-16 rotation (driver records the FIRST 50 entries). Self-counting
-# arithmetic (the r10/r13 failure mode was headers contradicting it):
-# 6 new + 4 re-stamps + 40 roll-debt = 50. Priority order:
-# (0) the 6 queries NEW this round, ZERO driver records: q202 (the
-#     winnowing near-dup PIPELINE — the r15 handoff item: fingerprints
-#     -> capped inverted index -> measured-slack estimate filter ->
-#     exact verify), q203 (its per-decile recall vs brute-force exact
-#     ground truth), q204 (the slack-sensitivity curve that
-#     VALUE-gates the 3000 bp knob), q205 (the q166 dedup-yield report
-#     over the new family's transitive clusters) and q206 (the
-#     min-fingerprint-band recovery gate — cap 4, recover_bands 3 —
-#     for the cap-collapse the 30x probe found: recall 0.000 on
-#     replica corpora when every posting list blows the stopword cap)
-#     and q207 (the winnow index-health audit that makes the collapse
-#     mechanism a one-query pre-flight: posting-list dfc distribution
-#     + kept-occurrence share in bp).
-# (1) 4 code-changed re-stamps: q197/q198/q199 (the reorder-mode
-#     segment id moved from float division + int cast to SQL `div` —
-#     integer arithmetic end-to-end per r15 ADVICE; values identical,
-#     the stamp proves it on current code) and q60 (its body now calls
-#     the factored winnow_fingerprints operator q202 shares).
-# (2) 40 roll-debt rows, oldest records first:
-#     - ALL 20 remaining r11-era rows (q166, q167, q168, q169, q171,
-#       q50, q64, q67, q73, q74, q82, q85, q87, q88, q89, q91, q92,
-#       q95, q96, q97 — the r15 handoff list); after this window
-#       stamps them, NO driver record is older than r12;
-#     - the 20 oldest r12-era rows in query order (q05-q14, q17, q18,
-#       q20, q21, q22, q24, q47, q65, q66, q70). The 18 r12 rows
-#       after q70 (q71, q81, q86, q90, q106, q118, q126, q127, q128,
-#       q130, q132, q133, q173, q174, q175, q177, q179, q180) roll
-#       to r17.
+# Round-16 rotation, RECOMPOSED by the optimization round (driver
+# records the FIRST 50 entries; the r13 rule: any query whose operator
+# code changes goes back into the window so its driver row re-stamps on
+# current code). Self-counting arithmetic (the r10/r13 failure mode was
+# headers contradicting the list): 6 new + 28 code-changed re-stamps +
+# 16 roll-debt = 50. Priority order:
+# (0) the 6 queries NEW in the r16 build, ZERO driver records:
+#     q202-q207 (winnow near-dup pipeline + its recall/slack/cluster/
+#     recovery/index-health audits — see the r16 build notes in
+#     ROUND16.md). q204/q206/q207 ALSO changed in the optimization
+#     round (slack conditional-agg rewrite; recovery-branch
+#     checkpoints; bucket-frame checkpoint).
+# (1) 28 code-changed re-stamps — every query whose operator code the
+#     r16 OPTIMIZATION round touched (OPTIMIZATION_r16.md has the
+#     per-query log; results verified identical by strict_compare at
+#     sf0.01 after each change):
+#     - editnoise audits (redundant-distinct removal + SQL-string
+#       aggregates): q186, q187, q189, q193, q194, q195, q197, q198,
+#       q199;
+#     - simhash (SQL-string votes/fold + recovery-branch chunk
+#       checkpoint): q26, q201;
+#     - MinHash/LSH family (SQL-string signatures/band keys/agreement
+#       sums): q109, q116, q170, q172, q176, q183, q196, q178;
+#     - bloom audits (fused probe pass / persisted gram frames): q114,
+#       q192, q200;
+#     - boilerplate family (window-count doc frequency): q177, q181,
+#       q182;
+#     - lang_id spread: q24, q88;
+#     - q60 (r16 build: factored winnow_fingerprints — stamp retained).
+# (2) 16 roll-debt rows, oldest records first: r11-era q166, q167,
+#     q168, q169, q171, q50, q64, q67, q73, q74, q82, q85, q87, q89,
+#     q91, q92 (q88 is already in (1)). The 3 remaining r11-era rows
+#     (q95, q96, q97) and the r12-era tail roll to r17 — the
+#     optimization round's re-stamp obligation outranks finishing the
+#     freshness program in one window.
 # Every name here is also swept by tests/test_queries.py +
 # tests/strict_gate.py against the same oracles, so reordering changes
 # what the driver RECORDS, never what is verified.
@@ -82,12 +86,36 @@ _CHECK_FIRST = [
     "q205_winnow_cluster_histogram",
     "q206_winnow_recovery_gate",
     "q207_winnow_index_health",
-    # --- (1) code-changed re-stamps ---
+    # --- (1) 28 code-changed re-stamps (optimization round) ---
+    "q186_editnoise_lsh_recall",
+    "q187_editnoise_simhash",
+    "q189_editnoise_winnow_fidelity",
+    "q193_editnoise_mixed_lsh",
+    "q194_editnoise_mixed_simhash",
+    "q195_editnoise_mixed_winnow",
     "q197_editnoise_reorder_lsh",
     "q198_editnoise_reorder_simhash",
     "q199_editnoise_reorder_winnow",
+    "q26_simhash_neardup",
+    "q201_simhash_recovery_gate",
+    "q109_minhash_lsh_replay",
+    "q116_lsh_bucket_audit",
+    "q170_source_shingle_jaccard",
+    "q172_source_minhash_jaccard",
+    "q176_source_jaccard_sketch_error",
+    "q183_sampled_neardup_replay",
+    "q196_sampled_neardup_recovery",
+    "q178_split_neardup_leakage",
+    "q114_bloom_membership_audit",
+    "q192_bloom_decontamination_audit",
+    "q200_bloom_sized_audit",
+    "q177_boilerplate_fraction",
+    "q181_boilerplate_sampled",
+    "q182_boilerplate_sample_error",
+    "q24_docs_langid",
+    "q88_lang_metadata_agreement",
     "q60_winnowing_fingerprints",
-    # --- (2) 40 roll-debt rows, oldest first (arithmetic above) ---
+    # --- (2) 16 roll-debt rows, oldest first (arithmetic above) ---
     "q166_cluster_size_histogram",
     "q167_orphan_rate_trend",
     "q168_k_anonymity_audit",
@@ -101,33 +129,9 @@ _CHECK_FIRST = [
     "q82_approx_percentile_sketch",
     "q85_compression_quality",
     "q87_stratified_cap_sample",
-    "q88_lang_metadata_agreement",
     "q89_embedding_cluster_stats",
     "q91_cohort_retention",
     "q92_part_cooccurrence",
-    "q95_sentence_split_udtf",
-    "q96_event_transition_matrix",
-    "q97_daily_sales_anomalies",
-    "q05_top_products",
-    "q06_top_customers",
-    "q07_status_histogram",
-    "q08_avg_order_value",
-    "q09_parts_no_sales",
-    "q10_customers_no_orders",
-    "q11_last_order_details",
-    "q12_order_totals",
-    "q13_order_reconciliation",
-    "q14_sales_daterange",
-    "q17_view_sales_by_day_sql",
-    "q18_running_daily_sales",
-    "q20_docs_fingerprint",
-    "q21_docs_exact_dedupe",
-    "q22_docs_token_stats",
-    "q24_docs_langid",
-    "q47_docs_chunking",
-    "q65_tfidf_top_terms",
-    "q66_inverted_index",
-    "q70_benchmark_decontamination",
 ]
 
 
