@@ -412,12 +412,16 @@ def bloom_decontaminate_audit(
             ).alias("pos"),
         )
 
-    # both persisted + eager (r16 opt round): bench_h feeds the filter
-    # build AND the exact semi-join, corpus_h feeds the bloom probe AND
-    # the exact side — unpersisted, each consumer re-ran the full
-    # ngram-explode+md5+distinct subtree (the round-7 self-join lesson)
+    # bench_h persisted (r16 opt round): it feeds the filter build AND
+    # the exact semi-join, and the benchmark side is small by contract
+    # (eval suites), so caching it is free and saves one gram pass.
+    # corpus_h is deliberately NOT persisted: its two consumers re-run a
+    # parallel map-side scan+md5+distinct, which at 100 TB is cheaper
+    # than writing a corpus-gram-sized cache (guide §5 — cache only when
+    # recompute costs more than the pressure it creates; the eager-
+    # persist variant also measured ~0.5-0.9 s SLOWER at sf0.1,
+    # interleaved A/B).
     bench_h = grams(benchmark).select("h").distinct().persist()
-    bench_h.count()
     # pack the filter into 64-bit words: <= m_bits/64 rows of bigint —
     # a genuine bitset relation, broadcast-safe at any practical m_bits
     filter_words = (
@@ -429,8 +433,7 @@ def bloom_decontaminate_audit(
             ).alias("bits")
         )
     )
-    corpus_h = grams(corpus).select("doc_id", "h").distinct().persist()
-    corpus_h.count()
+    corpus_h = grams(corpus).select("doc_id", "h").distinct()
 
     # Bloom hit: ALL k positions present — a probe position whose word
     # is absent (inner join) or whose bit is clear is a miss
@@ -486,9 +489,8 @@ def bloom_decontaminate_audit(
         )
         .cast("bigint")
         .alias("fp_doc_bp"),
-        # ONE row; materialized so the persisted gram frames can be
-        # released here instead of leaking into the sweep
+        # ONE row; materialized so the bench_h pin can be released here
+        # instead of leaking into the sweep
     ).localCheckpoint()
     bench_h.unpersist()
-    corpus_h.unpersist()
     return out
