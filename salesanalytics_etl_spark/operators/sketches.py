@@ -412,16 +412,20 @@ def bloom_decontaminate_audit(
             ).alias("pos"),
         )
 
-    # bench_h persisted (r16 opt round): it feeds the filter build AND
-    # the exact semi-join, and the benchmark side is small by contract
-    # (eval suites), so caching it is free and saves one gram pass.
-    # corpus_h is deliberately NOT persisted: its two consumers re-run a
-    # parallel map-side scan+md5+distinct, which at 100 TB is cheaper
-    # than writing a corpus-gram-sized cache (guide §5 — cache only when
-    # recompute costs more than the pressure it creates; the eager-
-    # persist variant also measured ~0.5-0.9 s SLOWER at sf0.1,
-    # interleaved A/B).
-    bench_h = grams(benchmark).select("h").distinct().persist()
+    # r17 opt round: the corpus gram frame is consumed ONCE — the exact
+    # flag rides the probe explode as a broadcast-marker column, so the
+    # former second consumer (exact semi-join) no longer re-runs the
+    # corpus scan+ngram+md5+distinct. At 100 TB that halves the corpus-
+    # side work (the only data-proportional term). No persist anywhere:
+    # bench_h is recomputed by its two broadcast builds (benchmark side
+    # is eval-suite-small by contract), which interleaved A/B measured
+    # within noise of persisting it, without the cache pin + eager
+    # release barrier the r16 shape paid (4-way A/B at sf0.1, min-of-4:
+    # onepass 3.18/3.13 s vs r16-persist 3.30/3.06 s vs two-pass
+    # original 3.71/3.67 s for m=2^20/2^22; jobs 10 vs 13 vs 11;
+    # outputs row-identical in the FP-exercising 30x mixed-edit probe,
+    # 18931 FP docs).
+    bench_h = grams(benchmark).select("h").distinct()
     # pack the filter into 64-bit words: <= m_bits/64 rows of bigint —
     # a genuine bitset relation, broadcast-safe at any practical m_bits
     filter_words = (
@@ -435,34 +439,44 @@ def bloom_decontaminate_audit(
     )
     corpus_h = grams(corpus).select("doc_id", "h").distinct()
 
-    # Bloom hit: ALL k positions present — a probe position whose word
-    # is absent (inner join) or whose bit is clear is a miss
-    probe = positions(corpus_h).withColumn("w", F.expr("pos div 64"))
-    bloom_hits = (
-        probe.join(F.broadcast(filter_words), "w")
-        .filter(
-            F.expr(
-                "(bits & shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))) != 0"
-            )
-        )
-        .groupBy("doc_id", "h")
-        .agg(F.count(F.lit(1)).alias("k_hit"))
-        .filter(F.col("k_hit") == k_hashes)
-        .select("doc_id")
-        .distinct()
+    # ONE pass over corpus grams. The exact-contamination flag is a
+    # broadcast LEFT-join marker (_bh: h in bench_h — exactly the old
+    # left_semi), carried through the k-way position explode; the Bloom
+    # flag per gram is "all k positions hit a set bit", counted over a
+    # LEFT join against the word relation (a missing word or a clear
+    # bit contributes 0 — identical to the old inner-join+filter count,
+    # which dropped those rows before the ==k test). The groupBy
+    # (doc_id, h) reuses the distinct's partitioning (no new exchange);
+    # the doc rollup replaces the old shape's TWO doc-grain distincts +
+    # two joins with one groupBy + one join.
+    marked = corpus_h.join(
+        F.broadcast(bench_h.withColumn("_bh", F.lit(1))), "h", "left"
     )
-    exact_hits = (
-        corpus_h.join(F.broadcast(bench_h), "h", "left_semi")
-        .select("doc_id")
-        .distinct()
+    probe = positions(marked).withColumn("w", F.expr("pos div 64"))
+    per_gram = (
+        probe.join(F.broadcast(filter_words), "w", "left")
+        .groupBy("doc_id", "h")
+        .agg(
+            F.sum(
+                F.expr(
+                    "case when bits is not null and (bits & "
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))) != 0 "
+                    "then 1 else 0 end"
+                )
+            ).alias("k_hit"),
+            F.max("_bh").alias("_bh"),
+        )
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.max((F.col("k_hit") == k_hashes).cast("int")).alias("bloom_f0"),
+        F.max(F.coalesce("_bh", F.lit(0))).alias("exact_f0"),
     )
     flags = (
         corpus.select("doc_id")
-        .join(bloom_hits.withColumn("bloom_f", F.lit(1)), "doc_id", "left")
-        .join(exact_hits.withColumn("exact_f", F.lit(1)), "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
-            F.coalesce("bloom_f", F.lit(0)).alias("bloom_f"),
-            F.coalesce("exact_f", F.lit(0)).alias("exact_f"),
+            F.coalesce("bloom_f0", F.lit(0)).alias("bloom_f"),
+            F.coalesce("exact_f0", F.lit(0)).alias("exact_f"),
         )
     )
     agg = flags.agg(
@@ -477,7 +491,7 @@ def bloom_decontaminate_audit(
     )
     # FP rate over docs the exact join clears, in bp (floor-round):
     # denominator is clean docs (guard the all-contaminated corpus)
-    out = agg.select(
+    return agg.select(
         "n_corpus_docs",
         "n_flagged_exact",
         "n_flagged_bloom",
@@ -489,8 +503,4 @@ def bloom_decontaminate_audit(
         )
         .cast("bigint")
         .alias("fp_doc_bp"),
-        # ONE row; materialized so the bench_h pin can be released here
-        # instead of leaking into the sweep
-    ).localCheckpoint()
-    bench_h.unpersist()
-    return out
+    )

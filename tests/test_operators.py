@@ -828,6 +828,10 @@ def test_bloom_decontaminate_sizing_monotonicity(spark):
         rows.append(
             (d, " ".join(f"tok{base}x{j}" for j in range(20)))
         )
+    # doc 8: 5 tokens < n=13 -> ZERO grams; must still be counted in
+    # n_corpus_docs and never flagged (r17 one-pass shape: such docs
+    # only exist on the left of the final doc join)
+    rows.append((8, "short doc with five tokens"[:26]))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     bench = docs.filter(F.col("doc_id") == 0)
     corpus = docs.filter(F.col("doc_id") != 0)
@@ -839,6 +843,7 @@ def test_bloom_decontaminate_sizing_monotonicity(spark):
         corpus, bench, m_bits=1 << 16
     ).collect()[0]
     for r in (tiny, sized):
+        assert r.n_corpus_docs == 8  # incl. the gram-less doc 8
         assert r.n_flagged_exact == 3  # docs 1-3
         assert r.n_flagged_bloom >= r.n_flagged_exact  # no false negative
     # deterministic md5 values, rederived in pure Python: the m=64
