@@ -1411,9 +1411,18 @@ def exact_jaccard_join(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.col("sz") - ceil_t_sz + 1)
         .select("doc_id", "sh", "sz", "rn")
-        .persist()  # consumed by BOTH sides of the candidate self-join
+        # consumed by BOTH sides of the candidate self-join. persist()
+        # WITHOUT an eager count (r17 opt round): the two join aliases
+        # resolve to the same InMemoryRelation, so the DAGScheduler
+        # shares its stages within the cands action even before the
+        # cache lands — measured identical shuffle bytes with/without
+        # the barrier job, and dropping it cut 1 job + ~0.6 s at sf0.1.
+        # (sets_rows above is different: dropping ITS count raced the
+        # base distinct across the three pref subtrees and doubled
+        # shuffle write 3.85->8.16 MB in 2 of 10 A/B rounds — that
+        # barrier is load-bearing; these two are not.)
+        .persist()
     )
-    pref.count()
     a = pref.select(
         F.col("doc_id").alias("doc_a"),
         "sh",
@@ -1491,9 +1500,8 @@ def exact_jaccard_join(
         sets_rows.join(docs_in_pairs, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("sh").alias("hs"))  # sh is already the 64-bit hash
-        .persist()
+        .persist()  # no eager count — see pref above (same alias pair)
     )
-    hsets.count()
     ha = hsets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("h_a"))
     hb = hsets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("h_b"))
     # cast BEFORE the ×10000: size() is a 32-bit int, and a doc of

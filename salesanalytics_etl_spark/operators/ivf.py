@@ -136,7 +136,11 @@ def cosine_topk_ivf(
     c_assign = _assign_udf(centroids, 1)
     q_assign = _assign_udf(centroids, n_probe)
 
-    c = corpus.select(
+    from salesanalytics_etl_spark.operators.dedup import spread_partitions
+
+    # spread before the per-row pandas assignment UDF — single-file
+    # scans otherwise run it on ONE task (r17, the q24/q190 lesson)
+    c = spread_partitions(corpus, by=id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.element_at(c_assign(F.col(vec_col)), 1).alias("cluster"),
@@ -199,8 +203,13 @@ def assign_clusters(
             }
         )
 
-    return corpus.withColumn("_a", assign(F.col(vec_col))).select(
-        *corpus.columns, "_a.cluster", "_a.centroid_sim"
+    from salesanalytics_etl_spark.operators.dedup import spread_partitions
+
+    # spread before the per-row pandas assignment UDF (r17, q24/q190)
+    return (
+        spread_partitions(corpus, by=id_col)
+        .withColumn("_a", assign(F.col(vec_col)))
+        .select(*corpus.columns, "_a.cluster", "_a.centroid_sim")
     )
 
 
@@ -282,7 +291,12 @@ def portable_cell_assignment(
     # F.aggregate form, so the quotient is bit-identical while the
     # expression tree shrinks ~3× (16 norm-aggregates of 64-literal
     # arrays were pure compile/eval overhead)
-    c = corpus.select(
+    from salesanalytics_etl_spark.operators.dedup import spread_partitions
+
+    # spread the corpus scan before the argmax projection: a single-file
+    # scan runs the n_cells x dim dot products on ONE task (r17; the
+    # q24/q190 lesson — plan-metadata guard, no-op on wide sources)
+    c = spread_partitions(corpus, by=id_col).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec")
     ).withColumn("_cn", _norm(F.col("c_vec")))
     cands = []

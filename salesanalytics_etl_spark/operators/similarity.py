@@ -209,10 +209,17 @@ def cosine_topk_bruteforce(
     Output: (query_id, neighbor_id, cosine_sim), k rows per query,
     self-matches excluded, ties broken by neighbor_id for determinism.
     """
+    from salesanalytics_etl_spark.operators.dedup import spread_partitions
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    # spread the corpus scan BEFORE the |corpus|x|queries| re-rank: a
+    # single-file embeddings scan plans as ONE task and the whole
+    # brute-force ranking runs serially (measured: one 6.8 s 1-task job
+    # was q190's entire cost at sf0.1). Plan-metadata guard — no-op when
+    # the source is already wider than the cluster (the 100 TB case).
+    c = spread_partitions(corpus, by=id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
@@ -384,7 +391,12 @@ def cosine_topk_lsh(
         F.col(id_col).alias("query_id"),
         F.explode(bucketer(F.col(vec_col))).alias("bucket"),
     )
-    c = corpus.select(
+    from salesanalytics_etl_spark.operators.dedup import spread_partitions
+
+    # spread the corpus scan before the Python bucketer: a single-file
+    # scan would run the pandas-UDF bucket stage on ONE task (r17; the
+    # q24/q190 lesson, plan-metadata guard no-ops on wide sources)
+    c = spread_partitions(corpus, by=id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.explode(bucketer(F.col(vec_col))).alias("bucket"),
     )
@@ -556,7 +568,12 @@ def int8_topk_recall(
         F.col(id_col).alias("query_id"),
         int8_quantize(F.col(vec_col)).alias("qa"),
     ).withColumn("n2a", sq("qa"))
-    qc = corpus.select(
+    from salesanalytics_etl_spark.operators.dedup import spread_partitions
+
+    # spread the corpus scan before the quantized re-rank for the same
+    # reason as cosine_topk_bruteforce: a single-file scan serializes
+    # the |corpus|x|queries| scoring into one task
+    qc = spread_partitions(corpus, by=id_col).select(
         F.col(id_col).alias("neighbor_id"),
         int8_quantize(F.col(vec_col)).alias("qb"),
     ).withColumn("n2b", sq("qb"))

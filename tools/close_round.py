@@ -90,10 +90,11 @@ def _current_round() -> int:
     return current_round(_REPO)
 
 
-def _run_capture(argv: list[str], label: str) -> str:
+def _run_capture(argv: list[str], label: str, env: dict | None = None) -> str:
     """Run a step, stream its output, return stdout; exit loudly on red."""
     print(f"==> {label}", flush=True)
-    out = subprocess.run(argv, cwd=_REPO, capture_output=True, text=True)
+    out = subprocess.run(argv, cwd=_REPO, capture_output=True, text=True,
+                         env=env)
     sys.stdout.write(out.stdout)
     sys.stderr.write(out.stderr[-2000:])
     if out.returncode != 0:
@@ -160,10 +161,16 @@ def main() -> None:
         # The full suite IS part of the closing discipline (r12 verdict
         # item 5: the round note claimed suite counts the artifact never
         # carried) — run it first so a red test fails the close before
-        # the multi-minute sweep/bench steps.
+        # the multi-minute sweep/bench steps. SPARK_GRAFT_SLOW_TESTS=1:
+        # the close runs the FULL profile including the ~20 slowest
+        # e2e/restart-parity tests that the default (driver-window)
+        # profile skips — see tests/conftest.py (r17, verdict item 2).
+        import os as _os
+
         t_out = _run_capture(
             [sys.executable, "-m", "pytest", "tests/", "-q"],
-            "pytest tests/ (full suite)",
+            "pytest tests/ (full suite incl. slow profile)",
+            env={**_os.environ, "SPARK_GRAFT_SLOW_TESTS": "1"},
         )
         m = re.search(
             r"(?:(\d+) failed, )?(\d+) passed(?:, (\d+) skipped)?"
