@@ -106,15 +106,23 @@ def build(spark, tables: list[str]) -> None:
 
                 # perturb with the UNSHIFTED base id so the variant is a
                 # pure function of (base doc, replica) — the GT pairing
-                # in tools/editnoise_probe.py recovers base via modulo
-                rep = rep.withColumn(
-                    "text",
-                    perturbed_text(
+                # in tools/editnoise_probe.py recovers base via modulo.
+                # perturbed_text takes SQL expression strings (r17), so
+                # the computed inputs are staged as columns first.
+                rep = (
+                    rep.withColumn(
+                        "_pbase",
                         F.col("doc_id") - F.lit(i * dom_base["docid"]),
-                        normalize_text(F.col("text")),
-                        salt=f"rep{i}",
-                        edits=EDITMODE,
-                    ),
+                    )
+                    .withColumn("_pnorm", normalize_text(F.col("text")))
+                    .withColumn(
+                        "text",
+                        perturbed_text(
+                            "_pbase", "_pnorm",
+                            salt=f"rep{i}", edits=EDITMODE,
+                        ),
+                    )
+                    .drop("_pbase", "_pnorm")
                 )
             reps.append(rep)
         big = reps[0]
