@@ -875,13 +875,15 @@ def signature_pair_estimates(
     bounded."""
     sigs = sigs.localCheckpoint()
     # selectExpr / SQL-string forms: one py4j call per frame instead of
-    # two per column (r16 opt round); identical projections
+    # two per column (r16 opt round); identical projections. key_col is
+    # backtick-quoted (r16 advice) so identifiers that F.col() tolerated
+    # (dots, spaces, reserved words) keep parsing.
     a = sigs.selectExpr(
-        f"{key_col} as source_a",
+        f"`{key_col}` as source_a",
         *[f"mh{i} as a{i}" for i in range(N_HASHES)],
     )
     b = sigs.selectExpr(
-        f"{key_col} as source_b",
+        f"`{key_col}` as source_b",
         *[f"mh{i} as b{i}" for i in range(N_HASHES)],
     )
     matching = F.expr(
@@ -1165,7 +1167,13 @@ def simhash_near_dupes(
         # the over-cap recovery path — checkpointed so the signature
         # aggregation (the pipeline's dominant exchange) runs once, not
         # once per branch (r16 opt round; the winnow recovery branch got
-        # the same fix in the r16 build's post-close review)
+        # the same fix in the r16 build's post-close review).
+        # NB (r16 advice): localCheckpoint trades fault tolerance for
+        # lineage truncation — an executor lost after the checkpoint
+        # fails the job instead of recomputing. Accepted codebase-wide
+        # for bounded intra-query frames (this, rmem/fpsets in the
+        # winnow recovery branch, the 1-row audit results): the frames
+        # die with the query and a retry re-runs it.
         chunks = chunks.localCheckpoint()
     # same bucket-list pair generation as the MinHash path: carry
     # (doc_id, simhash) structs so the Hamming check needs no join back.
@@ -1655,7 +1663,10 @@ def sampled_shingle_boilerplate(
     # window-count doc frequency — q177's r16 shape: ONE h-keyed
     # exchange and a single-consumer sh subtree, vs groupBy + join-back
     # (two h exchanges at scale, sh computed once per consumer); values
-    # identical
+    # identical. Same skew caveat as q177 (analytics.py): a
+    # near-ubiquitous shingle is one unsplittable window task — here
+    # additionally damped by the h % mod sampling upstream; pre-split h
+    # two-level if a deployment's boilerplate shingles defeat that.
     return (
         sh.withColumn(
             "d", F.count(F.lit(1)).over(Window.partitionBy("h"))

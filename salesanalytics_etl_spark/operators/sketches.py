@@ -147,10 +147,19 @@ def bloom_membership_audit(
     # distinct -> explode(k) -> broadcast LEFT join against the filter ->
     # groupBy pk, which reuses the distinct's pk partitioning. The former
     # shape probed the RAW stream and re-read probes a second time for
-    # the audit join — two probe passes and an extra pk shuffle for the
-    # same nhit arithmetic (a probe is bloom-positive iff all k exploded
-    # position rows match, duplicate positions counted per row exactly
-    # as before).
+    # the audit join. For DISTINCT NON-NULL probe keys (the only call
+    # sites: q114's distinct custkeys) the nhit arithmetic is identical
+    # (bloom-positive iff all k exploded position rows match, duplicate
+    # POSITIONS of one key counted per row exactly as before). Two edge
+    # semantics CHANGED vs pre-r16 — deliberately, both were latent
+    # bugs (r16 advice): a probe key appearing n>1 times used to
+    # accumulate nhit = n*K != K and was wrongly classified
+    # bloom-negative (a Bloom filter has no false negatives); a NULL
+    # probe key could never match the null-unsafe hits join. The
+    # distinct-first shape classifies a duplicated member key
+    # bloom-positive, and a NULL key hashes like any value. Any future
+    # caller with duplicate probe rows must dedupe its oracle twin the
+    # same way.
     truth = members.select(F.col(member_key).alias("pk")).distinct()
     audit = (
         probes.select(F.col(probe_key).alias("pk"))

@@ -78,7 +78,17 @@ def q156_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from salesanalytics_etl_spark.operators.ranking import append_global_rank
 
     daily = _daily_cents(spark, sf_dir).select("i", "cents")
-    a = daily.select(
+    # The day rollup collapses to ~1 partition (AQE coalesces the tiny
+    # aggregate), so the |days|^2/2 pair explosion below ran as ONE
+    # task (measured: a 1.7 s 1-task job was most of q156's floor, r17)
+    # and the rank machinery's range-boundary sampling pass inherited
+    # the same single task. Spreading the LEFT side is a ~2400-row
+    # exchange at ANY corpus size (the day grain is calendar-bounded)
+    # that parallelizes slope generation and the range sampling.
+    spread = daily.repartition(
+        spark.sparkContext.defaultParallelism, "i"
+    )
+    a = spread.select(
         F.col("i").alias("ia"), F.col("cents").alias("ca")
     )
     b = daily.select(
@@ -1536,6 +1546,17 @@ def q177_boilerplate_fraction(
     # vocab-grain frequency frame cannot broadcast); the window shares
     # ONE h exchange and leaves sh single-consumer. Values identical
     # (measured equal at sf0.1; 5 stages/41 tasks vs 7/69).
+    # SKEW CAVEAT (r16 advice): the window form forfeits map-side
+    # partial aggregation AND AQE skew splitting — a near-ubiquitous
+    # boilerplate shingle lands its ENTIRE (doc_id, h) row set in one
+    # window task, and boilerplate-heavy shingles are what this query
+    # measures. Neither shape dominates at every scale: groupBy+join
+    # pays a second full h exchange, the window risks one unsplittable
+    # hot partition. The window is kept because the per-shingle row set
+    # is bounded by |docs| (the upstream distinct caps one row per
+    # (doc, h)) and a hot task degrades wall-clock, not correctness;
+    # a deployment with truly ubiquitous shingles should pre-split h
+    # (two-level: groupBy(h, salt) then by h) before this operator.
     per_doc = (
         sh.withColumn(
             "d", F.count(F.lit(1)).over(Window.partitionBy("h"))
@@ -2020,7 +2041,10 @@ def q182_boilerplate_sample_error(
         .distinct()
     )
     # window-count doc frequency — q177's r16 shape (one h exchange,
-    # sh consumed once); values identical
+    # sh consumed once); values identical. Same skew caveat as q177:
+    # a near-ubiquitous shingle is one unsplittable window task (no
+    # map-side combine, no AQE skew split) — bounded by |docs| rows via
+    # the upstream distinct; pre-split h two-level if that bound bites.
     exact_doc = (
         sh.withColumn(
             "d", F.count(F.lit(1)).over(Window.partitionBy("h"))

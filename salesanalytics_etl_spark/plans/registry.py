@@ -40,53 +40,47 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-# Round-16 rotation, RECOMPOSED by the optimization round (driver
-# records the FIRST 50 entries; the r13 rule: any query whose operator
-# code changes goes back into the window so its driver row re-stamps on
-# current code). Self-counting arithmetic (the r10/r13 failure mode was
-# headers contradicting the list): 6 new + 28 code-changed re-stamps +
-# 16 roll-debt = 50. Priority order:
-# (0) the 6 queries NEW in the r16 build, ZERO driver records:
-#     q202-q207 (winnow near-dup pipeline + its recall/slack/cluster/
-#     recovery/index-health audits — see the r16 build notes in
-#     ROUND16.md). q204/q206/q207 ALSO changed in the optimization
-#     round (slack conditional-agg rewrite; recovery-branch
-#     checkpoints; bucket-frame checkpoint).
-# (1) 28 code-changed re-stamps — every query whose operator code the
-#     r16 OPTIMIZATION round touched (OPTIMIZATION_r16.md has the
-#     per-query log; results verified identical by strict_compare at
-#     sf0.01 after each change):
-#     - editnoise audits (redundant-distinct removal + SQL-string
-#       aggregates): q186, q187, q189, q193, q194, q195, q197, q198,
-#       q199;
-#     - simhash (SQL-string votes/fold + recovery-branch chunk
-#       checkpoint): q26, q201;
-#     - MinHash/LSH family (SQL-string signatures/band keys/agreement
-#       sums): q109, q116, q170, q172, q176, q183, q196, q178;
-#     - bloom audits (fused probe pass / persisted gram frames): q114,
-#       q192, q200;
-#     - boilerplate family (window-count doc frequency): q177, q181,
-#       q182;
-#     - lang_id spread: q24, q88;
-#     - q60 (r16 build: factored winnow_fingerprints — stamp retained).
-# (2) 16 roll-debt rows, oldest records first: r11-era q166, q167,
-#     q168, q169, q171, q50, q64, q67, q73, q74, q82, q85, q87, q89,
-#     q91, q92 (q88 is already in (1)). The 3 remaining r11-era rows
-#     (q95, q96, q97) and the r12-era tail roll to r17 — the
-#     optimization round's re-stamp obligation outranks finishing the
-#     freshness program in one window.
+# Round-17 rotation (optimization round 2/2; driver records the FIRST
+# 50 entries; the r13 rule: any query whose operator code changes goes
+# back into the window so its driver row re-stamps on current code).
+# Self-counting arithmetic: 24 code-changed re-stamps + 26 roll-debt
+# = 50. Priority order:
+# (1) 24 re-stamps — every query whose operator code the r17
+#     OPTIMIZATION round touched (OPTIMIZATION_r17.md has the per-query
+#     log; results verified identical by strict_compare at sf0.01 after
+#     each change):
+#     - bloom decontamination one-pass restructure: q192, q200;
+#     - exact_jaccard_join barrier fusion: q102, q203;
+#     - ANN/IVF corpus-scan spreads (cosine_topk_bruteforce,
+#       int8_topk_recall, cosine_topk_lsh, cosine_topk_ivf,
+#       assign_clusters, portable_cell_assignment): q27, q28, q34,
+#       q89, q112, q113, q121, q122, q188, q190;
+#     - perturbed_text SQL-string conversion (all 9 edit-noise
+#       audits): q186, q187, q189, q193, q194, q195, q197, q198, q199;
+#     - q156 day-frame spread before the pair explosion.
+# (2) 26 roll-debt rows, oldest driver stamp first: the r11-era
+#     q95-q97 the r16 window deferred, then the r12-era tail in
+#     (stamp, name) order. The remaining r12-era rows roll to the next
+#     window.
 # Every name here is also swept by tests/test_queries.py +
 # tests/strict_gate.py against the same oracles, so reordering changes
 # what the driver RECORDS, never what is verified.
 _CHECK_FIRST = [
-    # --- (0) new this round, never recorded ---
-    "q202_winnow_neardup",
+    # --- (1) 24 code-changed re-stamps (r17 optimization round) ---
+    "q192_bloom_decontamination_audit",
+    "q200_bloom_sized_audit",
+    "q102_exact_jaccard_join",
     "q203_winnow_recall_audit",
-    "q204_winnow_slack_curve",
-    "q205_winnow_cluster_histogram",
-    "q206_winnow_recovery_gate",
-    "q207_winnow_index_health",
-    # --- (1) 28 code-changed re-stamps (optimization round) ---
+    "q27_ann_cosine_topk",
+    "q28_ann_cosine_lsh",
+    "q34_ann_cosine_ivf",
+    "q89_embedding_cluster_stats",
+    "q112_ivf_replay",
+    "q113_cell_stats_replay",
+    "q121_ann_recall_audit",
+    "q122_ivf_recall_audit",
+    "q188_int8_quantization_audit",
+    "q190_int8_topk_recall",
     "q186_editnoise_lsh_recall",
     "q187_editnoise_simhash",
     "q189_editnoise_winnow_fidelity",
@@ -96,42 +90,34 @@ _CHECK_FIRST = [
     "q197_editnoise_reorder_lsh",
     "q198_editnoise_reorder_simhash",
     "q199_editnoise_reorder_winnow",
-    "q26_simhash_neardup",
-    "q201_simhash_recovery_gate",
-    "q109_minhash_lsh_replay",
-    "q116_lsh_bucket_audit",
-    "q170_source_shingle_jaccard",
-    "q172_source_minhash_jaccard",
-    "q176_source_jaccard_sketch_error",
-    "q183_sampled_neardup_replay",
-    "q196_sampled_neardup_recovery",
-    "q178_split_neardup_leakage",
-    "q114_bloom_membership_audit",
-    "q192_bloom_decontamination_audit",
-    "q200_bloom_sized_audit",
-    "q177_boilerplate_fraction",
-    "q181_boilerplate_sampled",
-    "q182_boilerplate_sample_error",
-    "q24_docs_langid",
-    "q88_lang_metadata_agreement",
-    "q60_winnowing_fingerprints",
-    # --- (2) 16 roll-debt rows, oldest first (arithmetic above) ---
-    "q166_cluster_size_histogram",
-    "q167_orphan_rate_trend",
-    "q168_k_anonymity_audit",
-    "q169_packing_utilization",
-    "q171_source_length_deciles",
-    "q50_curation_sample",
-    "q64_approx_distinct_sketch",
-    "q67_pii_redaction",
-    "q73_embedding_quantization",
-    "q74_source_overlap",
-    "q82_approx_percentile_sketch",
-    "q85_compression_quality",
-    "q87_stratified_cap_sample",
-    "q89_embedding_cluster_stats",
-    "q91_cohort_retention",
-    "q92_part_cooccurrence",
+    "q156_theil_sen_trend",
+    # --- (2) 26 roll-debt rows, oldest driver stamp first ---
+    "q95_sentence_split_udtf",  # r11
+    "q96_event_transition_matrix",  # r11
+    "q97_daily_sales_anomalies",  # r11
+    "q05_top_products",  # r12
+    "q06_top_customers",  # r12
+    "q07_status_histogram",  # r12
+    "q08_avg_order_value",  # r12
+    "q09_parts_no_sales",  # r12
+    "q106_token_budget_mixture",  # r12
+    "q10_customers_no_orders",  # r12
+    "q118_fuzzy_decontamination",  # r12
+    "q11_last_order_details",  # r12
+    "q126_sales_gap_fill",  # r12
+    "q127_peak_window_traffic",  # r12
+    "q128_distributed_percentiles",  # r12
+    "q12_order_totals",  # r12
+    "q130_robust_order_outliers",  # r12
+    "q132_nation_revenue_interpolated",  # r12
+    "q133_fk_integrity_sweep",  # r12
+    "q13_order_reconciliation",  # r12
+    "q14_sales_daterange",  # r12
+    "q173_dup_cluster_source_span",  # r12
+    "q174_source_length_psi",  # r12
+    "q175_event_cooccurrence_lift",  # r12
+    "q179_lang_source_mutual_info",  # r12
+    "q17_view_sales_by_day_sql",  # r12
 ]
 
 
